@@ -1,0 +1,104 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+decoded/feature-extracted through Arrow-batched ``mapInPandas``.
+
+Real image/audio decoding libraries are not in this container, so the
+decode step is a clearly-marked deterministic stand-in (`_decode_payload`)
+— but everything Spark-side is real and load-bearing: the binary column
+schema, the Arrow batch transfer, the output StructType, and the
+partition-parallel execution. Swapping `_decode_payload` for a PIL/ffmpeg
+call is the only change needed for real media.
+
+Design: payloads stay opaque ``BinaryType`` until the narrow, Arrow-
+vectorized extraction; metadata (sizes, checksums) is computed once and
+carried as ordinary columns so downstream filters/joins never touch the
+blob. At 100 TB the blob column lives in its own parquet column chunk —
+column pruning means relational queries never read a byte of it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..plans.registry import register
+from ..sources.tables import table
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, source string, payload_bytes int, first_byte int, byte_checksum bigint"
+)
+
+
+def _decode_payload(payload: bytes) -> dict:
+    """STUB decoder: deterministic fake 'feature extraction' from raw
+    bytes (length, first byte, additive checksum). A real deployment
+    replaces this with image decode / resize / frame-sample; it is
+    deliberately pure-Python so the test suite can cross-check it
+    against expression-computed values.
+    """
+    return {
+        "payload_bytes": len(payload),
+        "first_byte": payload[0] if payload else -1,
+        "byte_checksum": sum(payload),
+    }
+
+
+def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        feats = pdf["payload"].map(_decode_payload)
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "source": pdf["source"],
+                "payload_bytes": feats.map(lambda d: d["payload_bytes"]).astype("int32"),
+                "first_byte": feats.map(lambda d: d["first_byte"]).astype("int32"),
+                "byte_checksum": feats.map(lambda d: d["byte_checksum"]).astype("int64"),
+            }
+        )
+        yield out
+
+
+def payload_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents rendered as a multimodal table: (doc_id, source,
+    payload binary). The payload is the utf-8 text bytes standing in
+    for media bytes."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", "source", F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+
+def extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column."""
+    return payload_table(spark, sf_dir).mapInPandas(_extract_features, FEATURE_SCHEMA)
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+WITH p AS (
+    SELECT source,
+           octet_length(encode(text)) AS pb,
+           ascii(substr(text, 1, 1)) AS fb
+    FROM documents
+)
+SELECT source,
+       count(*) AS n_payloads,
+       round(avg(pb), 4) AS avg_bytes,
+       CAST(sum(fb) AS BIGINT) AS sum_first_byte
+FROM p GROUP BY source
+""",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_features(spark, sf_dir):
+    """mapInPandas decode path, aggregated per source. The Python decode
+    stub is deterministic on the payload bytes, so even this UDF-bearing
+    query is oracle-checkable (the oracle recomputes length/first-byte
+    via SQL byte functions). Shape at scale: mapInPandas streams Arrow
+    batches partition-parallel; the agg shuffles ~20 groups."""
+    feats = extract_features(spark, sf_dir)
+    return feats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_payloads"),
+        F.round(F.avg("payload_bytes"), 4).alias("avg_bytes"),
+        F.sum("first_byte").cast("bigint").alias("sum_first_byte"),
+    )

@@ -1,0 +1,393 @@
+"""Deduplication operator family: exact, MinHash+LSH, SimHash, n-gram
+Jaccard — the LLM-training-data dedup surface, each as a Catalyst-native
+plan with a bit-exact DuckDB oracle.
+
+Test corpus construction: the driver's ``documents`` are all unique, so
+each query builds a deterministic "re-crawl" corpus = documents UNION ALL
+a mutated copy (doc_id + 1_000_000, last 5 tokens dropped). Exact dedup
+uses an unmutated doubled corpus. This exercises real near-dup geometry
+(Jaccard ~0.9 pairs) with zero randomness.
+
+All hashing is md5-derived (functions/text.py rationale): Spark's
+murmur3 ``hash()`` is not reproducible in ANSI SQL, md5 substrings are.
+Integer-only signature math means Spark and DuckDB agree bit-for-bit —
+no float tolerance needed anywhere except the final Jaccard rounding.
+
+Scale posture: every pair-producing join here is *blocked* (LSH band,
+simhash prefix, shared-shingle) — nothing is O(n^2) over the corpus; the
+shuffles are keyed on band/prefix/shingle whose fan-out is bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..sources.tables import table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# shared fragments
+# ---------------------------------------------------------------------------
+
+TOKS = (
+    "list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z\\s]', '', 'g')), ' '), "
+    "x -> x <> '')"
+)
+SPARK_TOKS = (
+    "filter(split(lower(regexp_replace(text, '[^a-zA-Z\\\\s]', '')), ' '), x -> x != '')"
+)
+
+# corpus: original docs + near-duplicate copies (last 5 tokens dropped)
+CORPUS_SQL = f"""
+corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           array_to_string(list_slice({TOKS}, 1, greatest(len({TOKS}) - 5, 1)), ' ') AS text
+    FROM documents
+)
+"""
+
+# distinct 3-token shingles of the corpus
+SHINGLES_SQL = (
+    "WITH "
+    + CORPUS_SQL
+    + f""",
+tok AS (SELECT doc_id, {TOKS} AS t FROM corpus),
+shingle AS (
+    SELECT DISTINCT doc_id, s AS shingle
+    FROM tok, unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(s)
+),
+sh AS (
+    SELECT doc_id, shingle,
+           ('0x' || substr(md5(shingle), 25, 8))::BIGINT AS h32
+    FROM shingle
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+"""
+)
+
+
+def _corpus(spark, sf_dir) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    trunc = F.expr(
+        f"array_join(slice({SPARK_TOKS}, 1, greatest(size({SPARK_TOKS}) - 5, 1)), ' ')"
+    )
+    d2 = d.select((F.col("doc_id") + 1000000).alias("doc_id"), trunc.alias("text"))
+    return d.unionByName(d2)
+
+
+def _shingles(spark, sf_dir) -> DataFrame:
+    """(doc_id, shingle, h32): distinct 3-token shingles + 32-bit md5 hash."""
+    c = _corpus(spark, sf_dir)
+    toks = F.expr(SPARK_TOKS)
+    shingles = F.when(
+        F.size(toks) >= 3,
+        F.expr(
+            f"transform(sequence(1, size({SPARK_TOKS}) - 2), "
+            f"i -> concat_ws(' ', element_at({SPARK_TOKS}, i), "
+            f"element_at({SPARK_TOKS}, i + 1), element_at({SPARK_TOKS}, i + 2)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        c.select("doc_id", F.explode(shingles).alias("shingle"))
+        .distinct()
+        .withColumn("h32", F.conv(F.substring(F.md5("shingle"), 25, 8), 16, 10).cast("bigint"))
+    )
+
+
+# MinHash parameter family: 16 universal hashes (a*h + b) mod P.
+# a < 2^30 keeps a*h32 < 2^62 — no BIGINT overflow on either engine.
+_P = 2147483647
+_A_MOD = 1073741789
+MINHASH_PARAMS = [
+    ((1103515245 * (i + 1) + 12345) % _A_MOD + 1, (69069 * (i + 1) + 98765) % _P)
+    for i in range(16)
+]
+N_BANDS, BAND_ROWS = 4, 4
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle="""
+WITH unioned AS (
+    SELECT text FROM documents UNION ALL SELECT text FROM documents
+),
+g AS (SELECT md5(text) AS k, count(*) AS c FROM unioned GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT)      AS n_unique,
+       CAST(sum(c) AS BIGINT)        AS n_rows,
+       CAST(sum(c - 1) AS BIGINT)    AS n_duplicates_removed
+FROM g
+""",
+    tags=("dedup", "exact"),
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on a content digest over a doubled
+    corpus. At 100 TB you group on md5(text) (128-bit key, map-side
+    partial agg), never on the raw text bytes — this is that plan."""
+    d = table(spark, sf_dir, "documents").select("text")
+    unioned = d.unionByName(d)
+    g = unioned.groupBy(F.md5("text").alias("k")).agg(F.count(F.lit(1)).alias("c"))
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.sum(F.col("c") - 1).cast("bigint").alias("n_duplicates_removed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, shingle-blocked)
+# ---------------------------------------------------------------------------
+
+_JACCARD_BODY = """
+inter AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
+    FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+),
+jac AS (
+    SELECT i.doc_a, i.doc_b,
+           round(n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5
+"""
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=SHINGLES_SQL + ",\n" + _JACCARD_BODY,
+    tags=("dedup", "jaccard"),
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs, blocked by shared shingle:
+    the pair space is generated by an equi-join on the shingle (each
+    shingle touches few docs), never a cross join. Intersection = join
+    count; union via |A|+|B|-inter. Scale: the shingle join is the only
+    big shuffle and its key cardinality grows with corpus size — skew
+    guarded by AQE (a stop-shingle prefilter is the 100 TB add-on)."""
+    sh = _shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (
+        x.join(y, (F.col("x.shingle") == F.col("y.shingle")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_inter")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= 0.5)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _minhash_sql() -> str:
+    mins = ",\n           ".join(
+        f"min(({a} * h32 + {b}) % {_P}) AS mh{i}" for i, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    band_selects = "\n    UNION ALL\n".join(
+        "    SELECT doc_id, {band} AS band, "
+        "CAST(mh{j0} AS VARCHAR) || '_' || CAST(mh{j1} AS VARCHAR) || '_' || "
+        "CAST(mh{j2} AS VARCHAR) || '_' || CAST(mh{j3} AS VARCHAR) AS sig FROM sigs".format(
+            band=b, j0=4 * b, j1=4 * b + 1, j2=4 * b + 2, j3=4 * b + 3
+        )
+        for b in range(N_BANDS)
+    )
+    return (
+        SHINGLES_SQL
+        + f""",
+sigs AS (
+    SELECT doc_id,
+           {mins}
+    FROM sh GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.doc_a
+    JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+    GROUP BY 1, 2
+),
+jac AS (
+    SELECT i.doc_a, i.doc_b,
+           round(n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5
+"""
+    )
+
+
+@register("minhash_lsh_pairs", oracle=_minhash_sql(), tags=("dedup", "minhash", "lsh"))
+def minhash_lsh_pairs(spark, sf_dir):
+    """MinHash (16 hashes) + LSH (4 bands x 4 rows) near-dup candidate
+    generation, then exact Jaccard verification of candidates only.
+
+    Plan shape: one groupBy(doc_id) computes all 16 signature mins as
+    parallel aggregates (no 16x row blowup), stack() unpivots to 4 band
+    rows/doc, the band equi-join emits candidates, and only candidates
+    pay the exact-verification join. This is the shape that scales:
+    pair generation is (band, sig)-keyed, so work is proportional to
+    true collisions, not corpus^2."""
+    sh = _shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    min_aggs = [
+        F.min((F.lit(a) * F.col("h32") + F.lit(b)) % _P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*min_aggs)
+    stack_args = ", ".join(
+        f"{b}, concat_ws('_', mh{4 * b}, mh{4 * b + 1}, mh{4 * b + 2}, mh{4 * b + 3})"
+        for b in range(N_BANDS)
+    )
+    bands = sigs.select(
+        "doc_id", F.expr(f"stack({N_BANDS}, {stack_args}) AS (band, sig)")
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    shx, shy = sh.alias("shx"), sh.alias("shy")
+    inter = (
+        cand.join(shx, F.col("doc_a") == F.col("shx.doc_id"))
+        .join(
+            shy,
+            (F.col("doc_b") == F.col("shy.doc_id"))
+            & (F.col("shx.shingle") == F.col("shy.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_inter")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= 0.5)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def _simhash_sql() -> str:
+    votes = ",\n           ".join(
+        f"sum(CASE WHEN (h32 // {2 ** b}) % 2 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(32)
+    )
+    sig = " + ".join(f"(CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(32))
+    return (
+        SHINGLES_SQL
+        + f""",
+votes AS (
+    SELECT doc_id,
+           {votes}
+    FROM sh GROUP BY doc_id
+),
+sig AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes),
+blocked AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           bit_count(xor(x.simhash, y.simhash)) AS hamming
+    FROM sig x JOIN sig y
+      ON x.doc_id < y.doc_id
+     AND (x.simhash // 65536 = y.simhash // 65536
+          OR x.simhash % 65536 = y.simhash % 65536)
+)
+SELECT DISTINCT doc_a, doc_b, hamming FROM blocked WHERE hamming <= 8
+"""
+    )
+
+
+@register("simhash_pairs", oracle=_simhash_sql(), tags=("dedup", "simhash"))
+def simhash_pairs(spark, sf_dir):
+    """32-bit SimHash over 3-gram shingles with two-block LSH (high/low
+    16 bits) and Hamming<=8 verification. The signature is a single
+    groupBy(doc_id) with 32 conditional-sum aggregates — integer-exact on
+    both engines. Blocking on either half of the signature (pigeonhole:
+    hamming<=8 pairs usually agree on one half) keeps the pair join
+    keyed, never quadratic."""
+    sh = _shingles(spark, sf_dir)
+    vote_aggs = [
+        F.sum(
+            F.when((F.col("h32").bitwiseAND(F.lit(2 ** b))) != 0, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(32)
+    ]
+    votes = sh.groupBy("doc_id").agg(*vote_aggs)
+    sig_expr = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(32)
+    )
+    sig = votes.select(
+        "doc_id",
+        F.expr(sig_expr).cast("bigint").alias("simhash"),
+    ).withColumns(
+        {
+            "hi16": F.expr("simhash div 65536"),
+            "lo16": F.col("simhash") % 65536,
+        }
+    )
+
+    def block_join(key):
+        x, y = sig.alias("x"), sig.alias("y")
+        return x.join(
+            y,
+            (F.col(f"x.{key}") == F.col(f"y.{key}"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        ).select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("hamming"),
+        )
+
+    # OR-blocking as a UNION of two *hash* joins (an OR join condition
+    # would force a nested-loop plan — quadratic at scale).
+    pairs = block_join("hi16").unionByName(block_join("lo16")).distinct()
+    return pairs.filter(F.col("hamming") <= 8)

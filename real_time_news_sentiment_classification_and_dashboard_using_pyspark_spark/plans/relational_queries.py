@@ -1,0 +1,531 @@
+"""Core relational operator coverage (SURVEY §2 A/B/D/E/F/G/H + the join
+surface §2.C calls for), expressed over the driver's TPC-H-ish tables.
+
+The reference itself has no joins (SURVEY §2.C) and only
+count/mean/max aggregates; this module supplies the full relational
+surface an engine user needs, each as a Catalyst-native plan with a
+DuckDB oracle.
+
+Scale notes (100 TB posture) are on each query: which side broadcasts,
+where the shuffles are, why the plan survives 1000 executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import events_with_ts, table
+from .registry import register
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+# --------------------------------------------------------------------------
+# G: aggregations
+# --------------------------------------------------------------------------
+
+@register(
+    "pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                          AS sum_qty,
+       round(sum(l_extendedprice), 2)                                     AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
+       round(avg(l_quantity), 4)                                          AS avg_qty,
+       round(avg(l_extendedprice), 4)                                     AS avg_price,
+       round(avg(l_discount), 4)                                          AS avg_disc,
+       count(*)                                                           AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("agg", "filter"),
+)
+def pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped scan->filter->hash-agg. Scale: pure map-side
+    partial agg + tiny final agg on (flag,status); the filter reaches the
+    parquet scan as a pushed predicate; only 6 grouping keys so the final
+    shuffle is a few KB regardless of input size."""
+    l = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "acctbal_stats_by_segment",
+    oracle="""
+SELECT c_mktsegment,
+       count(*)                       AS n_customers,
+       round(min(c_acctbal), 2)       AS min_bal,
+       round(max(c_acctbal), 2)       AS max_bal,
+       round(avg(c_acctbal), 4)       AS avg_bal,
+       count(DISTINCT c_nationkey)    AS n_nations
+FROM customer
+GROUP BY c_mktsegment
+""",
+    tags=("agg",),
+)
+def acctbal_stats_by_segment(spark, sf_dir):
+    """min/max/avg/count + count-distinct in one hash aggregate (G2-G5
+    generalized). count(DISTINCT) expands to a two-phase agg Spark plans
+    automatically; 5 segments x 25 nations keeps state tiny at any SF."""
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+    )
+
+
+@register(
+    "monthly_order_stats",
+    oracle="""
+SELECT strftime(o_orderdate, '%Y-%m')      AS order_month,
+       count(*)                            AS n_orders,
+       round(sum(o_totalprice), 2)         AS sum_total,
+       round(avg(o_totalprice), 4)         AS avg_total
+FROM orders
+GROUP BY order_month
+""",
+    tags=("agg", "date"),
+)
+def monthly_order_stats(spark, sf_dir):
+    """Date-bucketed aggregate (dashboard G2/G4 on event time). The month
+    string is computed pre-shuffle; ~80 groups independent of SF."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("order_month", F.date_format("o_orderdate", "yyyy-MM"))
+        .groupBy("order_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_total"),
+        )
+    )
+
+
+@register(
+    "value_histogram",
+    oracle="""
+SELECT CAST(floor("value" / 50) AS BIGINT)  AS bucket,
+       round(CAST(floor("value" / 50) AS BIGINT) * CAST(50.0 AS DOUBLE), 1) AS bucket_lo,
+       count(*)                             AS cnt
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("agg", "histogram"),
+)
+def value_histogram(spark, sf_dir):
+    """Fixed-width histogram (G6, dashboard's px.histogram nbins) as
+    floor-bucket + count — a one-shuffle hash agg with ~10 groups, vs the
+    reference shipping every row to the browser to bin client-side."""
+    e = events_with_ts(spark, sf_dir)
+    bucket = F.floor(F.col("value") / 50).cast("bigint")
+    return (
+        e.select(bucket.alias("bucket"))
+        .withColumn("bucket_lo", F.round(F.col("bucket") * 50.0, 1))
+        .groupBy("bucket", "bucket_lo")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "event_type_pct",
+    oracle="""
+SELECT event_type,
+       count(*) AS cnt,
+       round(100.0 * count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 4) AS pct
+FROM events
+GROUP BY event_type
+""",
+    tags=("agg", "window"),
+)
+def event_type_pct(spark, sf_dir):
+    """Percentage-of-total (F10: work.py:298-301). Aggregate first (5
+    rows), then an unpartitioned window over the tiny aggregate — the
+    single-partition window touches 5 rows, never the raw data."""
+    e = events_with_ts(spark, sf_dir)
+    agg = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    total = F.sum("cnt").over(Window.partitionBy())
+    return agg.withColumn("pct", F.round(100.0 * F.col("cnt") / total.cast("double"), 4))
+
+
+# --------------------------------------------------------------------------
+# C: joins (broadcast / shuffle / semi / anti / multi-way)
+# --------------------------------------------------------------------------
+
+@register(
+    "brand_revenue",
+    oracle="""
+SELECT p_brand,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       round(sum(l.l_quantity), 2)                           AS sum_qty,
+       count(*)                                              AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p_brand
+""",
+    tags=("join", "broadcast", "agg"),
+)
+def brand_revenue(spark, sf_dir):
+    """Fact x small-dim join. `part` is explicitly broadcast: at 100 TB
+    the lineitem side never shuffles for the join — only the final 25-ish
+    brand groups move."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "top_revenue_orders",
+    oracle="""
+SELECT o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY o.o_orderkey, order_date
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+""",
+    tags=("join", "topk", "agg"),
+)
+def top_revenue_orders(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter -> 3-way join -> agg -> top-K.
+    customer(filtered) broadcasts; orders<->lineitem co-shuffle on
+    orderkey; orderBy+limit compiles to TakeOrderedAndProject (per-
+    partition top-K + driver merge of 10 rows, never a full sort).
+    Deterministic order: (rounded revenue desc, orderkey)."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01 00:00:00").cast("timestamp")
+    )
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01 00:00:00").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "nation_revenue",
+    oracle="""
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name
+""",
+    tags=("join", "agg"),
+)
+def nation_revenue(spark, sf_dir):
+    """TPC-H Q5-shaped 5-way star join. region/nation/customer broadcast
+    up the chain; the only real shuffle is lineitem<->orders on orderkey.
+    At 100 TB that shuffle is unavoidable (both are facts) — bucketing
+    both by orderkey at write time would remove it entirely."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    l = table(spark, sf_dir, "lineitem")
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), o.o_custkey == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "supplier_nation_revenue",
+    oracle="""
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+    tags=("join", "broadcast", "agg"),
+)
+def supplier_nation_revenue(spark, sf_dir):
+    """Chained broadcast joins (supplier, nation both tiny): lineitem is
+    never shuffled pre-aggregation; zero exchange until the 25-row final
+    agg."""
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "big_order_customers_by_segment",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+GROUP BY c_mktsegment
+""",
+    tags=("join", "semi", "agg"),
+)
+def big_order_customers_by_segment(spark, sf_dir):
+    """LEFT SEMI join (EXISTS). The filtered orders side is aggregated
+    to distinct custkeys by the semi-join itself — no duplication, no
+    row explosion, and the probe side streams."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+SELECT count(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    tags=("join", "anti", "agg"),
+)
+def customers_without_orders(spark, sf_dir):
+    """LEFT ANTI join (NOT EXISTS) -> global count."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "order_priority_counts",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+""",
+    tags=("join", "semi", "agg"),
+)
+def order_priority_counts(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS with an extra non-equi
+    conjunct, decorrelated to a left-semi join with a post-join predicate
+    (shipped-after-ordered)."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    cond = (l.l_orderkey == o.o_orderkey) & (l.l_shipdate > o.o_orderdate)
+    return (
+        o.join(l, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# D/E: set ops + dedup
+# --------------------------------------------------------------------------
+
+@register(
+    "orders_union_dedup",
+    oracle="""
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 150000
+UNION
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+""",
+    tags=("union", "dedup"),
+)
+def orders_union_dedup(spark, sf_dir):
+    """Union-then-dedup — the dashboard's multi-file concat +
+    drop_duplicates (D1+E1, streamlit_app.py:114,147) as a distinct
+    union. unionByName keeps it schema-safe; dropDuplicates on the full
+    row = SQL UNION."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 150000).select("o_orderkey", "o_totalprice")
+    b = o.filter(F.col("o_orderstatus") == "O").select("o_orderkey", "o_totalprice")
+    return a.unionByName(b).dropDuplicates()
+
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, "value", props FROM events)
+SELECT user_id, event_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
+    FROM ev
+) WHERE rn = 1
+""",
+    tags=("window", "dedup"),
+)
+def latest_event_per_user(spark, sf_dir):
+    """Deterministic keep-latest dedup (E1 done right): the reference's
+    drop_duplicates(keep='first') depends on file order; we pin it with
+    row_number over (ts DESC, event_id) — same shuffle cost as
+    dropDuplicates but reproducible. Scale: one shuffle on user_id."""
+    e = events_with_ts(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.asc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
+        )
+    )
+
+
+@register(
+    "top_orders_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+    FROM orders
+) WHERE rn <= 2
+""",
+    tags=("window", "topk"),
+)
+def top_orders_per_customer(spark, sf_dir):
+    """Per-group top-K via ranking window (I-class capability the
+    reference lacks). At scale this is the grouped-top-K idiom: single
+    shuffle on the partition key, rank applied streaming per group —
+    never a global sort."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# H: sorts / top-K / recency
+# --------------------------------------------------------------------------
+
+@register(
+    "events_topk_recent",
+    oracle="""
+WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, "value", props FROM events)
+SELECT event_id, event_type, "value",
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+FROM ev
+ORDER BY ts DESC, event_id ASC
+LIMIT 20
+""",
+    tags=("topk", "sort"),
+)
+def events_topk_recent(spark, sf_dir):
+    """Top-K by recency (H1: streamlit_app.py:317). orderBy().limit()
+    compiles to TakeOrderedAndProject — per-partition heaps + a 20-row
+    driver merge, not a cluster-wide sort."""
+    e = events_with_ts(spark, sf_dir)
+    return (
+        e.orderBy(F.desc("ts"), F.asc("event_id"))
+        .limit(20)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
+        )
+    )
+
+
+@register(
+    "events_hourly",
+    oracle="""
+WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, "value", props FROM events)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type,
+       count(*) AS cnt,
+       round(sum("value"), 2) AS sum_value
+FROM ev
+GROUP BY 1, 2
+""",
+    tags=("agg", "date", "streaming-parity"),
+)
+def events_hourly(spark, sf_dir):
+    """Tumbling-hour aggregate — the batch twin of the streaming
+    watermarked window count (streaming/pipeline.py); the streaming test
+    asserts equality with this query's results."""
+    e = events_with_ts(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

@@ -1,0 +1,205 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-d).
+
+Brute-force cosine top-K as the correctness baseline, an IVF-style
+coarse-quantized variant as the scale path, plus threshold-count and
+norm-statistics queries. Cosine is computed with higher-order functions
+(zip_with + aggregate) — JVM-side, no Python in the loop. Embeddings are
+cast float->double on both engines before any arithmetic; similarities
+are rounded to 6dp before any ranking/threshold so the two engines can
+never disagree on ordering.
+
+Scale posture: brute-force is broadcast(Q) x scan(N) — linear in N and
+embarrassingly parallel, correct for small Q. The IVF variant is the
+100 TB path: assign vectors to coarse cells once (broadcast centroid
+join), then probe only matching cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import table
+from .registry import register
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def _emb(spark, sf_dir) -> DataFrame:
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+
+
+# DuckDB cosine on double-cast lists, rounded to 6dp.
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"round(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+
+
+_E_CTE = "e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)"
+
+
+@register(
+    "cosine_knn_topk",
+    oracle=f"""
+WITH {_E_CTE},
+j AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_cos_sql('q.emb', 'c.emb')} AS cos_sim
+    FROM e q JOIN e c ON c.vec_id >= 3
+    WHERE q.vec_id < 3
+),
+r AS (
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+    FROM j
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5
+""",
+    tags=("similarity", "ann", "topk"),
+)
+def cosine_knn_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for 3 query vectors: broadcast the tiny
+    query side against the full scan, rank per query. Ranking is on
+    (rounded sim DESC, neighbor_id) — a total order, so the top-5 set is
+    engine-independent. Scale: O(Q*N) with zero shuffle on the N side
+    until the final per-query top-K (TakeOrdered per group)."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    c = e.filter(F.col("vec_id") >= 3)
+    j = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qemb"), F.col("emb")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+@register(
+    "cosine_neighbor_counts",
+    oracle=f"""
+WITH {_E_CTE},
+j AS (
+    SELECT q.vec_id AS query_id,
+           {_cos_sql('q.emb', 'c.emb')} AS cos_sim
+    FROM e q JOIN e c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 10
+)
+SELECT query_id,
+       CAST(sum(CASE WHEN cos_sim >= 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS n_neighbors,
+       round(max(cos_sim), 6) AS max_sim
+FROM j GROUP BY query_id
+""",
+    tags=("similarity", "agg"),
+)
+def cosine_neighbor_counts(spark, sf_dir):
+    """Similarity-threshold neighborhood counts for 10 query vectors —
+    the radius-search primitive (count form is robust: no ranking ties
+    to worry about, only the 6dp-rounded threshold comparison)."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    j = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.round(cosine(F.col("qemb"), F.col("emb")), 6).alias("cos_sim"))
+    )
+    return j.groupBy("query_id").agg(
+        F.sum(F.when(F.col("cos_sim") >= 0.25, 1).otherwise(0)).cast("bigint").alias("n_neighbors"),
+        F.round(F.max("cos_sim"), 6).alias("max_sim"),
+    )
+
+
+@register(
+    "ivf_cell_assignment",
+    oracle=f"""
+WITH {_E_CTE},
+cent AS (SELECT vec_id AS centroid_id, emb AS cemb FROM e WHERE vec_id < 8),
+assign AS (
+    SELECT v.vec_id, c.centroid_id,
+           {_cos_sql('v.emb', 'c.cemb')} AS cos_sim,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {_cos_sql('v.emb', 'c.cemb')} DESC, c.centroid_id ASC) AS rn
+    FROM e v CROSS JOIN cent c
+)
+SELECT centroid_id,
+       count(*) AS n_vectors,
+       round(avg(cos_sim), 4) AS avg_sim
+FROM assign WHERE rn = 1
+GROUP BY centroid_id
+""",
+    tags=("similarity", "ann", "ivf"),
+)
+def ivf_cell_assignment(spark, sf_dir):
+    """IVF coarse quantization: assign every vector to its nearest of 8
+    centroid vectors (broadcast), report cell occupancy. This is the
+    build step of the scale-path ANN index — at query time only the
+    nearest cells are probed, cutting brute-force cost by ~n_cells.
+    Assignment is argmax-by-window with a deterministic tiebreak."""
+    e = _emb(spark, sf_dir)
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
+    )
+    assign = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "centroid_id",
+        F.round(cosine(F.col("emb"), F.col("cemb")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("centroid_id"))
+    return (
+        assign.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("cos_sim"), 4).alias("avg_sim"),
+        )
+    )
+
+
+@register(
+    "embedding_norms_by_label",
+    oracle="""
+WITH e AS (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings)
+SELECT label,
+       count(*) AS n_vectors,
+       round(avg(sqrt(list_dot_product(emb, emb))), 4) AS avg_norm,
+       round(min(sqrt(list_dot_product(emb, emb))), 4) AS min_norm,
+       round(max(sqrt(list_dot_product(emb, emb))), 4) AS max_norm
+FROM e GROUP BY label
+""",
+    tags=("similarity", "agg"),
+)
+def embedding_norms_by_label(spark, sf_dir):
+    """Vector-norm statistics per label — the sanity/profiling query of
+    an embedding pipeline (catches unnormalized or degenerate vectors).
+    Norms are computed map-side by a higher-order expression; the only
+    shuffle carries 10 label groups."""
+    e = _emb(spark, sf_dir)
+    norm = F.sqrt(dot(F.col("emb"), F.col("emb")))
+    return (
+        e.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+            F.round(F.min("norm"), 4).alias("min_norm"),
+            F.round(F.max("norm"), 4).alias("max_norm"),
+        )
+    )

@@ -1,0 +1,220 @@
+"""Text-analysis operators over ``documents`` — the training-data-pipeline
+surface (language-ID heuristic, quality scoring, token counting, document
+fingerprinting) plus multimodal payload plumbing. All pure Catalyst
+expressions; the DuckDB oracles use the identical token definition."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text import stable_fingerprint, tokens
+from ..sources.tables import table
+from .registry import register
+
+# DuckDB twin of functions.text.tokens(): cleaned, non-empty whitespace tokens.
+TOKS_SQL = (
+    "list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z\\s]', '', 'g')), ' '), "
+    "x -> x <> '')"
+)
+
+
+@register(
+    "token_stats_by_source",
+    oracle=f"""
+WITH t AS (
+    SELECT source, n_chars, len({TOKS_SQL}) AS n_tokens FROM documents
+)
+SELECT source,
+       count(*)                          AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT)     AS total_tokens,
+       round(avg(n_tokens), 4)           AS avg_tokens,
+       max(n_tokens)                     AS max_tokens,
+       round(avg(n_chars), 4)            AS avg_chars
+FROM t GROUP BY source
+""",
+    tags=("text", "agg"),
+)
+def token_stats_by_source(spark, sf_dir):
+    """Token counting (whitespace tokenizer) rolled up per source — the
+    'how big is my corpus' query. size() of the token array is computed
+    map-side; one shuffle over ~20 source groups."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select("source", "n_chars", F.size(tokens("text")).alias("n_tokens"))
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+@register(
+    "stopword_ratio_by_lang",
+    oracle=f"""
+WITH t AS (
+    SELECT lang,
+           len(list_filter({TOKS_SQL}, x -> x IN ('the', 'a'))) AS n_stop,
+           len({TOKS_SQL}) AS n_tok
+    FROM documents
+),
+r AS (
+    SELECT lang, round(n_stop / CAST(nullif(n_tok, 0) AS DOUBLE), 4) AS stop_ratio FROM t
+)
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(stop_ratio), 4) AS avg_stop_ratio,
+       CAST(sum(CASE WHEN stop_ratio > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en
+FROM r GROUP BY lang
+""",
+    tags=("text", "langid", "agg"),
+)
+def stopword_ratio_by_lang(spark, sf_dir):
+    """Language-ID heuristic: English-stopword density per document
+    ('the'/'a' rate), aggregated against the labeled ``lang`` column.
+    The n-gram/stopword-density family is the classic cheap lang-ID
+    signal; here it doubles as a quality feature. All expression-level —
+    no UDF, no shuffle before the 6-group agg."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    stop = F.filter(toks, lambda t: (t == "the") | (t == "a"))
+    t = d.select(
+        "lang",
+        F.size(stop).alias("n_stop"),
+        F.size(toks).alias("n_tok"),
+    )
+    r = t.select(
+        "lang",
+        F.round(F.col("n_stop") / F.expr("nullif(n_tok, 0)").cast("double"), 4).alias("stop_ratio"),
+    )
+    return r.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("stop_ratio"), 4).alias("avg_stop_ratio"),
+        F.sum(F.when(F.col("stop_ratio") > 0.05, 1).otherwise(0)).cast("bigint").alias("n_pred_en"),
+    )
+
+
+@register(
+    "doc_quality_buckets",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id,
+           len({TOKS_SQL}) AS n_tok,
+           len(list_distinct({TOKS_SQL})) AS n_distinct
+    FROM documents
+),
+q AS (
+    SELECT doc_id,
+           round(n_distinct / CAST(nullif(n_tok, 0) AS DOUBLE), 4) AS ttr,
+           round(0.4 * (n_distinct / CAST(nullif(n_tok, 0) AS DOUBLE))
+                 + 0.6 * (least(n_tok, 100) / 100.0), 4) AS quality
+    FROM t
+)
+SELECT CASE WHEN quality > 0.7 THEN 'high'
+            WHEN quality > 0.45 THEN 'medium'
+            ELSE 'low' END AS quality_bucket,
+       count(*) AS n_docs,
+       round(avg(quality), 4) AS avg_quality,
+       round(avg(ttr), 4) AS avg_ttr
+FROM q GROUP BY 1
+""",
+    tags=("text", "quality", "agg"),
+)
+def doc_quality_buckets(spark, sf_dir):
+    """Document quality scoring: type-token ratio (lexical diversity) +
+    length component, bucketed. The score formula is an expression, so
+    Catalyst folds it into the scan projection."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    t = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    ntok_d = F.expr("nullif(n_tok, 0)").cast("double")
+    ttr = F.col("n_distinct") / ntok_d
+    quality = 0.4 * ttr + 0.6 * (F.least(F.col("n_tok"), F.lit(100)) / F.lit(100.0))
+    q = t.select(
+        "doc_id",
+        F.round(ttr, 4).alias("ttr"),
+        F.round(quality, 4).alias("quality"),
+    )
+    bucket = (
+        F.when(F.col("quality") > 0.7, "high")
+        .when(F.col("quality") > 0.45, "medium")
+        .otherwise("low")
+    )
+    return q.groupBy(bucket.alias("quality_bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.round(F.avg("ttr"), 4).alias("avg_ttr"),
+    )
+
+
+@register(
+    "fingerprint_clusters",
+    oracle=f"""
+WITH fp AS (
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({TOKS_SQL})), ' ')) AS fingerprint
+    FROM documents
+)
+SELECT fingerprint,
+       count(*) AS cluster_size,
+       min(doc_id) AS exemplar_doc_id
+FROM fp
+GROUP BY fingerprint
+HAVING count(*) > 1
+""",
+    tags=("text", "dedup", "fingerprint"),
+)
+def fingerprint_clusters(spark, sf_dir):
+    """Document fingerprinting: md5 over the sorted distinct token set —
+    bag-of-words permutations collide on purpose. The scalable near-dup
+    blocking key: one shuffle on a 128-bit key, cluster exemplar = min
+    doc_id (deterministic keep-first, E1 done right)."""
+    d = table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", stable_fingerprint("text").alias("fingerprint"))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("doc_id").alias("exemplar_doc_id"),
+        )
+        .filter(F.col("cluster_size") > 1)
+    )
+
+
+@register(
+    "multimodal_payload_stats",
+    oracle="""
+WITH p AS (
+    SELECT source, octet_length(encode(text)) AS payload_bytes FROM documents
+)
+SELECT source,
+       count(*) AS n_payloads,
+       CAST(sum(payload_bytes) AS BIGINT) AS total_bytes,
+       round(avg(payload_bytes), 4) AS avg_bytes,
+       max(payload_bytes) AS max_bytes
+FROM p GROUP BY source
+""",
+    tags=("multimodal", "agg"),
+)
+def multimodal_payload_stats(spark, sf_dir):
+    """Multimodal column plumbing, relational half: opaque ``binary``
+    payload column + typed size metadata, aggregated per source. The
+    payload here is the utf-8 encoding of the text (stand-in for
+    image/audio bytes — the container has no codec libs); the schema and
+    plan shape are exactly what a binary-blob table needs. The Python
+    feature-extraction half is operators/multimodal.py."""
+    d = table(spark, sf_dir, "documents")
+    p = d.select(
+        "source",
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("payload_bytes"),
+    )
+    return p.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_payloads"),
+        F.sum("payload_bytes").cast("bigint").alias("total_bytes"),
+        F.round(F.avg("payload_bytes"), 4).alias("avg_bytes"),
+        F.max("payload_bytes").alias("max_bytes"),
+    )

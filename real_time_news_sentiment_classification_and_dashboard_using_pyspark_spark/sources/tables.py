@@ -1,0 +1,49 @@
+"""Parquet star-schema loaders for the driver's TESTDATA tables.
+
+Plain ``spark.read.parquet`` — schema lives in the files; Catalyst gets
+column pruning + predicate pushdown into the vectorized parquet reader
+for free. Never ``inferSchema`` on text formats in non-test code
+(reference anti-pattern: work.py:224 infers on JSON).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` with ``ts`` as a real TimestampType (microsecond).
+
+    The file stores TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as
+    epoch-nanos, which we floor-divide to micros — bit-identical to
+    DuckDB's ``ts::TIMESTAMP`` truncation, so oracle comparisons on
+    formatted timestamps match exactly.
+    """
+    from pyspark.sql import functions as F
+
+    e = table(spark, sf_dir, "events")
+    return e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -1,0 +1,141 @@
+"""Local stand-in for the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` twin on DuckDB
+over the same parquet tables; compare row count, column names, and
+order-insensitive values (floats to 1e-9 relative).
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+import traceback
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark import (  # noqa: E402
+    get_spark,
+)
+from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.sources.tables import (  # noqa: E402
+    TABLE_NAMES,
+)
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def norm_cell(v):
+    if v is None:
+        return ("null",)
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("f", "nan")
+        return ("f", round(v, 9))
+    if isinstance(v, int):
+        return ("i", v)
+    return ("s", str(v))
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+
+
+def approx_equal(a, b):
+    if a == b:
+        return True
+    if len(a) != len(b):
+        return False
+    for ra, rb in zip(a, b):
+        if ra == rb:
+            continue
+        if len(ra) != len(rb):
+            return False
+        for ca, cb in zip(ra, rb):
+            if ca == cb:
+                continue
+            if ca[0] == "f" and cb[0] == "f":
+                x, y = ca[1], cb[1]
+                if isinstance(x, float) and isinstance(y, float):
+                    if math.isclose(x, y, rel_tol=1e-6, abs_tol=1e-6):
+                        continue
+            return False
+    return True
+
+
+def main():
+    args = [a for a in sys.argv[1:]]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    wanted = [a for a in args if "/" not in a]
+
+    spark = get_spark("oracle-check")
+    con = duck_con(sf_dir)
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+
+    names = wanted or list(qs)
+    n_pass = n_fail = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception:
+            print(f"FAIL  {name}: SPARK ERROR")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        spark_t = time.time() - t0
+        if name not in oracles:
+            print(f"pass* {name}: rows={len(srows)} (no oracle, rows-only) [{spark_t:.1f}s]")
+            n_pass += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception:
+            print(f"FAIL  {name}: DUCKDB ERROR")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        if not problems:
+            ns, nd = norm_rows(scols, srows), norm_rows(dcols, drows)
+            if ns != nd:
+                if approx_equal(ns, nd):
+                    problems.append("values differ only within float tolerance")
+                else:
+                    diff = [(a, b) for a, b in zip(ns, nd) if a != b][:3]
+                    problems.append(f"VALUES differ, e.g. {diff}")
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)} [{spark_t:.1f}s]")
+            n_fail += 1
+        else:
+            print(f"pass  {name}: rows={len(srows)} [{spark_t:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
