@@ -1,0 +1,113 @@
+"""Benchmark harness: runs every registered query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Also measures streaming throughput (articles/s through the full
+clean->score->classify DAG with an availableNow trigger) as the
+``streaming_pipeline`` entry — the reference's equivalent ceiling is
+<= 1 article/s (BASELINE.md), set by API quota rather than compute.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark import (  # noqa: E402
+    get_spark,
+)
+from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans import (  # noqa: E402
+    REGISTRY,
+)
+
+
+def bench_streaming(spark, sf_dir: str) -> tuple[float, int]:
+    """Time the streaming pipeline draining the documents table rendered
+    as article NDJSON batches; returns (seconds, n_articles)."""
+    from pyspark.sql import functions as F
+
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.sources.tables import (
+        table,
+    )
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.streaming import (
+        start_pipeline,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        docs = table(spark, sf_dir, "documents")
+        n = docs.count()
+        (
+            docs.select(
+                F.col("doc_id").cast("string").alias("id"),
+                F.lit("title").alias("title"),
+                F.col("text").alias("description"),
+                F.lit(None).cast("string").alias("url"),
+                F.lit("2025-11-21T20:06:38Z").alias("publishedAt"),
+                F.col("lang"),
+                F.lit("2025-11-22T13:52:36.569054").alias("fetched_at"),
+            )
+            .repartition(8)
+            .write.mode("overwrite")
+            .json(f"{tmp}/input")
+        )
+        t0 = time.time()
+        q = start_pipeline(
+            spark,
+            f"{tmp}/input",
+            f"{tmp}/out",
+            f"{tmp}/ckpt",
+            available_now=True,
+        )
+        q.awaitTermination(600)
+        return time.time() - t0, n
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup outside timing
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name, q in REGISTRY.items():
+        t0 = time.time()
+        q.fn(spark, sf_dir).foreach(lambda _: None)  # full materialization
+        timings[name] = round(time.time() - t0, 3)
+
+    stream_sec, n_articles = bench_streaming(spark, sf_dir)
+    timings["streaming_pipeline"] = round(stream_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_sec_all_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "streaming_articles_per_sec": round(n_articles / stream_sec, 1),
+                "n_queries": len(timings),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -85,6 +85,42 @@ def confidence_expr(polarity: Column | str) -> Column:
     )
 
 
+def lexicon_map() -> Column:
+    """The lexicon as a literal MapType expression (word -> centipoints);
+    constant-folded by Catalyst, so lookups are O(1) against a single
+    in-plan literal."""
+    pairs: list[Column] = []
+    for w, s in LEXICON:
+        pairs.extend([F.lit(w), F.lit(s)])
+    return F.create_map(*pairs)
+
+
+def polarity_expr(text_col: Column | str) -> Column:
+    """Polarity as a pure column expression: map-literal lookup per token,
+    exact integer sum, one float division — numerically identical to the
+    broadcast-join scorer in score_text().
+
+    This is the zero-shuffle rendering: usable inside Structured
+    Streaming with append mode (no aggregation state), inside any
+    projection, and on a 1000-executor cluster it is map-side-only work.
+    """
+    matched = F.filter(
+        F.transform(tokens(text_col), lambda t: F.element_at(lexicon_map(), t)),
+        lambda v: v.isNotNull(),
+    )
+    n = F.size(matched)
+    total = F.aggregate(matched, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long"))
+    return F.when(n > 0, total.cast("double") / (n * 100)).otherwise(F.lit(0.0))
+
+
+def score_text_expr(df: DataFrame, text_col: str) -> DataFrame:
+    """Attach polarity + sentiment via the expression scorer (no joins,
+    no shuffles — streaming-safe)."""
+    return df.withColumn("polarity", polarity_expr(text_col)).withColumn(
+        "sentiment", classify_expr("polarity")
+    )
+
+
 def score_text(df: DataFrame, id_col: str, text_col: str, spark: SparkSession) -> DataFrame:
     """Attach ``polarity`` (round 4, 0.0 default) and ``sentiment`` to any
     DataFrame with a unique id column and a text column.

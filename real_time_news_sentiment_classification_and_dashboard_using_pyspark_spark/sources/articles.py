@@ -1,0 +1,89 @@
+"""News-article source/sink surface (SURVEY §2.A).
+
+Schema is the reference's explicit 9-field streaming StructType
+(streaming_pipeline.py:33-43) *plus* the nested ``source`` publisher
+struct the reference drops on every projection (news_data.json carries
+it; SURVEY §1.2-§1.3) — we keep it, as nested data is queryable in
+Spark for free.
+
+Readers are PERMISSIVE/DROPMALFORMED over NDJSON, matching the
+reference's silently-skip-bad-lines loop (work.py:119-125, A3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+PUBLISHER_STRUCT = StructType(
+    [
+        StructField("id", StringType(), True),
+        StructField("name", StringType(), True),
+        StructField("url", StringType(), True),
+        StructField("country", StringType(), True),
+    ]
+)
+
+# reference: streaming_pipeline.py:33-43 (9 string fields), + nested source
+ARTICLE_SCHEMA = StructType(
+    [
+        StructField("id", StringType(), True),
+        StructField("title", StringType(), True),
+        StructField("description", StringType(), True),
+        StructField("content", StringType(), True),
+        StructField("url", StringType(), True),
+        StructField("image", StringType(), True),
+        StructField("publishedAt", StringType(), True),
+        StructField("lang", StringType(), True),
+        StructField("source", PUBLISHER_STRUCT, True),
+        StructField("fetched_at", StringType(), True),
+    ]
+)
+
+# B3 repair set (streamlit_app.py:120-126) + ``id`` which the streaming
+# projection keeps (streaming_pipeline.py:114-121)
+REQUIRED_COLUMNS = ["id", "title", "description", "url", "publishedAt", "fetched_at"]
+
+
+def read_articles(spark: SparkSession, path: str, drop_malformed: bool = True) -> DataFrame:
+    """Batch NDJSON scan with explicit schema (A3/A4). DROPMALFORMED
+    reproduces the reference's skip-unparseable-lines behavior."""
+    reader = spark.read.schema(ARTICLE_SCHEMA)
+    if drop_malformed:
+        reader = reader.option("mode", "DROPMALFORMED")
+    return reader.json(path)
+
+
+def stream_articles(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Streaming file source watching a directory for NDJSON batches
+    (A5: streaming_pipeline.py:107-110) — explicit schema, never
+    inferred."""
+    return (
+        spark.readStream.schema(ARTICLE_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .json(input_dir)
+    )
+
+
+def repair_schema(df: DataFrame) -> DataFrame:
+    """Schema-repair projection (B3: work.py:135-138,
+    streamlit_app.py:120-126): force required columns into existence as
+    nulls, alias text <- description."""
+    out = df
+    for c in REQUIRED_COLUMNS:
+        if c not in out.columns:
+            out = out.withColumn(c, F.lit(None).cast("string"))
+    if "text" not in out.columns:
+        out = out.withColumn("text", F.col("description"))
+    return out
+
+
+def write_articles_ndjson(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """NDJSON sink (A2/A11)."""
+    df.write.mode(mode).json(path)
+
+
+def write_articles_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV sink with header (A10)."""
+    df.write.mode(mode).option("header", True).csv(path)

@@ -1,0 +1,101 @@
+"""End-to-end batch pipeline test (SURVEY §5.2 layer 2): NDJSON articles
+in -> CSV/NDJSON sinks out, with reference semantics asserted on a
+deterministic fixture (including malformed lines, null/empty
+descriptions, and boundary polarities)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.pipeline import (
+    run_batch_pipeline,
+    sentiment_summary,
+    transform_articles,
+)
+from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.sources.articles import (
+    read_articles,
+)
+
+FIXTURE = [
+    # fast(+0.8)*2 -> Positive / High
+    {"id": "a1", "title": "Fast gains", "description": "fast fast rally!",
+     "url": "http://x/1", "publishedAt": "2025-11-21T20:06:38Z",
+     "lang": "en", "fetched_at": "2025-11-22T13:52:36.569054"},
+    # slow(-0.8) -> Negative / High
+    {"id": "a2", "title": "Slow day", "description": "slow markets...",
+     "url": "http://x/2", "publishedAt": "2025-11-21T21:00:00Z",
+     "lang": "en", "fetched_at": "2025-11-22T13:52:37.000000"},
+    # no lexicon match -> 0.0 Neutral / Low
+    {"id": "a3", "title": "Plain", "description": "nothing notable here",
+     "url": "http://x/3", "publishedAt": "2025-11-21T22:00:00Z",
+     "lang": "en", "fetched_at": "2025-11-22T13:52:38.000000"},
+    # empty description after cleaning -> dropped by B4
+    {"id": "a4", "title": "Numbers", "description": "12345 !!!",
+     "url": "http://x/4", "publishedAt": "2025-11-21T23:00:00Z",
+     "lang": "en", "fetched_at": "2025-11-22T13:52:39.000000"},
+    # null description -> dropped by B4
+    {"id": "a5", "title": "NullDesc", "description": None,
+     "url": "http://x/5", "publishedAt": "2025-11-22T00:00:00Z",
+     "lang": "en", "fetched_at": "2025-11-22T13:52:40.000000"},
+    # nested publisher struct preserved by the schema (dropped by ref)
+    {"id": "a6", "title": "Sourced", "description": "merge value stream",
+     "url": "http://x/6", "publishedAt": "2025-11-22T01:00:00Z",
+     "lang": "en", "fetched_at": "2025-11-22T13:52:41.000000",
+     "source": {"id": "s1", "name": "Wire", "url": "http://w", "country": "us"}},
+]
+
+
+@pytest.fixture()
+def article_file(tmp_path):
+    p = tmp_path / "news_data.json"
+    with open(p, "w") as f:
+        for row in FIXTURE:
+            f.write(json.dumps(row) + "\n")
+        f.write("{ this is not json\n")  # malformed line -> silently dropped (A3)
+    return str(p)
+
+
+def test_end_to_end(spark, tmp_path, article_file):
+    out = str(tmp_path / "out")
+    scored = run_batch_pipeline(spark, article_file, out)
+    rows = {r["id"]: r.asDict() for r in scored.collect()}
+
+    # B4 filter: a4 (punct-only) and a5 (null) dropped; malformed line dropped
+    assert set(rows) == {"a1", "a2", "a3", "a6"}
+
+    assert rows["a1"]["sentiment"] == "Positive"
+    assert rows["a1"]["sentiment_confidence"] == "High"
+    assert rows["a1"]["polarity"] == pytest.approx(0.8)  # fast+fast+fast(title)/3... title 'Fast gains' adds fast
+    assert rows["a2"]["sentiment"] == "Negative"
+    assert rows["a3"]["sentiment"] == "Neutral"
+    assert rows["a3"]["polarity"] == 0.0
+    # merge(30)+value(20)+stream(40) / 300 = 0.3 -> Positive / Medium
+    assert rows["a6"]["polarity"] == pytest.approx(0.3)
+    assert rows["a6"]["sentiment_confidence"] == "Medium"
+
+    # sinks exist and agree with the returned frame
+    csv_back = spark.read.option("header", True).csv(f"{out}/sentiment_results_csv")
+    json_back = spark.read.json(f"{out}/consolidated_json")
+    assert csv_back.count() == 4
+    assert json_back.count() == 4
+
+
+def test_summary_percentages(spark, article_file):
+    scored = transform_articles(read_articles(spark, article_file))
+    summary = {r["sentiment"]: (r["cnt"], r["pct"]) for r in sentiment_summary(scored).collect()}
+    assert summary["Positive"][0] == 2  # a1, a6
+    assert summary["Negative"][0] == 1
+    assert summary["Neutral"][0] == 1
+    assert sum(c for c, _ in summary.values()) == 4
+    assert sum(p for _, p in summary.values()) == pytest.approx(100.0)
+
+
+def test_schema_repair_tolerates_missing_columns(spark):
+    df = spark.createDataFrame([("t", "fast fast text")], "title string, description string")
+    out = transform_articles(df)
+    assert set(out.columns) >= {"title", "description", "url", "polarity", "sentiment"}
+    row = out.head()
+    assert row["url"] is None and row["sentiment"] == "Positive"

@@ -1,0 +1,157 @@
+"""Operator-level tests: registry integrity, multimodal Arrow path,
+dedup family geometry, and property-based checks (SURVEY §5.2 layers
+1/5)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import Row, functions as F
+
+from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.functions.sentiment import (
+    classify_expr,
+    polarity_expr,
+)
+from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.functions.text import (
+    clean_text,
+)
+from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.operators.multimodal import (
+    extract_features,
+    payload_table,
+)
+from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans import (
+    REGISTRY,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestRegistry:
+    def test_every_query_has_unique_name_and_doc(self):
+        assert len(REGISTRY) >= 36
+        for q in REGISTRY.values():
+            assert q.doc.strip(), f"{q.name} lacks a docstring"
+
+    def test_flagship_present_with_oracle(self):
+        assert REGISTRY["sentiment_summary"].oracle is not None
+
+    @pytest.mark.parametrize(
+        "name",
+        ["pricing_summary", "sentiment_summary", "dedup_exact", "cosine_knn_topk"],
+    )
+    def test_representative_queries_run(self, spark, name):
+        df = REGISTRY[name].fn(spark, SF)
+        assert df.count() > 0
+
+
+class TestMultimodal:
+    def test_features_match_expression_ground_truth(self, spark):
+        """The Python decode stub must agree with byte math computed
+        JVM-side — catches Arrow schema/encoding drift."""
+        feats = {r["doc_id"]: r for r in extract_features(spark, SF).collect()}
+        truth = {
+            r["doc_id"]: r
+            for r in payload_table(spark, SF)
+            .select(
+                "doc_id",
+                F.octet_length("payload").alias("payload_bytes"),
+                F.ascii(F.expr("substring(cast(payload as string), 1, 1)")).alias("first_byte"),
+            )
+            .collect()
+        }
+        assert set(feats) == set(truth)
+        for doc_id, t in truth.items():
+            assert feats[doc_id]["payload_bytes"] == t["payload_bytes"]
+            assert feats[doc_id]["first_byte"] == t["first_byte"]
+
+    def test_payload_is_binary(self, spark):
+        schema = dict(payload_table(spark, SF).dtypes)
+        assert schema["payload"] == "binary"
+
+
+class TestDedupGeometry:
+    def test_minhash_finds_planted_near_dups(self, spark):
+        """Every planted (doc, truncated-doc) pair has shingle Jaccard
+        ~0.9; LSH with 4x4 bands must recover the vast majority."""
+        pairs = REGISTRY["minhash_lsh_pairs"].fn(spark, SF).collect()
+        planted = {(r["doc_a"], r["doc_b"]) for r in pairs if r["doc_b"] == r["doc_a"] + 1000000}
+        n_docs = 500
+        assert len(planted) > 0.9 * n_docs
+        for r in pairs:
+            assert 0.5 <= r["jaccard"] <= 1.0
+
+    def test_exact_jaccard_superset_of_minhash(self, spark):
+        """MinHash+LSH is approximate candidate generation; after exact
+        verification at the same threshold its pairs must be a subset of
+        the exhaustive shingle-blocked Jaccard pairs."""
+        exact = {
+            (r["doc_a"], r["doc_b"])
+            for r in REGISTRY["ngram_jaccard_pairs"].fn(spark, SF).collect()
+        }
+        lsh = {
+            (r["doc_a"], r["doc_b"])
+            for r in REGISTRY["minhash_lsh_pairs"].fn(spark, SF).collect()
+        }
+        assert lsh <= exact
+        assert len(lsh) >= 0.85 * len(exact)
+
+    def test_dedup_exact_counts(self, spark):
+        row = REGISTRY["dedup_exact"].fn(spark, SF).head()
+        assert row["n_rows"] == 2 * row["n_unique"]
+        assert row["n_duplicates_removed"] == row["n_unique"]
+
+
+class TestSimilarity:
+    def test_knn_self_similarity_excluded_and_sorted(self, spark):
+        rows = REGISTRY["cosine_knn_topk"].fn(spark, SF).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for q, rs in by_q.items():
+            rs.sort(key=lambda r: r["rank"])
+            sims = [r["cos_sim"] for r in rs]
+            assert sims == sorted(sims, reverse=True)
+            assert all(r["neighbor_id"] != q for r in rs)
+            assert len(rs) == 5
+
+
+# ---------------------------------------------------------------------------
+# property-based (hypothesis): the pipeline never throws, outputs stay
+# in-domain, clean is idempotent — over adversarial strings.
+# ---------------------------------------------------------------------------
+
+text_strategy = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=200
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.one_of(st.none(), text_strategy), min_size=1, max_size=8))
+def test_pipeline_total_on_arbitrary_text(spark_global, texts):
+    spark = spark_global
+    df = spark.createDataFrame([Row(v=t) for t in texts], "v string")
+    out = df.select(
+        clean_text("v").alias("c"),
+        polarity_expr("v").alias("p"),
+    ).withColumn("s", classify_expr("p"))
+    rows = out.collect()
+    for r in rows:
+        if r["p"] is not None:
+            assert -1.0 <= r["p"] <= 1.0
+        assert r["s"] in {"Positive", "Negative", "Neutral"}
+        if r["c"] is not None:
+            assert r["c"] == r["c"].lower()
+
+
+@pytest.fixture(scope="session")
+def spark_global(spark):
+    return spark
+
+
+def test_clean_idempotent_on_unicode(spark):
+    samples = ["héllo wörld", "ＡＢＣ", "emoji 🙂 txt", "tab\tsep", "ĄĆĘ"]
+    df = spark.createDataFrame([Row(v=s) for s in samples], "v string")
+    once = [r["c"] for r in df.select(clean_text("v").alias("c")).collect()]
+    df2 = spark.createDataFrame([Row(c=c) for c in once], "c string")
+    twice = [r["d"] for r in df2.select(clean_text("c").alias("d")).collect()]
+    assert once == twice

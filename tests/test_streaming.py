@@ -1,0 +1,159 @@
+"""Streaming tests (SURVEY §5.2 layer 4): availableNow end-to-end runs,
+checkpoint-based exactly-once across restarts, watermarked windows vs
+the batch oracle, and streaming dedup."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.sources.tables import (
+    events_with_ts,
+)
+from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.streaming import (
+    dedup_within_watermark,
+    start_pipeline,
+    windowed_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def write_batches(input_dir, batches):
+    input_dir.mkdir(parents=True, exist_ok=True)
+    for i, batch in enumerate(batches):
+        with open(input_dir / f"batch_{i}.json", "w") as f:
+            for row in batch:
+                f.write(json.dumps(row) + "\n")
+
+
+def article(i, desc):
+    return {
+        "id": f"id{i}",
+        "title": f"title {i}",
+        "description": desc,
+        "url": f"http://x/{i}",
+        "publishedAt": "2025-11-21T20:06:38Z",
+        "lang": "en",
+        "fetched_at": f"2025-11-22T13:52:{i:02d}.000000",
+    }
+
+
+def test_single_query_fanout_available_now(spark, tmp_path):
+    inp, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    write_batches(
+        inp,
+        [
+            [article(1, "fast fast gains"), article(2, "slow losses")],
+            [article(3, "merge value stream"), article(4, "12345 !!")],
+        ],
+    )
+    q = start_pipeline(spark, str(inp), str(out), str(ckpt), available_now=True)
+    q.awaitTermination(120)
+
+    scored = spark.read.parquet(f"{out}/scored")
+    got = {r["id"]: r["sentiment"] for r in scored.collect()}
+    # article 4 is punct-only -> dropped by the B4 filter inside the stream
+    assert got == {"id1": "Positive", "id2": "Negative", "id3": "Positive"}
+
+    metrics = spark.read.parquet(f"{out}/metrics")
+    assert metrics.agg(F.sum("cnt")).head()[0] == 3
+
+    # memory/global view maintained by the foreachBatch fan-out
+    view = spark.sql("SELECT * FROM global_temp.news_sentiment")
+    assert {r["sentiment"]: r["cnt"] for r in view.collect()} == {
+        "Positive": 2,
+        "Negative": 1,
+    }
+
+
+def test_checkpoint_no_reprocessing_on_restart(spark, tmp_path):
+    """Exactly-once file-source semantics: a restarted query with the
+    same checkpoint must not re-ingest already-committed files."""
+    inp, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    write_batches(inp, [[article(1, "fast rally")]])
+    q = start_pipeline(spark, str(inp), str(out), str(ckpt), available_now=True)
+    q.awaitTermination(120)
+    assert spark.read.parquet(f"{out}/scored").count() == 1
+
+    # second run: one new file; old file must not be reprocessed
+    write_batches(inp / "more", [])  # ensure dir exists trick not needed; add file directly
+    with open(inp / "batch_new.json", "w") as f:
+        f.write(json.dumps(article(9, "slow slump")) + "\n")
+    q2 = start_pipeline(spark, str(inp), str(out), str(ckpt), available_now=True)
+    q2.awaitTermination(120)
+
+    scored = spark.read.parquet(f"{out}/scored")
+    assert scored.count() == 2  # 1 old + 1 new, no duplicates
+    assert scored.filter(F.col("id") == "id1").count() == 1
+
+
+def test_windowed_counts_match_batch_oracle(spark, tmp_path):
+    """Stream the events table through a watermarked tumbling window and
+    assert exact equality with the batch date_trunc aggregation."""
+    src = tmp_path / "events_json"
+    events = events_with_ts(spark, SF)
+    events.select(
+        "event_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        "event_type",
+    ).coalesce(2).write.mode("overwrite").json(str(src))
+
+    stream = (
+        spark.readStream.schema("event_id bigint, ts_str string, event_type string")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts_str"))
+    )
+    agg = windowed_counts(stream, ts_col="ts", key_col="event_type", window_size="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hourly_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["window_start"], r["event_type"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM hourly_stream").collect()
+    }
+    expected = {
+        (r["hour_start"], r["event_type"]): r["cnt"]
+        for r in events.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    src = tmp_path / "dups"
+    src.mkdir()
+    rows = [
+        {"k": "a", "ts_str": "2024-01-01 00:00:01"},
+        {"k": "a", "ts_str": "2024-01-01 00:10:00"},  # dup within watermark
+        {"k": "b", "ts_str": "2024-01-01 00:20:00"},
+    ]
+    with open(src / "f.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema("k string, ts_str string")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts_str"))
+    )
+    deduped = dedup_within_watermark(stream, ["k"], "ts", watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["k"] for r in spark.sql("SELECT k FROM dedup_stream").collect())
+    assert got == ["a", "b"]
