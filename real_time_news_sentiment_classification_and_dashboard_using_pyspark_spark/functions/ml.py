@@ -1,0 +1,83 @@
+"""MLlib sentiment model — the 'real' scorer path from BASELINE.json's
+north star (Structured Streaming + MLlib for sentiment).
+
+Three scorers, one interface (SURVEY §7.3):
+1. expression lexicon (functions.sentiment.polarity_expr) — zero-shuffle,
+   oracle-checkable, the parity scorer;
+2. broadcast-join lexicon (functions.sentiment.score_text) — same
+   numbers, demonstrates the join rendering;
+3. THIS: an MLlib pipeline (RegexTokenizer -> HashingTF -> IDF ->
+   LogisticRegression) trained on lexicon-labeled documents — entirely
+   JVM-side at inference, usable inside Structured Streaming because a
+   fitted PipelineModel.transform is a pure narrow map.
+
+Training is weak supervision: the deterministic lexicon classifier
+labels the corpus, the model learns to generalize beyond exact lexicon
+hits. At 100 TB you train on a sample (collect to MLlib's distributed
+fit is already parallel) and broadcast the fitted model everywhere —
+inference cost is a hash + dot product per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.classification import LogisticRegression
+from pyspark.ml.feature import IDF, HashingTF, RegexTokenizer
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.sentiment import score_text_expr
+from ..sources.tables import table
+
+LABELS = ["Neutral", "Positive", "Negative"]  # index = label id
+_LABEL_TO_ID = {s: float(i) for i, s in enumerate(LABELS)}
+
+
+def label_expr(sentiment_col: str) -> F.Column:
+    m = F.create_map(
+        *[x for s, i in _LABEL_TO_ID.items() for x in (F.lit(s), F.lit(i))]
+    )
+    return F.element_at(m, F.col(sentiment_col))
+
+
+def build_pipeline(num_features: int = 1 << 12) -> Pipeline:
+    tokenizer = RegexTokenizer(
+        inputCol="text", outputCol="ml_tokens", pattern="\\s+", toLowercase=True
+    )
+    tf = HashingTF(inputCol="ml_tokens", outputCol="tf", numFeatures=num_features)
+    idf = IDF(inputCol="tf", outputCol="features")
+    lr = LogisticRegression(
+        maxIter=40,
+        regParam=0.001,
+        family="multinomial",
+        labelCol="label",
+        featuresCol="features",
+    )
+    return Pipeline(stages=[tokenizer, tf, idf, lr])
+
+
+def train_sentiment_model(train: DataFrame, text_col: str = "text") -> PipelineModel:
+    """Fit the pipeline on (text, sentiment)-labeled rows. Deterministic:
+    LR here uses L-BFGS over a fixed dataset — no sampling."""
+    labeled = train.withColumn("label", label_expr("sentiment")).select(
+        F.col(text_col).alias("text"), "label"
+    )
+    return build_pipeline().fit(labeled)
+
+
+def train_on_documents(spark: SparkSession, sf_dir: str) -> PipelineModel:
+    """Weak supervision: lexicon-label the documents table, fit."""
+    docs = score_text_expr(table(spark, sf_dir, "documents"), "text")
+    return train_sentiment_model(docs.select("text", "sentiment"))
+
+
+def predict_sentiment(model: PipelineModel, df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach ``ml_sentiment`` to any DataFrame with a text column.
+    Pure narrow transform — streaming-safe."""
+    pred = model.transform(df.withColumn("text", F.col(text_col)))
+    idx_to_label = F.create_map(
+        *[x for i, s in enumerate(LABELS) for x in (F.lit(float(i)), F.lit(s))]
+    )
+    return pred.withColumn(
+        "ml_sentiment", F.element_at(idx_to_label, F.col("prediction"))
+    ).drop("ml_tokens", "tf", "features", "rawPrediction", "probability", "prediction")

@@ -529,3 +529,124 @@ def events_hourly(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@register(
+    "event_props_json",
+    oracle="""
+SELECT event_type,
+       count(*) AS cnt,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k
+FROM events
+GROUP BY event_type
+""",
+    tags=("json", "agg"),
+)
+def event_props_json(spark, sf_dir):
+    """Semi-structured extraction: pull a typed field out of the JSON
+    ``props`` string and aggregate it — the schema-on-read repair family
+    (B3/F6) applied to nested payloads. get_json_object is evaluated in
+    the scan projection; at scale, promote hot JSON fields to real
+    columns at ingest (from_json with an explicit schema)."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+    )
+
+
+@register(
+    "event_sessions",
+    oracle="""
+WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id FROM events),
+lagged AS (
+    SELECT user_id, ts, event_id,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM ev
+),
+flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN prev_ts IS NULL
+                  OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM lagged
+),
+sess AS (
+    SELECT user_id, ts,
+           CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM flagged
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS duration_us
+FROM sess
+GROUP BY user_id, session_id
+""",
+    tags=("window", "session"),
+)
+def event_sessions(spark, sf_dir):
+    """Sessionization: a 30-minute inactivity gap starts a new session —
+    lag() flags session starts, a running sum numbers them, then a
+    per-session rollup. The batch twin of a session_window streaming
+    aggregation. Scale: everything is windowed over user_id — one
+    shuffle, state proportional to one user's events per partition."""
+    e = events_with_ts(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = e.withColumn(
+        "is_new",
+        F.when(F.lag("ts").over(w).isNull() | (gap_us > 1800 * 1000 * 1000), 1).otherwise(0),
+    )
+    sess = flagged.withColumn("session_id", F.sum("is_new").over(w_cum).cast("bigint"))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), TS_FMT_SPARK).alias("session_start"),
+        (F.max(F.unix_micros(F.col("ts"))) - F.min(F.unix_micros(F.col("ts"))))
+        .cast("bigint")
+        .alias("duration_us"),
+    )
+
+
+@register(
+    "promo_revenue",
+    oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 2) AS promo_revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    tags=("agg", "filter", "pushdown"),
+)
+def promo_revenue(spark, sf_dir):
+    """TPC-H Q6 shape — the predicate-pushdown showcase: all four
+    conjuncts reach the parquet scan (PushedFilters + row-group min/max
+    skipping), only 2 columns are read beyond the filter columns, and
+    the result is a single partial-aggregated row. The cheapest possible
+    plan for a 100 TB scan-heavy query."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("promo_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

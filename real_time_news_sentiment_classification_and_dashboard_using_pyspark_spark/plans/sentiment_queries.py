@@ -133,3 +133,34 @@ def top_polar_docs(spark, sf_dir):
         .limit(15)
         .select("doc_id", "polarity", "sentiment")
     )
+
+
+@register(
+    "mllib_sentiment_agreement",
+    oracle=None,  # MLlib model output is not ANSI-SQL-expressible -> rows-only check
+    tags=("sentiment", "mllib"),
+)
+def mllib_sentiment_agreement(spark, sf_dir):
+    """North-star MLlib path (BASELINE.json: 'Structured Streaming +
+    MLlib for sentiment'): train RegexTokenizer->HashingTF->IDF->
+    LogisticRegression on lexicon-weak-labeled documents, then report
+    per-class agreement between the model and the lexicon classifier.
+    Always exactly one row per lexicon class — stable under the driver's
+    rows-only check. Inference is a narrow JVM-side transform, so the
+    fitted model drops into the streaming pipeline unchanged."""
+    from ..functions.ml import predict_sentiment, train_on_documents
+    from ..functions.sentiment import score_text_expr
+    from ..sources.tables import table as _t
+
+    model = train_on_documents(spark, sf_dir)
+    docs = score_text_expr(_t(spark, sf_dir, "documents"), "text")
+    pred = predict_sentiment(model, docs, "text")
+    return (
+        pred.groupBy("sentiment")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("ml_sentiment") == F.col("sentiment")).cast("int"))
+            .cast("bigint")
+            .alias("n_agree"),
+        )
+    )

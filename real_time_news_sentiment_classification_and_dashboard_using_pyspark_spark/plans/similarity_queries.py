@@ -203,3 +203,103 @@ def embedding_norms_by_label(spark, sf_dir):
             F.round(F.max("norm"), 4).alias("max_norm"),
         )
     )
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+WITH {_E_CTE},
+pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_cos_sql('a.emb', 'b.emb')} AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.3
+""",
+    tags=("similarity", "dedup"),
+)
+def embedding_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs — the vector-space member of
+    the dedup family: all pairs above a similarity radius. Correctness
+    baseline is the exact O(n^2) comparison (fine at bench SF; the join
+    condition keeps only the upper triangle). The 100 TB path swaps the
+    pair generator for IVF cells (ivf_topk_probe) or hyperplane-LSH
+    buckets so candidates are cell-local — same verify step."""
+    e = _emb(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).select(
+        "vec_a", "vec_b", F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim")
+    )
+    return pairs.filter(F.col("cos_sim") >= 0.3)
+
+
+@register(
+    "ivf_topk_probe",
+    oracle=f"""
+WITH {_E_CTE},
+cent AS (SELECT vec_id AS centroid_id, emb AS cemb FROM e WHERE vec_id < 8),
+assign AS (
+    SELECT v.vec_id, v.emb, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_cos_sql('v.emb', 'c.cemb')} DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM e v CROSS JOIN cent c
+),
+cells AS (SELECT vec_id, emb, centroid_id AS cell FROM assign WHERE rn = 1),
+probe AS (
+    SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+           {_cos_sql('q.emb', 'v.emb')} AS cos_sim
+    FROM cells q JOIN cells v ON q.cell = v.cell AND q.vec_id <> v.vec_id
+    WHERE q.vec_id < 5
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+    FROM probe
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 3
+""",
+    tags=("similarity", "ann", "ivf", "topk"),
+)
+def ivf_topk_probe(spark, sf_dir):
+    """IVF query path: assign every vector to its nearest of 8 coarse
+    centroids, then answer top-3 for 5 query vectors by probing ONLY the
+    query's own cell (nprobe=1). The candidate join is an equi-join on
+    the cell id — work scales with cell occupancy, not corpus size;
+    recall is traded via nprobe exactly as in a production IVF index."""
+    e = _emb(spark, sf_dir)
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
+    )
+    assign = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "emb",
+        "centroid_id",
+        F.round(cosine(F.col("emb"), F.col("cemb")), 6).alias("cos_sim"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("centroid_id"))
+    cells = (
+        assign.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb", F.col("centroid_id").alias("cell"))
+    )
+    q = cells.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"), "cell"
+    )
+    probe = (
+        cells.join(q, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qemb"), F.col("emb")), 6).alias("cos_sim"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        probe.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
