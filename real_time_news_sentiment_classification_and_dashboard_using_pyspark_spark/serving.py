@@ -1,0 +1,83 @@
+"""Serving layer — everything the reference's Streamlit dashboard
+computes (streamlit_app.py:159-359), as Spark queries that collect only
+final small aggregates.
+
+The reference's dashboard IS its ad-hoc query engine: union, dedup,
+group-by, mean/max, histogram, top-K all run in pandas on the full
+dataset per 10 s refresh (SURVEY §3.3). Here the engine does the query
+work; a renderer (Streamlit or anything else) receives a small dict of
+plain Python values. Collected volumes are O(classes + bins + K) —
+independent of corpus size, so the same code serves a 100 TB table.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def dedup_latest(scored: DataFrame, key: str = "title", ts_col: str = "fetched_at") -> DataFrame:
+    """Read-time dedup, deterministic rendering of the dashboard's
+    drop_duplicates(keep='first') (E1: streamlit_app.py:147): keep the
+    most recent row per key (row_number over ts desc)."""
+    w = Window.partitionBy(key).orderBy(F.desc(ts_col), F.asc("id"))
+    return scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def dashboard_metrics(scored: DataFrame, top_k: int = 20, nbins: int = 30) -> dict[str, Any]:
+    """One pass over the scored articles table -> every dashboard widget:
+
+    - metric tiles: total, per-class counts + pcts, avg polarity,
+      latest fetch (streamlit_app.py:159-215);
+    - pie/bar data: class counts sorted desc (:243-284);
+    - histogram: fixed-bin polarity counts (:287-309, G6);
+    - top-K recent headlines (:314-352, H1).
+    """
+    deduped = dedup_latest(scored).cache()
+    try:
+        class_counts = {
+            r["sentiment"]: r["cnt"]
+            for r in deduped.groupBy("sentiment").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        total = sum(class_counts.values())
+        stats = deduped.agg(
+            F.avg("polarity").alias("avg_polarity"),
+            F.max("fetched_at").alias("latest_fetch"),
+        ).head()
+
+        # fixed-width histogram over [-1, 1]
+        width = 2.0 / nbins
+        bucket = F.least(
+            F.floor((F.col("polarity") + 1.0) / width).cast("int"), F.lit(nbins - 1)
+        )
+        hist = {
+            r["bucket"]: r["cnt"]
+            for r in deduped.select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+
+        headlines = [
+            r.asDict()
+            for r in deduped.orderBy(F.desc("fetched_at"), F.asc("id"))
+            .limit(top_k)
+            .select("title", "polarity", "sentiment", "publishedAt", "fetched_at")
+            .collect()
+        ]
+        return {
+            "total_articles": total,
+            "class_counts": {c: class_counts.get(c, 0) for c in ("Positive", "Neutral", "Negative")},
+            "class_pcts": {
+                c: (100.0 * class_counts.get(c, 0) / total if total else 0.0)
+                for c in ("Positive", "Neutral", "Negative")
+            },
+            "avg_polarity": stats["avg_polarity"],
+            "latest_fetch": stats["latest_fetch"],
+            "histogram": [hist.get(b, 0) for b in range(nbins)],
+            "top_headlines": headlines,
+        }
+    finally:
+        deduped.unpersist()
