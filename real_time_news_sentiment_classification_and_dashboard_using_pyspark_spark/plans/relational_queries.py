@@ -650,3 +650,156 @@ def promo_revenue(spark, sf_dir):
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "returnflag_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+    tags=("agg", "rollup"),
+)
+def returnflag_rollup(spark, sf_dir):
+    """Hierarchical totals via ROLLUP (subtotal per flag, grand total) —
+    multi-level aggregation in ONE pass instead of three queries.
+    grouping() flags disambiguate real nulls from rollup nulls. Spark
+    expands this to a single Expand + hash agg; the shuffle still
+    carries only (flags x statuses x 3) groups."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "revenue", "n_lines")
+    )
+
+
+@register(
+    "priority_price_quantiles",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("agg", "percentile"),
+)
+def priority_price_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (linear interpolation at
+    p*(n-1) — identical formula in Spark's percentile() and DuckDB's
+    quantile_cont). Exact percentiles need the full group in one place;
+    at 100 TB swap in approx_percentile (t-digest) and accept the
+    documented error bound — same query shape."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+@register(
+    "user_value_moving_avg",
+    oracle="""
+WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, "value" FROM events)
+SELECT user_id, event_id,
+       round(avg("value") OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+FROM ev
+""",
+    tags=("window", "timeseries"),
+)
+def user_value_moving_avg(spark, sf_dir):
+    """Sliding-frame analytics: 4-row moving average per user ordered by
+    event time — the window-frame operator family (I-class) the reference
+    lacks. One shuffle on user_id; the frame is evaluated streaming per
+    partition."""
+    e = events_with_ts(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("moving_avg"),
+    )
+
+
+@register(
+    "user_value_trend",
+    oracle="""
+WITH ev AS (
+    SELECT user_id,
+           CAST(epoch_us(ts::TIMESTAMP) AS DOUBLE) / 3600000000.0 AS hours,
+           "value"
+    FROM events
+)
+SELECT user_id,
+       count(*) AS n_events,
+       round(regr_slope("value", hours), 6) AS slope,
+       round(regr_r2("value", hours), 6) AS r2
+FROM ev GROUP BY user_id
+""",
+    tags=("agg", "regression", "timeseries"),
+)
+def user_value_trend(spark, sf_dir):
+    """Per-user linear trend of value over time via the SQL-standard
+    regression aggregates (regr_slope/regr_r2) — closed-form, one hash
+    agg, no iterative fitting. The grouped-ML primitive for 'is this
+    metric drifting' over millions of keys."""
+    e = events_with_ts(spark, sf_dir)
+    hours = (F.unix_micros(F.col("ts")).cast("double") / 3600000000.0).alias("hours")
+    return (
+        e.select("user_id", hours, "value")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.regr_slope("value", "hours"), 6).alias("slope"),
+            F.round(F.regr_r2("value", "hours"), 6).alias("r2"),
+        )
+    )
+
+
+@register(
+    "large_orders",
+    oracle="""
+SELECT c.c_name, o.o_orderkey, round(sum(l.l_quantity), 2) AS total_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY c.c_name, o.o_orderkey
+HAVING sum(l.l_quantity) > 150
+""",
+    tags=("join", "agg", "having"),
+)
+def large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: join -> group -> HAVING on the aggregate. Spark
+    plans HAVING as a post-agg filter, so the predicate runs on the
+    already-tiny aggregate, and at 100 TB the orderkey groupBy reuses the
+    join's partitioning (no extra shuffle)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )

@@ -1,0 +1,122 @@
+"""Scale-infrastructure tests: partition pruning, compaction, bucketed
+co-located joins (no Exchange), and the custom stateful streaming
+operator."""
+
+from __future__ import annotations
+
+import io
+import json
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.sources.handoff import (
+    add_date_partition,
+    compact,
+    write_bucketed,
+    write_partitioned,
+)
+from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.sources.tables import (
+    events_with_ts,
+    table,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_str(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_partition_pruning(spark, tmp_path):
+    path = str(tmp_path / "events_part")
+    e = add_date_partition(events_with_ts(spark, SF), "ts")
+    write_partitioned(e, path, ["event_date"])
+
+    back = spark.read.parquet(path).filter(F.col("event_date") == "2024-01-05")
+    plan = plan_str(back)
+    # partition filter must prune at the source, not post-scan
+    assert "PartitionFilters" in plan and "2024-01-05" in plan
+    expected = e.filter(F.to_date("ts") == "2024-01-05").count()
+    assert back.count() == expected > 0
+
+
+def test_compact_reduces_file_count(spark, tmp_path):
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compacted")
+    e = events_with_ts(spark, SF)
+    e.repartition(64).write.parquet(src)  # simulate per-microbatch fragmentation
+    import glob
+
+    assert len(glob.glob(f"{src}/*.parquet")) == 64
+    n = compact(spark, src, dst, target_file_bytes=64 * 1024 * 1024)
+    files = glob.glob(f"{dst}/*.parquet")
+    assert len(files) == n <= 4
+    assert spark.read.parquet(dst).count() == e.count()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    spark.sql("CREATE DATABASE IF NOT EXISTS buckets")
+    spark.sql("USE buckets")
+    try:
+        o = table(spark, SF, "orders")
+        l = table(spark, SF, "lineitem")
+        write_bucketed(o, "orders_b", "o_orderkey", n_buckets=4, sort_col="o_orderkey")
+        write_bucketed(l, "lineitem_b", "l_orderkey", n_buckets=4, sort_col="l_orderkey")
+        ob = spark.table("orders_b")
+        lb = spark.table("lineitem_b")
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey).groupBy("o_orderstatus").count()
+        plan = plan_str(joined)
+        join_section = plan.split("HashAggregate")[0]
+        assert "Exchange" not in join_section, f"join still shuffles:\n{join_section}"
+        # same co-location on a 100 TB cluster: bucket files align 1:1
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS buckets.orders_b")
+        spark.sql("DROP TABLE IF EXISTS buckets.lineitem_b")
+        spark.sql("USE default")
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState accumulates across micro-batches and
+    survives with update-mode semantics."""
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.streaming.stateful import (
+        running_sentiment_totals,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    # two files -> with maxFilesPerTrigger=1 they arrive as two batches
+    rows1 = [{"sentiment": "Positive", "polarity": 0.5}, {"sentiment": "Negative", "polarity": -0.4}]
+    rows2 = [{"sentiment": "Positive", "polarity": 0.3}]
+    for name, rows in [("a.json", rows1), ("b.json", rows2)]:
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema("sentiment string, polarity double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        running_sentiment_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # memory sink in update mode appends every update; the cumulative
+    # count is monotone, so the latest state per key is the max row
+    rows = spark.sql("SELECT * FROM running_totals").collect()
+    last = {}
+    for r in rows:
+        if r["sentiment"] not in last or r["total_count"] > last[r["sentiment"]]["total_count"]:
+            last[r["sentiment"]] = r
+    assert last["Positive"]["total_count"] == 2
+    assert abs(last["Positive"]["total_polarity"] - 0.8) < 1e-9
+    assert last["Negative"]["total_count"] == 1
