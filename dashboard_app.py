@@ -1,0 +1,61 @@
+"""Thin Streamlit renderer over the engine's serving layer — the
+reference's streamlit_app.py with ALL query work moved into Spark
+(SURVEY §3.3: the reference's dashboard is its de-facto query engine;
+ours only renders a small collected dict).
+
+Run: streamlit run dashboard_app.py -- --scored <dir>/scored
+Gated behind import-try: streamlit is not part of the engine's
+dependency set.
+"""
+
+from __future__ import annotations
+
+import sys
+
+try:
+    import streamlit as st
+except ImportError:  # pragma: no cover
+    print("streamlit not installed; the engine-side API is")
+    print("  real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.serving.dashboard_metrics")
+    sys.exit(1)
+
+from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark import (  # noqa: E402
+    get_spark,
+)
+from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.serving import (  # noqa: E402
+    dashboard_metrics,
+)
+
+
+@st.cache_resource
+def _spark():
+    return get_spark("dashboard")
+
+
+@st.cache_data(ttl=10)  # same 10 s freshness contract as the reference
+def _metrics(scored_path: str, top_k: int) -> dict:
+    scored = _spark().read.parquet(scored_path)
+    return dashboard_metrics(scored, top_k=top_k)
+
+
+def main() -> None:  # pragma: no cover - interactive
+    st.set_page_config(page_title="News Sentiment", layout="wide")
+    st.title("Real-Time News Sentiment")
+    scored_path = st.sidebar.text_input("scored parquet dir", "streaming_output/scored")
+    top_k = st.sidebar.slider("headlines", 5, 50, 20)
+    m = _metrics(scored_path, top_k)
+
+    c1, c2, c3, c4 = st.columns(4)
+    c1.metric("Total articles", m["total_articles"])
+    c2.metric("Positive", f"{m['class_pcts']['Positive']:.1f}%")
+    c3.metric("Negative", f"{m['class_pcts']['Negative']:.1f}%")
+    c4.metric("Avg polarity", f"{m['avg_polarity']:.3f}" if m["avg_polarity"] is not None else "n/a")
+
+    st.bar_chart(m["class_counts"])
+    st.bar_chart(m["histogram"])
+    st.subheader("Recent headlines")
+    st.table(m["top_headlines"])
+
+
+if __name__ == "__main__":
+    main()

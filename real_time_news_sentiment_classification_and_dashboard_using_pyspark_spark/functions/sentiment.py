@@ -157,9 +157,15 @@ def score_text(df: DataFrame, id_col: str, text_col: str, spark: SparkSession) -
 def scored_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``documents`` table with polarity + sentiment attached —
     the engine rendering of the reference's clean->score->classify DAG
-    (work.py:227-252) over the driver's documents table."""
+    (work.py:227-252) over the driver's documents table.
+
+    Uses the expression scorer: numerically identical to the
+    broadcast-join scorer (tests/test_functions.py asserts it) but a
+    pure projection — no explode, no join, no shuffle. The join scorer
+    (score_text) remains the rendering of choice when the lexicon is too
+    large to inline as a map literal."""
     docs = table(spark, sf_dir, "documents")
-    return score_text(docs, "doc_id", "text", spark)
+    return score_text_expr(docs, "text")
 
 
 # Shared oracle-SQL fragment: per-doc polarity + sentiment on DuckDB.

@@ -803,3 +803,115 @@ def large_orders(spark, sf_dir):
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
         .filter(F.col("total_qty") > 150)
     )
+
+
+@register(
+    "segment_set_ops",
+    oracle="""
+WITH big AS (
+    SELECT DISTINCT o_custkey AS c FROM orders WHERE o_totalprice > 150000
+),
+building AS (
+    SELECT c_custkey AS c FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+SELECT
+    CAST((SELECT count(*) FROM (SELECT c FROM big INTERSECT SELECT c FROM building)) AS BIGINT) AS n_both,
+    CAST((SELECT count(*) FROM (SELECT c FROM building EXCEPT SELECT c FROM big)) AS BIGINT)    AS n_building_only
+""",
+    tags=("setop",),
+)
+def segment_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT (distinct set semantics) — the set-operation
+    surface beyond UNION (SURVEY §2.D notes the reference has none).
+    Spark plans these as left-semi / left-anti aggregates, so they cost
+    one shuffle each on the compared column."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    big = o.filter(F.col("o_totalprice") > 150000).select(F.col("o_custkey").alias("c")).distinct()
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("c"))
+    n_both = big.intersect(building).count()
+    n_building_only = building.exceptAll(big).distinct().count()
+    return spark.createDataFrame(
+        [(n_both, n_building_only)], "n_both bigint, n_building_only bigint"
+    )
+
+
+@register(
+    "fixed_class_counts",
+    oracle="""
+WITH classes(o_orderstatus) AS (VALUES ('O'), ('F'), ('P'), ('X')),
+counts AS (
+    SELECT o_orderstatus, count(*) AS cnt FROM orders GROUP BY o_orderstatus
+)
+SELECT c.o_orderstatus, CAST(coalesce(k.cnt, 0) AS BIGINT) AS cnt
+FROM classes c LEFT JOIN counts k USING (o_orderstatus)
+""",
+    tags=("agg", "join", "nullfill"),
+)
+def fixed_class_counts(spark, sf_dir):
+    """Fixed-class counts with default 0 — the reference looks up each
+    of its three sentiment classes with a 0 default (G2:
+    work.py:295-300, F9 fillna): rendered as a LEFT JOIN from a literal
+    class table with coalesce. 'X' never occurs, proving the default
+    path. The literal side broadcasts trivially."""
+    o = table(spark, sf_dir, "orders")
+    classes = spark.createDataFrame([("O",), ("F",), ("P",), ("X",)], "o_orderstatus string")
+    counts = o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("cnt"))
+    return classes.join(counts, "o_orderstatus", "left").select(
+        "o_orderstatus", F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("cnt")
+    )
+
+
+@register(
+    "nation_supplier_roster",
+    oracle="""
+SELECT n.n_name,
+       count(*) AS n_suppliers,
+       array_to_string(list(s.s_name ORDER BY s.s_name), ',') AS roster
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+    tags=("agg", "array"),
+)
+def nation_supplier_roster(spark, sf_dir):
+    """Array aggregation with deterministic ordering: collect_list is
+    unordered in a distributed engine, so the roster is sorted before
+    joining to a string — the reproducible rendering of 'gather the
+    group members'. At scale beware unbounded group size; cap with
+    slice() when the roster is display-bound."""
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("roster"),
+        )
+    )
+
+
+@register(
+    "doc_preview_topk",
+    oracle="""
+SELECT doc_id, n_chars,
+       substr(text, 1, 60) || '...' AS text_short
+FROM documents
+ORDER BY n_chars DESC, doc_id ASC
+LIMIT 5
+""",
+    tags=("topk", "string"),
+)
+def doc_preview_topk(spark, sf_dir):
+    """Substring preview (F5: streamlit_app.py:130 text[:200]+'...')
+    over a top-K by length — string projection + TakeOrderedAndProject."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(5)
+        .select(
+            "doc_id",
+            "n_chars",
+            F.concat(F.substring("text", 1, 60), F.lit("...")).alias("text_short"),
+        )
+    )
