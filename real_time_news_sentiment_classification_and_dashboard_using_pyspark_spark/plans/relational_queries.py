@@ -915,3 +915,184 @@ def doc_preview_topk(spark, sf_dir):
             F.concat(F.substring("text", 1, 60), F.lit("...")).alias("text_short"),
         )
     )
+
+
+@register(
+    "events_asof_orders",
+    oracle="""
+WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, "value" FROM events),
+od AS (
+    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                     ORDER BY o_orderkey DESC) AS rn
+        FROM orders
+    ) WHERE rn = 1
+),
+j AS (
+    SELECT ev.*, od.o_orderkey, od.o_orderdate, od.o_totalprice
+    FROM ev ASOF LEFT JOIN od
+      ON ev.user_id = od.o_custkey AND ev.ts >= od.o_orderdate
+)
+SELECT count(*) AS n_events,
+       CAST(sum(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       round(avg(CASE WHEN o_orderkey IS NOT NULL
+                      THEN (epoch_us(ts) - epoch_us(o_orderdate)) / 86400000000.0 END), 4)
+           AS avg_lag_days,
+       round(sum(coalesce(o_totalprice, CAST(0.0 AS DOUBLE))), 2) AS matched_totalprice
+FROM j
+""",
+    tags=("join", "asof"),
+)
+def events_asof_orders(spark, sf_dir):
+    """AS-OF JOIN (operators/asof.py): each event picks up the user's
+    most recent order as of the event time — the point-in-time join
+    Spark lacks natively, rendered as union + ordered window with
+    last(ignorenulls), one shuffle on the key, no range-join blowup.
+    Orders are pre-deduped per (custkey, orderdate) so the ASOF pick is
+    deterministic on both engines."""
+    from ..operators.asof import asof_join
+
+    ev = events_with_ts(spark, sf_dir)
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(F.desc("o_orderkey"))
+    od = (
+        table(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        # parquet NTZ -> session-TZ timestamp so unix_micros works and the
+        # union key type matches the events ts
+        .select(
+            "o_custkey",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )
+    j = asof_join(
+        ev,
+        od,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+    matched = F.col("o_orderkey").isNotNull()
+    lag_days = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("o_orderdate"))
+    ) / 86400000000.0
+    return j.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(matched.cast("int")).cast("bigint").alias("n_matched"),
+        F.round(F.avg(F.when(matched, lag_days)), 4).alias("avg_lag_days"),
+        F.round(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 2).alias("matched_totalprice"),
+    )
+
+
+@register(
+    "nation_pair_trade",
+    oracle="""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DOUBLE)
+           / 10000 AS revenue,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+WHERE ns.n_name <> nc.n_name
+GROUP BY supp_nation, cust_nation
+""",
+    tags=("join", "agg"),
+)
+def nation_pair_trade(spark, sf_dir):
+    """TPC-H Q7 shape: cross-border trade volume by (supplier nation,
+    customer nation) pair — a 6-way join where every dimension
+    broadcasts and the single fact-fact shuffle (lineitem x orders on
+    orderkey) is shared with every other orderkey-keyed query.
+
+    Revenue uses exact cent math (prices/discounts are 2-decimal, so
+    cents x (100 - disc_pct) is an exact integer sum; one final
+    division) — with 600 groups the chance of some float sum landing on
+    a round() boundary gets real, and it did here."""
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    ns = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    nc = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), s.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), c.c_nationkey == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                    * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+                ).cast("double")
+                / 10000
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "event_types_above_avg",
+    oracle="""
+WITH t AS (SELECT event_type, sum("value") AS tot FROM events GROUP BY event_type)
+SELECT event_type, round(tot, 2) AS total_value
+FROM t
+WHERE tot > (SELECT avg(tot) FROM t)
+""",
+    tags=("agg", "subquery"),
+)
+def event_types_above_avg(spark, sf_dir):
+    """TPC-H Q11 shape: filter groups against a scalar computed from the
+    same aggregate (scalar subquery). In the DataFrame API the scalar is
+    a 1-row broadcast cross join — the aggregate is computed once and
+    reused, not recomputed per row."""
+    e = table(spark, sf_dir, "events")
+    t = e.groupBy("event_type").agg(F.sum("value").alias("tot"))
+    avg_tot = t.agg(F.avg("tot").alias("avg_tot"))
+    return (
+        t.crossJoin(F.broadcast(avg_tot))
+        .filter(F.col("tot") > F.col("avg_tot"))
+        .select("event_type", F.round(F.col("tot"), 2).alias("total_value"))
+    )
+
+
+@register(
+    "best_month",
+    oracle="""
+WITH m AS (
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month, sum(o_totalprice) AS rev
+    FROM orders GROUP BY 1
+)
+SELECT order_month AS best_month, round(rev, 2) AS revenue
+FROM m ORDER BY rev DESC, order_month ASC LIMIT 1
+""",
+    tags=("agg", "topk"),
+)
+def best_month(spark, sf_dir):
+    """TPC-H Q15 shape: the argmax group (best revenue month) — rank the
+    aggregate, take the top with a deterministic tiebreak."""
+    o = table(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    return (
+        m.orderBy(F.desc("rev"), F.asc("order_month"))
+        .limit(1)
+        .select(F.col("order_month").alias("best_month"), F.round("rev", 2).alias("revenue"))
+    )
