@@ -1096,3 +1096,68 @@ def best_month(spark, sf_dir):
         .limit(1)
         .select(F.col("order_month").alias("best_month"), F.round("rev", 2).alias("revenue"))
     )
+
+
+@register(
+    "value_band_join",
+    oracle="""
+WITH bands(band_name, lo, hi) AS (VALUES
+    ('low',    CAST(0.0 AS DOUBLE),   CAST(100.0 AS DOUBLE)),
+    ('mid',    CAST(100.0 AS DOUBLE), CAST(300.0 AS DOUBLE)),
+    ('high',   CAST(300.0 AS DOUBLE), CAST(1000.0 AS DOUBLE))
+)
+SELECT b.band_name,
+       count(*) AS cnt,
+       round(sum(e."value"), 2) AS sum_value
+FROM events e JOIN bands b ON e."value" >= b.lo AND e."value" < b.hi
+GROUP BY b.band_name
+""",
+    tags=("join", "range"),
+)
+def value_band_join(spark, sf_dir):
+    """Range (interval) join: facts against a tiny banding table on a
+    BETWEEN predicate. Spark plans this as a BroadcastNestedLoopJoin —
+    fine exactly because the build side is rows-not-data; for
+    fact x fact interval joins the scale path is bucketing both sides
+    by coarsened range keys. Bands here are half-open [lo, hi)."""
+    e = table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 100.0), ("mid", 100.0, 300.0), ("high", 300.0, 1000.0)],
+        "band_name string, lo double, hi double",
+    )
+    return (
+        e.join(
+            F.broadcast(bands),
+            (e["value"] >= bands.lo) & (e["value"] < bands.hi),
+        )
+        .groupBy("band_name")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "daily_active_users",
+    oracle="""
+WITH ev AS (SELECT ts::TIMESTAMP AS ts, user_id FROM events)
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(DISTINCT user_id) AS dau,
+       count(*) AS n_events
+FROM ev GROUP BY 1
+""",
+    tags=("agg", "distinct", "date"),
+)
+def daily_active_users(spark, sf_dir):
+    """Daily distinct users — the exact count-distinct per time bucket.
+    Spark expands this to a two-phase distinct aggregate; at 100 TB the
+    drop-in replacement is approx_count_distinct (HyperLogLog) at a documented
+    error bound, same query shape."""
+    e = events_with_ts(spark, sf_dir)
+    return e.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.countDistinct("user_id").alias("dau"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

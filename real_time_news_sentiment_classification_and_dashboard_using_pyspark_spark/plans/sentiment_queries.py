@@ -164,3 +164,28 @@ def mllib_sentiment_agreement(spark, sf_dir):
             .alias("n_agree"),
         )
     )
+
+
+@register(
+    "sentiment_docs_join_scorer",
+    oracle=SCORED_DOCS_SQL
+    + """
+SELECT doc_id, polarity, sentiment FROM classified
+""",
+    tags=("sentiment", "join"),
+)
+def sentiment_docs_join_scorer(spark, sf_dir):
+    """The broadcast-join rendering of the lexicon scorer (explode ->
+    broadcast hash join -> exact integer agg -> join back), kept as a
+    first-class query alongside the expression rendering
+    (sentiment_docs): when the lexicon outgrows a map literal (real
+    lexica run 10^5+ entries), this is the plan that scales — and it
+    must stay numerically identical to both the expression scorer and
+    the oracle."""
+    from ..functions.sentiment import score_text
+    from ..sources.tables import table as _t
+
+    docs = _t(spark, sf_dir, "documents")
+    return score_text(docs, "doc_id", "text", spark).select(
+        "doc_id", "polarity", "sentiment"
+    )

@@ -218,3 +218,37 @@ def multimodal_payload_stats(spark, sf_dir):
         F.round(F.avg("payload_bytes"), 4).alias("avg_bytes"),
         F.max("payload_bytes").alias("max_bytes"),
     )
+
+
+@register(
+    "vocabulary_topk",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest({TOKS_SQL}) AS word FROM documents
+)
+SELECT word,
+       count(*) AS term_freq,
+       count(DISTINCT doc_id) AS doc_freq
+FROM tok
+GROUP BY word
+ORDER BY term_freq DESC, word ASC
+LIMIT 20
+""",
+    tags=("text", "agg", "topk"),
+)
+def vocabulary_topk(spark, sf_dir):
+    """Corpus vocabulary: term frequency + document frequency, top-20 —
+    the TF/DF primitive under BM25/IDF and stopword discovery. explode ->
+    one hash agg keyed by word (partial agg collapses each executor's
+    counts before the shuffle), TakeOrderedAndProject for the top-K."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("word"))
+    return (
+        tok.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("term_freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("term_freq"), F.asc("word"))
+        .limit(20)
+    )

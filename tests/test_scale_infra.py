@@ -120,3 +120,37 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     assert last["Positive"]["total_count"] == 2
     assert abs(last["Positive"]["total_polarity"] - 0.8) < 1e-9
     assert last["Negative"]["total_count"] == 1
+
+
+def test_salted_agg_matches_plain_agg_under_skew(spark):
+    """Salted two-phase aggregation gives identical results to the
+    direct groupBy on synthetically skewed data (one key = 90% of rows)."""
+    from pyspark.sql import functions as F
+
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.operators.skew import (
+        salted_agg,
+    )
+
+    df = spark.range(100_000).select(
+        F.when(F.col("id") % 10 < 9, "hot").otherwise(F.concat(F.lit("cold"), F.col("id") % 7)).alias("k"),
+        (F.col("id") % 100).cast("double").alias("value"),
+    )
+    plain = {
+        r["k"]: (r["cnt"], r["total"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("total"))
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["cnt"], r["total"])
+        for r in salted_agg(
+            df,
+            "k",
+            {
+                "cnt": (F.count(F.lit(1)), F.sum("cnt")),
+                "total": (F.sum("value"), F.sum("total")),
+            },
+            n_salts=8,
+        ).collect()
+    }
+    assert plain == salted
