@@ -1,1 +1,6 @@
-from . import multimodal  # noqa: F401
+from . import asof, multimodal, skew  # noqa: F401
+
+from .asof import asof_join
+from .skew import salted_agg
+
+__all__ = ["asof_join", "salted_agg", "asof", "multimodal", "skew"]

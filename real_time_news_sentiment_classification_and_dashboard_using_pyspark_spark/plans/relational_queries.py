@@ -1161,3 +1161,37 @@ def daily_active_users(spark, sf_dir):
         F.countDistinct("user_id").alias("dau"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "events_sliding_2h",
+    oracle="""
+WITH ev AS (SELECT ts::TIMESTAMP AS ts, event_type FROM events),
+w AS (
+    SELECT date_trunc('hour', ts) AS wstart, event_type FROM ev
+    UNION ALL
+    SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS wstart, event_type FROM ev
+)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS cnt
+FROM w GROUP BY 1, 2
+""",
+    tags=("agg", "window", "sliding", "streaming-parity"),
+)
+def events_sliding_2h(spark, sf_dir):
+    """Sliding event-time windows (2h size, 1h slide) — each event lands
+    in exactly two overlapping windows. Spark's window() expands rows
+    window-count times before the hash agg (the oracle mirrors that as a
+    two-offset UNION ALL). Drop-in streaming twin: the identical
+    groupBy(window(...)) under a watermark."""
+    e = events_with_ts(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "cnt",
+        )
+    )

@@ -16,7 +16,13 @@ SF0_01 = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark("pytest", cpus=8, shuffle_partitions=8)
+def spark(tmp_path_factory):
+    warehouse = str(tmp_path_factory.mktemp("warehouse"))
+    s = get_spark(
+        "pytest",
+        cpus=8,
+        shuffle_partitions=8,
+        extra={"spark.sql.warehouse.dir": warehouse},
+    )
     yield s
     s.stop()
