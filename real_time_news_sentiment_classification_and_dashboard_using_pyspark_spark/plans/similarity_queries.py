@@ -355,3 +355,71 @@ def ivf_topk_probe(spark, sf_dir):
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+@register(
+    "hyperplane_lsh_buckets",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+pos AS (SELECT vec_id, i, emb[i + 1] AS x FROM e, range(64) t(i)),
+signs AS (
+    SELECT j, i,
+           CASE WHEN ('0x' || substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 32, 1))::BIGINT % 2 = 1
+                THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS s
+    FROM range(8) tj(j), range(64) ti(i)
+),
+dots AS (
+    SELECT p.vec_id, s.j, sum(p.x * s.s) AS dot
+    FROM pos p JOIN signs s ON p.i = s.i
+    GROUP BY p.vec_id, s.j
+),
+buckets AS (
+    SELECT vec_id,
+           CAST(sum(CASE WHEN dot > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+    FROM dots GROUP BY vec_id
+)
+SELECT bucket, count(*) AS n_vectors
+FROM buckets GROUP BY bucket
+""",
+    tags=("similarity", "ann", "lsh"),
+)
+def hyperplane_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane (SimHash-for-vectors) LSH: 8 md5-seeded +-1
+    hyperplanes -> 8 sign bits -> 256 buckets; report occupancy. This is
+    the embedding-space blocking structure: near-cosine vectors agree on
+    most sign bits, so candidate pairs come from same/adjacent buckets
+    instead of the O(n^2) loop. The hyperplanes are derived from md5
+    parity so both engines build the identical family with no RNG."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    pos = e.select("vec_id", F.posexplode("emb").alias("i", "x"))
+    signs = (
+        spark.range(8).select(F.col("id").alias("j"))
+        .crossJoin(spark.range(64).select(F.col("id").alias("i")))
+        .select(
+            "j",
+            "i",
+            F.when(
+                F.conv(
+                    F.substring(F.md5(F.concat_ws("_", "j", "i")), 32, 1), 16, 10
+                ).cast("bigint") % 2 == 1,
+                F.lit(1.0),
+            )
+            .otherwise(F.lit(-1.0))
+            .alias("s"),
+        )
+    )
+    dots = (
+        pos.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("x") * F.col("s")).alias("dot"))
+    )
+    buckets = dots.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("dot") > 0, F.pow(F.lit(2.0), F.col("j")).cast("bigint")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("bucket")
+    )
+    return buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vectors"))

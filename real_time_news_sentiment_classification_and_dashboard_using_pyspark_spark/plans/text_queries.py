@@ -252,3 +252,86 @@ def vocabulary_topk(spark, sf_dir):
         .orderBy(F.desc("term_freq"), F.asc("word"))
         .limit(20)
     )
+
+
+_BM25_TERMS = ("spark", "fast")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "keyword_search_bm25",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest({TOKS_SQL}) AS word FROM documents
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT avg(dl) FROM doclen) AS avg_dl
+),
+tf AS (
+    SELECT doc_id, word, count(*) AS tf FROM tok
+    WHERE word IN ('spark', 'fast')
+    GROUP BY doc_id, word
+),
+df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+scored AS (
+    SELECT t.doc_id,
+           sum(
+             ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+             * t.tf * ({_BM25_K1} + 1)
+             / (t.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * l.dl / s.avg_dl))
+           ) AS score
+    FROM tf t
+    JOIN df d ON t.word = d.word
+    JOIN doclen l ON l.doc_id = t.doc_id
+    CROSS JOIN stats s
+    GROUP BY t.doc_id
+)
+SELECT doc_id, round(score, 6) AS bm25_score
+FROM scored
+ORDER BY round(score, 6) DESC, doc_id ASC
+LIMIT 10
+""",
+    tags=("text", "search", "bm25", "topk"),
+)
+def keyword_search_bm25(spark, sf_dir):
+    """BM25 keyword search (query terms 'spark fast'): the full-text
+    ranking primitive — TF per (doc, term), DF per term, document-length
+    normalization, Okapi BM25 scoring, top-10.
+
+    Plan shape: one explode -> filtered term TF agg (the term filter
+    prunes the token stream BEFORE the shuffle), tiny DF and corpus
+    stats broadcast everywhere, score = per-doc sum over <=|terms| rows.
+    At 100 TB this is the query you answer from a pre-built inverted
+    postings table (tf materialized once); the scoring math and plan are
+    identical."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("word"))
+    doclen = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = d.count()
+    avg_dl_df = doclen.agg(F.avg("dl").alias("avg_dl"))
+    tf = (
+        tok.filter(F.col("word").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    idf = F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    tf_norm = (
+        F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avg_dl")))
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "word")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(avg_dl_df))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tf_norm).alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("bm25_score"))
+        .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+        .limit(10)
+    )

@@ -157,3 +157,54 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["k"] for r in spark.sql("SELECT k FROM dedup_stream").collect())
     assert got == ["a", "b"]
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """Stream-stream inner join (impressions x clicks) with watermarks
+    and an event-time range constraint — the join class the reference
+    never reaches. availableNow drains both sides; result must equal the
+    batch join."""
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    imp_dir.mkdir(), clk_dir.mkdir()
+    imps = [
+        {"imp_id": "i1", "ts_str": "2024-01-01 10:00:00"},
+        {"imp_id": "i2", "ts_str": "2024-01-01 11:00:00"},
+    ]
+    clks = [
+        {"imp_ref": "i1", "ts_str": "2024-01-01 10:20:00"},   # within 1h of i1
+        {"imp_ref": "i2", "ts_str": "2024-01-01 13:00:00"},   # too late for i2
+        {"imp_ref": "i9", "ts_str": "2024-01-01 10:30:00"},   # no impression
+    ]
+    with open(imp_dir / "a.json", "w") as f:
+        for r in imps:
+            f.write(json.dumps(r) + "\n")
+    with open(clk_dir / "a.json", "w") as f:
+        for r in clks:
+            f.write(json.dumps(r) + "\n")
+
+    imp = (
+        spark.readStream.schema("imp_id string, ts_str string").json(str(imp_dir))
+        .withColumn("imp_ts", F.to_timestamp("ts_str"))
+        .withWatermark("imp_ts", "2 hours")
+    )
+    clk = (
+        spark.readStream.schema("imp_ref string, ts_str string").json(str(clk_dir))
+        .withColumn("clk_ts", F.to_timestamp("ts_str"))
+        .withWatermark("clk_ts", "2 hours")
+    )
+    joined = imp.join(
+        clk,
+        F.expr(
+            "imp_id = imp_ref AND clk_ts >= imp_ts AND clk_ts <= imp_ts + interval 1 hour"
+        ),
+    ).select("imp_id", F.date_format("clk_ts", "HH:mm").alias("click_at"))
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["imp_id"], r["click_at"]) for r in spark.sql("SELECT * FROM ss_join").collect()}
+    assert got == {("i1", "10:20")}
