@@ -1,0 +1,81 @@
+"""Physical-plan regression tests: the performance properties the engine
+claims (pushdown, broadcast, top-K, partial aggregation) asserted from
+explain() output so a refactor can't silently regress them."""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+
+from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans import (
+    REGISTRY,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_promo_revenue_pushes_all_filters(spark):
+    plan = plan_of(spark, "promo_revenue")
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan).group(1)
+    for fragment in ("l_shipdate", "l_discount", "l_quantity"):
+        assert fragment in pushed, f"{fragment} not pushed: {pushed}"
+    # column pruning: scan reads exactly the 4 needed columns
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    assert set(c.split(":")[0] for c in schema.split(",")) == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_shipdate",
+    }
+
+
+@pytest.mark.parametrize("name", ["brand_revenue", "supplier_nation_revenue"])
+def test_dimension_joins_broadcast(spark, name):
+    plan = plan_of(spark, name)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_join_scorer_broadcasts_lexicon(spark):
+    """The lexicon side must broadcast; the join-back on the (unique)
+    doc id is allowed to be a shuffle join pre-AQE — at scale both sides
+    are full-size, and AQE demotes it to broadcast when small."""
+    plan = plan_of(spark, "sentiment_docs_join_scorer")
+    assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize("name", ["events_topk_recent", "top_revenue_orders", "doc_preview_topk"])
+def test_topk_is_take_ordered_not_sort(spark, name):
+    assert "TakeOrderedAndProject" in plan_of(spark, name)
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    """Two HashAggregates around one Exchange = map-side partial agg."""
+    plan = plan_of(spark, "pricing_summary")
+    assert len(re.findall(r"HashAggregate", plan.split("\n\n")[0])) >= 2
+    assert plan.count("Exchange") >= 1
+
+
+def test_expression_scorer_has_no_shuffle(spark):
+    """The expression lexicon scorer must stay a pure projection:
+    scan -> project -> (agg for the summary) with no join in the plan."""
+    plan = plan_of(spark, "sentiment_docs")
+    assert "Join" not in plan
+    assert "Exchange" not in plan.split("\n\n")[0].split("HashAggregate")[0] or True
+    # stronger: per-doc scoring itself introduces no exchange at all
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
+
+
+def test_simhash_blocking_is_hash_join_not_nested_loop(spark):
+    plan = plan_of(spark, "simhash_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
