@@ -1195,3 +1195,45 @@ def events_sliding_2h(spark, sf_dir):
             "cnt",
         )
     )
+
+
+@register(
+    "promo_type_share",
+    oracle="""
+WITH j AS (
+    SELECT p.p_type,
+           CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_e4
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+)
+SELECT 100 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END) AS DOUBLE)
+           / CAST(sum(rev_e4) AS DOUBLE) AS promo_share_pct,
+       count(*) AS n_lines
+FROM j
+""",
+    tags=("join", "agg", "ratio"),
+)
+def promo_type_share(spark, sf_dir):
+    """TPC-H Q14 shape: conditional-share ratio (promo revenue / total
+    revenue) over a date-sliced broadcast join. Numerator and denominator
+    are exact integer sums (cent math), so the share is ONE float
+    division with identical operands on both engines — no rounding
+    needed even for a ratio."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part")
+    rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(
+        "p_type", rev_e4.alias("rev_e4")
+    )
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev_e4")).otherwise(F.lit(0)))
+    return j.agg(
+        (100 * promo.cast("double") / F.sum("rev_e4").cast("double")).alias("promo_share_pct"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

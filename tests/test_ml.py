@@ -44,3 +44,35 @@ def test_model_predicts_fresh_text(spark):
     assert preds[0] == "Positive"
     assert preds[1] == "Negative"
     assert set(preds) <= {"Positive", "Negative", "Neutral"}
+
+
+def test_mllib_model_scores_a_stream(spark, tmp_path):
+    """North-star integration: the fitted MLlib pipeline runs INSIDE
+    Structured Streaming (PipelineModel.transform is a narrow map), so
+    streaming micro-batches get model predictions with no extra
+    machinery."""
+    import json
+
+    model = train_on_documents(spark, SF)
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    rows = [
+        {"text": "fast fast big spark rally"},
+        {"text": "slow slow dup small slump"},
+    ]
+    with open(src / "a.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = spark.readStream.schema("text string").json(str(src))
+    scored = predict_sentiment(model, stream, "text")
+    q = (
+        scored.select("text", "ml_sentiment")
+        .writeStream.format("memory")
+        .queryName("ml_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["text"].split()[0]: r["ml_sentiment"] for r in spark.sql("SELECT * FROM ml_stream").collect()}
+    assert got == {"fast": "Positive", "slow": "Negative"}
