@@ -24,9 +24,29 @@ TABLE_NAMES = [
 ]
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Pin the correctness-critical runtime confs on ANY session.
+
+    The driver's verifier may hand us a SparkSession it built itself
+    (without sessions.get_spark), so the confs that change *results* are
+    re-asserted here, not only in the builder:
+    - nanosAsLong: events.parquet is TIMESTAMP(NANOS); without this the
+      scan throws PARQUET_TYPE_ILLEGAL;
+    - UTC session timezone: timestamp formatting must match DuckDB's
+      naive rendering regardless of host timezone.
+    Both are runtime-settable SQL confs; setting them is idempotent.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # never let a conf hiccup mask the actual query
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    ensure_session_confs(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
