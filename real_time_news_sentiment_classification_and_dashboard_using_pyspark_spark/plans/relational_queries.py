@@ -1237,3 +1237,88 @@ def promo_type_share(spark, sf_dir):
         (100 * promo.cast("double") / F.sum("rev_e4").cast("double")).alias("promo_share_pct"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+@register(
+    "customer_order_fill",
+    oracle="""
+SELECT c.c_custkey,
+       c.c_mktsegment,
+       CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+       round(coalesce(o.total_spend, CAST(0.0 AS DOUBLE)), 2) AS total_spend
+FROM customer c
+LEFT JOIN (
+    SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS total_spend
+    FROM orders GROUP BY o_custkey
+) o ON o.o_custkey = c.c_custkey
+""",
+    tags=("join", "outer", "nullfill"),
+)
+def customer_order_fill(spark, sf_dir):
+    """LEFT OUTER join with null-fill (F9): every customer keeps a row,
+    order-less customers get 0s — aggregate-then-join so the outer join
+    probes a pre-shrunk (one row per custkey) build side instead of raw
+    orders."""
+    c = table(spark, sf_dir, "customer")
+    o = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("total_spend"),
+        )
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("bigint").alias("n_orders"),
+        F.round(F.coalesce(F.col("total_spend"), F.lit(0.0)), 2).alias("total_spend"),
+    )
+
+
+@register(
+    "user_customer_full_outer",
+    oracle="""
+WITH eu AS (SELECT DISTINCT user_id FROM events),
+ck AS (SELECT c_custkey FROM customer)
+SELECT CAST(sum(CASE WHEN user_id IS NOT NULL AND c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_event_only,
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_customer_only
+FROM eu FULL OUTER JOIN ck ON eu.user_id = ck.c_custkey
+""",
+    tags=("join", "outer"),
+)
+def user_customer_full_outer(spark, sf_dir):
+    """FULL OUTER join reconciliation: which event users exist in the
+    customer dimension, which don't, and which customers never event —
+    the classic two-system audit query, reduced to three counts."""
+    eu = table(spark, sf_dir, "events").select("user_id").distinct()
+    ck = table(spark, sf_dir, "customer").select("c_custkey")
+    j = eu.join(ck, eu.user_id == ck.c_custkey, "full_outer")
+    both = (F.col("user_id").isNotNull() & F.col("c_custkey").isNotNull()).cast("int")
+    return j.agg(
+        F.sum(both).cast("bigint").alias("n_both"),
+        F.sum(F.col("c_custkey").isNull().cast("int")).cast("bigint").alias("n_event_only"),
+        F.sum(F.col("user_id").isNull().cast("int")).cast("bigint").alias("n_customer_only"),
+    )
+
+
+@register(
+    "region_status_grid",
+    oracle="""
+SELECT r.r_name, s.o_orderstatus, count(*) AS n_cells
+FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+GROUP BY r.r_name, s.o_orderstatus
+""",
+    tags=("join", "cross"),
+)
+def region_status_grid(spark, sf_dir):
+    """Explicit CROSS JOIN: the dimension-grid generator (5 regions x 3
+    statuses) used to densify sparse aggregates before a left join —
+    only ever sane when both sides are tiny, which is exactly when
+    Spark plans it as a broadcast nested loop."""
+    r = table(spark, sf_dir, "region").select("r_name")
+    s = table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(s).groupBy("r_name", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_cells")
+    )

@@ -23,35 +23,17 @@ from ..sources.tables import table
 from .registry import register
 
 
-EMB_DIM = 64  # testdata embeddings are 64-d at every SF
-
-
+# Higher-order-function dot/cosine: fine for broadcast(Q) x N shapes
+# (interpreted lambda cost is linear in N). NOT for O(n^2) pair loops —
+# lambdas are CodegenFallback, and unrolling the sum into a 192-term
+# expression is even slower (breaks codegen); the all-pairs kernel uses
+# numpy block matmul instead (embedding_near_dup_pairs, PERF.md).
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
-
-
-def dot_codegen(a: Column, b: Column, dim: int = EMB_DIM) -> Column:
-    """Dot product as an unrolled dim-term expression. Higher-order
-    ``aggregate`` lambdas are CodegenFallback (interpreted per call) —
-    ~20x slower inside an all-pairs join. The unrolled sum is pure
-    whole-stage-codegen arithmetic and numerically IDENTICAL to the
-    fold: both are left-associated (0.0 + z0 == z0 exactly), so oracle
-    parity is unaffected."""
-    terms = [a.getItem(i) * b.getItem(i) for i in range(dim)]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
-
-
-def cosine_codegen(a: Column, b: Column, dim: int = EMB_DIM) -> Column:
-    return dot_codegen(a, b, dim) / (
-        F.sqrt(dot_codegen(a, a, dim)) * F.sqrt(dot_codegen(b, b, dim))
-    )
 
 
 def _emb(spark, sf_dir) -> DataFrame:
