@@ -1322,3 +1322,54 @@ def region_status_grid(spark, sf_dir):
     return r.crossJoin(s).groupBy("r_name", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_cells")
     )
+
+
+@register(
+    "user_value_trend_pandas",
+    oracle="""
+WITH ev AS (
+    SELECT user_id,
+           CAST(epoch_us(ts::TIMESTAMP) AS DOUBLE) / 3600000000.0 AS hours,
+           "value"
+    FROM events
+)
+SELECT user_id,
+       count(*) AS n_events,
+       round(regr_slope("value", hours), 6) AS slope
+FROM ev GROUP BY user_id
+""",
+    tags=("agg", "regression", "pandas-udf"),
+)
+def user_value_trend_pandas(spark, sf_dir):
+    """The per-group OLS slope computed by grouped applyInPandas (numpy
+    closed form) instead of the SQL regr_slope aggregate — same oracle
+    as user_value_trend, proving the Arrow-grouped-UDF path produces
+    numbers the declarative path (and DuckDB) agree with. This is the
+    template for per-group Python computations with no SQL equivalent:
+    one shuffle on the group key, Arrow batch per group, numpy inside."""
+    import numpy as np
+    import pandas as pd
+
+    e = events_with_ts(spark, sf_dir)
+    base = e.select(
+        "user_id",
+        (F.unix_micros(F.col("ts")).cast("double") / 3600000000.0).alias("hours"),
+        "value",
+    )
+
+    def ols(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["hours"].to_numpy(dtype=np.float64)
+        y = pdf["value"].to_numpy(dtype=np.float64)
+        n = len(x)
+        # same two-pass covariance/variance form the SQL aggregate uses
+        xm, ym = x.mean(), y.mean()
+        denom = ((x - xm) ** 2).sum()
+        slope = float(((x - xm) * (y - ym)).sum() / denom) if denom else None
+        return pd.DataFrame(
+            {"user_id": [pdf["user_id"].iloc[0]], "n_events": [n],
+             "slope": [round(slope, 6) if slope is not None else None]}
+        )
+
+    return base.groupBy("user_id").applyInPandas(
+        ols, "user_id bigint, n_events bigint, slope double"
+    )

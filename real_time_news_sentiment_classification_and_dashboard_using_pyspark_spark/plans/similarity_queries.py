@@ -405,3 +405,57 @@ def hyperplane_lsh_buckets(spark, sf_dir):
         .alias("bucket")
     )
     return buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+@register(
+    "filtered_vector_search",
+    oracle=f"""
+WITH {_E_CTE},
+cand AS (
+    SELECT e.vec_id, e.emb
+    FROM e JOIN documents d ON d.doc_id = e.vec_id
+    WHERE d.lang = 'en'
+),
+j AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_cos_sql('q.emb', 'c.emb')} AS cos_sim
+    FROM e q JOIN cand c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < 3
+),
+r AS (
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+    FROM j
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 3
+""",
+    tags=("similarity", "ann", "join", "topk"),
+)
+def filtered_vector_search(spark, sf_dir):
+    """Filtered (hybrid) vector search: top-3 by cosine among only the
+    candidates passing a relational predicate (documents.lang = 'en',
+    joined on doc_id = vec_id). This is the retrieval shape real
+    pipelines need — predicate + ANN together — and the reason a
+    DataFrame-native vector path beats a bolt-on index: the filter is
+    just another join/pushdown, applied BEFORE any distance math."""
+    e = _emb(spark, sf_dir)
+    en_docs = table(spark, sf_dir, "documents").filter(F.col("lang") == "en").select("doc_id")
+    cand = e.join(en_docs, e.vec_id == en_docs.doc_id).select("vec_id", "emb")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    j = (
+        cand.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qemb"), F.col("emb")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
