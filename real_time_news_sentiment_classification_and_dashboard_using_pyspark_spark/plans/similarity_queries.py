@@ -42,6 +42,19 @@ def _emb(spark, sf_dir) -> DataFrame:
     )
 
 
+def _emb_n(spark, sf_dir) -> DataFrame:
+    """Embeddings with the vector norm precomputed once per row — pair
+    similarity then needs ONE interpreted fold (the cross dot) instead
+    of three. sim = dot(a,b)/(norm_a*norm_b) is the same float sequence
+    as dot/(sqrt(da)*sqrt(db)), so oracle values are unchanged."""
+    e = _emb(spark, sf_dir)
+    return e.withColumn("norm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
+
+
+def _sim(qemb, qnorm, cemb, cnorm) -> Column:
+    return F.round(dot(qemb, cemb) / (qnorm * cnorm), 6)
+
+
 # DuckDB cosine on double-cast lists, rounded to 6dp.
 def _cos_sql(a: str, b: str) -> str:
     return (
@@ -157,14 +170,16 @@ def ivf_cell_assignment(spark, sf_dir):
     build step of the scale-path ANN index — at query time only the
     nearest cells are probed, cutting brute-force cost by ~n_cells.
     Assignment is argmax-by-window with a deterministic tiebreak."""
-    e = _emb(spark, sf_dir)
+    e = _emb_n(spark, sf_dir)
     cent = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
+        F.col("vec_id").alias("centroid_id"),
+        F.col("emb").alias("cemb"),
+        F.col("norm").alias("cnorm"),
     )
     assign = e.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "centroid_id",
-        F.round(cosine(F.col("emb"), F.col("cemb")), 6).alias("cos_sim"),
+        _sim(F.col("emb"), F.col("norm"), F.col("cemb"), F.col("cnorm")).alias("cos_sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("centroid_id"))
     return (
@@ -303,24 +318,33 @@ def ivf_topk_probe(spark, sf_dir):
     query's own cell (nprobe=1). The candidate join is an equi-join on
     the cell id — work scales with cell occupancy, not corpus size;
     recall is traded via nprobe exactly as in a production IVF index."""
-    e = _emb(spark, sf_dir)
+    e = _emb_n(spark, sf_dir)
     cent = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
+        F.col("vec_id").alias("centroid_id"),
+        F.col("emb").alias("cemb"),
+        F.col("norm").alias("cnorm"),
     )
+    # assignment runs on NARROW rows (no embedding through the window
+    # shuffle — shipping the 64-double array through the exchange+sort
+    # was the dominant cost); vectors are re-attached by a cheap id join
     assign = e.crossJoin(F.broadcast(cent)).select(
         "vec_id",
-        "emb",
         "centroid_id",
-        F.round(cosine(F.col("emb"), F.col("cemb")), 6).alias("cos_sim"),
+        _sim(F.col("emb"), F.col("norm"), F.col("cemb"), F.col("cnorm")).alias("cos_sim"),
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("centroid_id"))
-    cells = (
+    cell_of = (
         assign.withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "emb", F.col("centroid_id").alias("cell"))
+        .select("vec_id", F.col("centroid_id").alias("cell"))
     )
+    # cache: the cell assignment feeds BOTH sides of the probe join
+    cells = e.join(cell_of, "vec_id").select("vec_id", "emb", "norm", "cell").cache()
     q = cells.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"), "cell"
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("norm").alias("qnorm"),
+        "cell",
     )
     probe = (
         cells.join(q, "cell")
@@ -328,7 +352,7 @@ def ivf_topk_probe(spark, sf_dir):
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qemb"), F.col("emb")), 6).alias("cos_sim"),
+            _sim(F.col("qemb"), F.col("qnorm"), F.col("emb"), F.col("norm")).alias("cos_sim"),
         )
     )
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
