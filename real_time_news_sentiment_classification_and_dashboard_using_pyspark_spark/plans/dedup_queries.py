@@ -397,3 +397,70 @@ def simhash_pairs(spark, sf_dir):
     # would force a nested-loop plan — quadratic at scale).
     pairs = block_join("hi16").unionByName(block_join("lo16")).distinct()
     return pairs.filter(F.col("hamming") <= 8)
+
+
+@register(
+    "incremental_dedup",
+    oracle=f"""
+WITH fp AS (
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({TOKS})), ' ')) AS fingerprint
+    FROM documents
+),
+corpus AS (SELECT fingerprint FROM fp WHERE doc_id < 250),
+batch AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id >= 250)
+SELECT CAST((SELECT count(*) FROM batch) AS BIGINT) AS n_batch,
+       CAST((SELECT count(*) FROM batch b
+             WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fingerprint = b.fingerprint)) AS BIGINT) AS n_new,
+       CAST((SELECT count(*) FROM batch b
+             WHERE EXISTS (SELECT 1 FROM corpus c WHERE c.fingerprint = b.fingerprint)) AS BIGINT) AS n_dropped
+""",
+    tags=("dedup", "incremental", "anti"),
+)
+def incremental_dedup(spark, sf_dir):
+    """Incremental dedup — the production shape: dedup a NEW BATCH
+    against an existing corpus (here: doc_id >= 250 vs < 250) by
+    fingerprint anti-join, never corpus x corpus. At 100 TB the corpus
+    side is just a bloom filter or a fingerprint table partitioned by
+    prefix; the batch anti-joins against it and only survivors are
+    ingested."""
+    from ..functions.text import stable_fingerprint
+
+    fp = table(spark, sf_dir, "documents").select(
+        "doc_id", stable_fingerprint("text").alias("fingerprint")
+    )
+    corpus = fp.filter(F.col("doc_id") < 250).select("fingerprint")
+    batch = fp.filter(F.col("doc_id") >= 250)
+    n_batch = batch.count()
+    n_new = batch.join(corpus, "fingerprint", "left_anti").count()
+    return spark.createDataFrame(
+        [(n_batch, n_new, n_batch - n_new)],
+        "n_batch bigint, n_new bigint, n_dropped bigint",
+    )
+
+
+@register(
+    "fuzzy_name_match",
+    oracle="""
+SELECT s.s_name, c.c_name,
+       levenshtein(s.s_name, c.c_name) AS edit_distance
+FROM supplier s CROSS JOIN customer c
+WHERE levenshtein(s.s_name, c.c_name) <= 6
+""",
+    tags=("dedup", "fuzzy", "entity-resolution"),
+)
+def fuzzy_name_match(spark, sf_dir):
+    """Fuzzy entity matching: supplier x customer name pairs within
+    Levenshtein distance 6 — the edit-distance member of the near-dup
+    family (entity resolution). Brute force is fine when one side is a
+    small dimension (broadcast); at scale you block first (same prefix /
+    same length band / same fingerprint) and only verify within blocks,
+    exactly like the other dedup operators."""
+    s = table(spark, sf_dir, "supplier").select("s_name")
+    c = table(spark, sf_dir, "customer").select("c_name")
+    return (
+        c.crossJoin(F.broadcast(s))
+        .withColumn("edit_distance", F.levenshtein(F.col("s_name"), F.col("c_name")))
+        .filter(F.col("edit_distance") <= 6)
+        .select("s_name", "c_name", "edit_distance")
+    )

@@ -1373,3 +1373,35 @@ def user_value_trend_pandas(spark, sf_dir):
     return base.groupBy("user_id").applyInPandas(
         ols, "user_id bigint, n_events bigint, slope double"
     )
+
+
+@register(
+    "acctbal_quartiles",
+    oracle="""
+WITH q AS (
+    SELECT c_acctbal,
+           ntile(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
+    FROM customer
+)
+SELECT quartile,
+       count(*) AS n_customers,
+       round(min(c_acctbal), 2) AS min_bal,
+       round(max(c_acctbal), 2) AS max_bal
+FROM q GROUP BY quartile
+""",
+    tags=("window", "ntile", "agg"),
+)
+def acctbal_quartiles(spark, sf_dir):
+    """NTILE quartile bucketing over a global order (deterministic via
+    the custkey tiebreak) + per-bucket stats — the equal-population
+    binning counterpart of the fixed-width histogram (G6). The global
+    sort is the scale caveat: at 100 TB use approx quantile cut points
+    instead of a total order."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    q = c.select("c_acctbal", F.ntile(4).over(w).alias("quartile"))
+    return q.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
