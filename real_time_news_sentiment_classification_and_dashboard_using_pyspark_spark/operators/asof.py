@@ -38,20 +38,23 @@ def asof_join(
 ) -> DataFrame:
     """Left as-of join; output = all left columns + ``right_cols``
     (null where no right row is <= the left timestamp)."""
-    r_types = dict(right.dtypes)
+    # The right payload travels as ONE struct so last(ignorenulls) picks
+    # a whole right row atomically — filling each column independently
+    # would back-fill a legitimately-NULL field from an older right row,
+    # mixing columns across rows and breaking as-of semantics.
     r = right.select(
         F.col(right_on).alias("_k"),
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_tag"),
         F.lit(None).alias("_l"),  # retyped below
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("_r"),
     )
     l = left.select(
         F.col(left_on).alias("_k"),
         F.col(left_ts).alias("_t"),
         F.lit(1).alias("_tag"),
         F.struct(*left.columns).alias("_l"),
-        *[F.lit(None).cast(r_types[c]).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None).cast(r.schema["_r"].dataType).alias("_r"),
     )
     r = r.withColumn("_l", F.lit(None).cast(l.schema["_l"].dataType))
     unioned = l.unionByName(r.select(l.columns))
@@ -61,8 +64,7 @@ def asof_join(
         .orderBy(F.col("_t").asc(), F.col("_tag").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    for c in right_cols:
-        unioned = unioned.withColumn(f"_r_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w))
+    unioned = unioned.withColumn("_r", F.last("_r", ignorenulls=True).over(w))
     return unioned.filter(F.col("_tag") == 1).select(
-        F.col("_l.*"), *[F.col(f"_r_{c}").alias(c) for c in right_cols]
+        F.col("_l.*"), *[F.col(f"_r.{c}").alias(c) for c in right_cols]
     )

@@ -77,9 +77,15 @@ def extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_features",
     oracle="""
 WITH p AS (
+    -- first byte computed from the BLOB (first UTF-8 byte, -1 when
+    -- empty) to match _decode_payload exactly — ascii() would return
+    -- the Unicode codepoint (and 0 for empty), diverging on any
+    -- non-ASCII or empty document
     SELECT source,
            octet_length(encode(text)) AS pb,
-           ascii(substr(text, 1, 1)) AS fb
+           CASE WHEN octet_length(encode(text)) = 0 THEN -1
+                ELSE ('0x' || substr(hex(encode(text)), 1, 2))::INT
+           END AS fb
     FROM documents
 )
 SELECT source,

@@ -242,45 +242,83 @@ def embedding_near_dup_pairs(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs — the vector-space member of
     the dedup family: all pairs above a similarity radius (exact).
 
-    Implementation: Arrow-batched mapInPandas doing a numpy block
-    matmul of each partition against a broadcast normalized matrix.
-    This is the one operator where the expression route measurably
-    loses: Spark's higher-order aggregate is CodegenFallback
-    (interpreted per pair), costing 86s at sf0.1 vs 6s for BLAS —
-    exactly the 'drop to mapInPandas when built-ins can't do it fast'
-    case. Values still match the DuckDB oracle bit-for-bit at 6dp
-    (verified: 0 mismatches over all sf0.01 pairs).
+    Implementation: block-grid self-join, fully distributed. Rows are
+    assigned to B blocks (vec_id % B); a tiny broadcast grid enumerates
+    the B*(B+1)/2 unordered block pairs; cogrouped applyInPandas runs a
+    numpy block matmul per (bi, bj) group. Every unordered row pair
+    lands in exactly one group (same-block pairs filtered by id order,
+    cross-block pairs normalized to (min_id, max_id)), so the result is
+    the exact all-pairs set with ZERO corpus-sized driver state — no
+    collect(), no broadcast of the matrix. Expressions stay out of the
+    kernel because Spark's higher-order aggregate is CodegenFallback
+    (interpreted per pair): 86s at sf0.1 vs ~2s for BLAS.
 
-    Scale: the broadcast matrix is the index build (like a broadcast
-    join's build side); past broadcast size, shard the corpus into IVF
-    cells (ivf_topk_probe) and run this same block kernel per cell."""
+    Scale: work is O(n^2) matmul — intrinsic to the EXACT operator —
+    but it is spread over B*(B+1)/2 independent tasks whose input is
+    n*(B+1)/B rows per side; B scales with cluster width, and each
+    task's memory is (n/B)^2 sims, bounded by choosing B ~ n/block_rows.
+    For sub-quadratic *approximate* dedup use the LSH / IVF family
+    (hyperplane_lsh_buckets, ivf_topk_probe) as the candidate generator
+    feeding this same kernel."""
     import numpy as np
     import pandas as pd
 
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    rows = e.collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mn))
+    n_blocks = 8
 
-    def block(batches):
-        bids, bm = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            a = np.array(list(pdf["embedding"]), dtype=np.float64)
-            an = a / np.linalg.norm(a, axis=1, keepdims=True)
-            aids = pdf["vec_id"].to_numpy()
-            sims = np.round(an @ bm.T, 6)
-            ai, bj = np.nonzero(sims >= 0.3)
-            va, vb = aids[ai], bids[bj]
+    # Each cogroup side gets its OWN scan + grid (fresh lineage) —
+    # sharing one DataFrame across both sides of the cogroup trips
+    # Spark's ambiguous-self-join detection.
+    def _side(role: str) -> DataFrame:
+        e = table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", (F.col("vec_id") % n_blocks).cast("int").alias("blk")
+        )
+        grid = (
+            spark.range(n_blocks).select(F.col("id").cast("int").alias("bi"))
+            .crossJoin(spark.range(n_blocks).select(F.col("id").cast("int").alias("bj")))
+            .filter(F.col("bi") <= F.col("bj"))
+        )
+        return e.join(F.broadcast(grid), e.blk == grid[role]).select(
+            "bi", "bj", "vec_id", "embedding"
+        )
+
+    left = _side("bi")
+    right = _side("bj")
+
+    def block_pair(key, lpdf, rpdf):
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series(dtype="int64"),
+                "vec_b": pd.Series(dtype="int64"),
+                "cos_sim": pd.Series(dtype="float64"),
+            }
+        )
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return empty
+        a = np.array(list(lpdf["embedding"]), dtype=np.float64)
+        b = np.array(list(rpdf["embedding"]), dtype=np.float64)
+        an = a / np.linalg.norm(a, axis=1, keepdims=True)
+        bn = b / np.linalg.norm(b, axis=1, keepdims=True)
+        aids = lpdf["vec_id"].to_numpy()
+        bids = rpdf["vec_id"].to_numpy()
+        sims = np.round(an @ bn.T, 6)
+        ai, bj = np.nonzero(sims >= 0.3)
+        va, vb, s = aids[ai], bids[bj], sims[ai, bj]
+        if key[0] == key[1]:
+            # same block on both sides: each unordered pair appears twice
+            # (plus the diagonal) — keep the id-ordered copy only
             keep = va < vb
-            yield pd.DataFrame(
-                {"vec_a": va[keep], "vec_b": vb[keep], "cos_sim": sims[ai, bj][keep]}
-            )
+            va, vb, s = va[keep], vb[keep], s[keep]
+        else:
+            # disjoint blocks: each unordered pair appears exactly once;
+            # normalize orientation
+            va, vb = np.minimum(va, vb), np.maximum(va, vb)
+        return pd.DataFrame({"vec_a": va, "vec_b": vb, "cos_sim": s})
 
-    return e.repartition(32).mapInPandas(block, "vec_a bigint, vec_b bigint, cos_sim double")
+    return (
+        left.groupby("bi", "bj")
+        .cogroup(right.groupby("bi", "bj"))
+        .applyInPandas(block_pair, "vec_a bigint, vec_b bigint, cos_sim double")
+    )
 
 
 @register(
@@ -381,7 +419,7 @@ dots AS (
 ),
 buckets AS (
     SELECT vec_id,
-           CAST(sum(CASE WHEN dot > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+           CAST(sum(CASE WHEN round(dot, 6) > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
     FROM dots GROUP BY vec_id
 )
 SELECT bucket, count(*) AS n_vectors
@@ -421,9 +459,12 @@ def hyperplane_lsh_buckets(spark, sf_dir):
         .groupBy("vec_id", "j")
         .agg(F.sum(F.col("x") * F.col("s")).alias("dot"))
     )
+    # round before the sign test (registry convention: round before any
+    # threshold) — an unrounded 64-term float sum near zero can land on
+    # opposite signs between Spark's and DuckDB's addition orders
     buckets = dots.groupBy("vec_id").agg(
         F.sum(
-            F.when(F.col("dot") > 0, F.pow(F.lit(2.0), F.col("j")).cast("bigint")).otherwise(0)
+            F.when(F.round(F.col("dot"), 6) > 0, F.pow(F.lit(2.0), F.col("j")).cast("bigint")).otherwise(0)
         )
         .cast("bigint")
         .alias("bucket")

@@ -86,20 +86,24 @@ def generate_batches(
     n_batches: int = 3,
     interval_seconds: float = 0.0,
     fetcher: Fetcher = synthetic_fetcher,
+    start_index: int = 0,
 ) -> list[str]:
     """Drop NDJSON batch files into the watched directory — the
     generator loop of streaming_pipeline.py:258-308, with injectable
-    fetch and zero-sleep mode for tests."""
+    fetch and zero-sleep mode for tests. ``start_index`` offsets the
+    batch ids (and therefore filenames): Spark's file source tracks seen
+    files BY NAME, so a caller landing batches incrementally must never
+    reuse a filename or the stream silently drops the batch."""
     out = Path(input_dir)
     out.mkdir(parents=True, exist_ok=True)
     written = []
-    for b in range(n_batches):
+    for b in range(start_index, start_index + n_batches):
         path = out / f"batch_{b}_{1700000000 + b}.json"
         with open(path, "w") as f:
             for article in fetcher(b):
                 f.write(json.dumps(article) + "\n")
         written.append(str(path))
-        if interval_seconds and b < n_batches - 1:
+        if interval_seconds and b < start_index + n_batches - 1:
             time.sleep(interval_seconds)
     return written
 
@@ -114,6 +118,9 @@ def run_ingest_loop(
     sleep. Yields each written file path; cap with max_iterations."""
     b = 0
     while max_iterations is None or b < max_iterations:
-        yield from generate_batches(input_dir, n_batches=1, fetcher=lambda _: fetcher(b))
+        # start_index threads the loop counter into the filename — each
+        # iteration lands a NEW file (batch_b_...) instead of rewriting
+        # batch_0, which the file source would ignore as already-seen
+        yield from generate_batches(input_dir, n_batches=1, fetcher=fetcher, start_index=b)
         b += 1
         time.sleep(interval_seconds)

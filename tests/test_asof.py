@@ -37,6 +37,23 @@ def test_asof_inclusive_tie(spark):
     assert out.head()["name"] == "same-instant"
 
 
+def test_asof_null_field_stays_with_its_row(spark):
+    """A matched right row with a NULL in one column must deliver that
+    NULL — not back-fill the column from an older right row (row-level
+    as-of semantics; the right payload travels as one struct)."""
+    left = spark.createDataFrame([(1, 30, "e")], "k bigint, t bigint, ev string") \
+        .selectExpr("k", "timestamp_micros(t * 1000000) AS t", "ev")
+    right = spark.createDataFrame(
+        [(1, 10, "old-name", 5.0), (1, 20, None, 7.0)],
+        "k bigint, t bigint, name string, price double",
+    ).selectExpr("k AS rk", "timestamp_micros(t * 1000000) AS rt", "name", "price")
+    out = asof_join(left, right, "k", "rk", "t", "rt", ["name", "price"])
+    row = out.head()
+    # the t=20 row wins; its name is legitimately NULL and must stay NULL
+    assert row["price"] == 7.0
+    assert row["name"] is None
+
+
 def test_asof_preserves_left_rowcount(spark):
     left = spark.range(100).selectExpr(
         "id AS k", "timestamp_micros(id * 1000000) AS t", "id AS payload"
