@@ -1,4 +1,5 @@
 from .pipeline import (
+    batch_fanout,
     dedup_within_watermark,
     scored_stream,
     start_pipeline,
@@ -6,6 +7,7 @@ from .pipeline import (
 )
 
 __all__ = [
+    "batch_fanout",
     "dedup_within_watermark",
     "scored_stream",
     "start_pipeline",
