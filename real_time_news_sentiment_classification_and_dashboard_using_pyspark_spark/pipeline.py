@@ -39,7 +39,7 @@ FINAL_COLUMNS = [
 ]
 
 
-def transform_articles(df: DataFrame) -> DataFrame:
+def transform_articles(df: DataFrame, polarity_fn=polarity_expr) -> DataFrame:
     """Project -> clean -> filter -> concat -> score -> classify ->
     confidence -> final projection. Pure narrow transformations: works
     identically on a batch or streaming DataFrame, no shuffle at all.
@@ -54,6 +54,11 @@ def transform_articles(df: DataFrame) -> DataFrame:
       (work.py:245-248);
     - classify thresholds +-0.1 exclusive, null -> Neutral
       (work.py:96-105); confidence 0.5/0.2 (streaming_pipeline.py:146-151).
+
+    ``polarity_fn`` swaps the scorer (column-expression signature):
+    default is the zero-shuffle expression lexicon; pass
+    ``functions.pattern_parity.parity_polarity_expr`` for bit-identical
+    TextBlob golden parity (tests/test_textblob_parity.py).
     """
     projected = repair_schema(df)
     cleaned = projected.withColumns(
@@ -69,7 +74,7 @@ def transform_articles(df: DataFrame) -> DataFrame:
         filtered.withColumn(
             "combined_text", F.concat_ws(" ", "title_clean", "text_clean")
         )
-        .withColumn("polarity", polarity_expr(F.col("combined_text")))
+        .withColumn("polarity", polarity_fn(F.col("combined_text")))
         .withColumn("sentiment", classify_expr("polarity"))
         .withColumn("sentiment_confidence", confidence_expr("polarity"))
         .withColumn("processing_time", F.current_timestamp())
