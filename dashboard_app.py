@@ -22,6 +22,10 @@ except ImportError:  # pragma: no cover
 from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark import (  # noqa: E402
     get_spark,
 )
+from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.charts import (  # noqa: E402
+    histogram_svg,
+    pie_svg,
+)
 from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.serving import (  # noqa: E402
     dashboard_metrics,
 )
@@ -51,8 +55,12 @@ def main() -> None:  # pragma: no cover - interactive
     c3.metric("Negative", f"{m['class_pcts']['Negative']:.1f}%")
     c4.metric("Avg polarity", f"{m['avg_polarity']:.3f}" if m["avg_polarity"] is not None else "n/a")
 
+    # pie + histogram rendered engine-side as dependency-free SVG
+    # (A13 parity with the reference's matplotlib pie, work.py:333-341)
+    left, right = st.columns(2)
+    left.markdown(pie_svg(m["class_counts"]), unsafe_allow_html=True)
+    right.markdown(histogram_svg(m["histogram"]), unsafe_allow_html=True)
     st.bar_chart(m["class_counts"])
-    st.bar_chart(m["histogram"])
     st.subheader("Recent headlines")
     st.table(m["top_headlines"])
 

@@ -429,13 +429,16 @@ def incremental_dedup(spark, sf_dir):
     fp = table(spark, sf_dir, "documents").select(
         "doc_id", stable_fingerprint("text").alias("fingerprint")
     )
-    corpus = fp.filter(F.col("doc_id") < 250).select("fingerprint")
+    # ONE lazy plan: mark each batch row by a left join against the
+    # distinct corpus fingerprints, then a single aggregate emits all
+    # three counters — no driver-side .count() actions, one job total.
+    corpus = fp.filter(F.col("doc_id") < 250).select("fingerprint").distinct()
     batch = fp.filter(F.col("doc_id") >= 250)
-    n_batch = batch.count()
-    n_new = batch.join(corpus, "fingerprint", "left_anti").count()
-    return spark.createDataFrame(
-        [(n_batch, n_new, n_batch - n_new)],
-        "n_batch bigint, n_new bigint, n_dropped bigint",
+    marked = batch.join(corpus.withColumn("_hit", F.lit(1)), "fingerprint", "left")
+    return marked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_batch"),
+        F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0)).cast("bigint").alias("n_new"),
+        F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_dropped"),
     )
 
 

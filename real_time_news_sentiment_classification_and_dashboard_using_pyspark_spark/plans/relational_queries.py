@@ -824,16 +824,23 @@ def segment_set_ops(spark, sf_dir):
     """INTERSECT / EXCEPT (distinct set semantics) — the set-operation
     surface beyond UNION (SURVEY §2.D notes the reference has none).
     Spark plans these as left-semi / left-anti aggregates, so they cost
-    one shuffle each on the compared column."""
+    one shuffle each on the compared column.
+
+    Rendered as ONE lazy plan: each set-op count is a single-row
+    aggregate and the two scalars meet in a crossJoin of 1x1 frames —
+    no driver action inside the query function, one job at execution
+    time instead of two collect-then-re-upload round trips."""
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     big = o.filter(F.col("o_totalprice") > 150000).select(F.col("o_custkey").alias("c")).distinct()
     building = c.filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("c"))
-    n_both = big.intersect(building).count()
-    n_building_only = building.exceptAll(big).distinct().count()
-    return spark.createDataFrame(
-        [(n_both, n_building_only)], "n_both bigint, n_building_only bigint"
+    n_both = big.intersect(building).agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    n_building_only = (
+        building.exceptAll(big)
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_building_only"))
     )
+    return n_both.crossJoin(n_building_only)
 
 
 @register(
@@ -1401,6 +1408,73 @@ def acctbal_quartiles(spark, sf_dir):
     w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
     q = c.select("c_acctbal", F.ntile(4).over(w).alias("quartile"))
     return q.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+
+
+@register(
+    "acctbal_quartiles_approx",
+    oracle="""
+WITH c AS (
+    SELECT c_acctbal, CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer
+),
+cuts AS (
+    SELECT quantile_cont(cents, 0.25) AS q1,
+           quantile_cont(cents, 0.50) AS q2,
+           quantile_cont(cents, 0.75) AS q3
+    FROM c
+)
+SELECT CASE WHEN cents <= q1 THEN 1
+            WHEN cents <= q2 THEN 2
+            WHEN cents <= q3 THEN 3
+            ELSE 4 END AS quartile,
+       count(*) AS n_customers,
+       round(min(c_acctbal), 2) AS min_bal,
+       round(max(c_acctbal), 2) AS max_bal
+FROM c, cuts
+GROUP BY quartile
+""",
+    tags=("agg", "quantile", "scale"),
+)
+def acctbal_quartiles_approx(spark, sf_dir):
+    """Quartile binning WITHOUT a global sort — the 100 TB rendering of
+    ``acctbal_quartiles``. Cut points come from a distributed percentile
+    aggregate (partial-merge, one output row), broadcast back onto the
+    table, and rows are bucketed by pure CASE expressions. The plan has
+    no window at all, so there is no single-partition funnel; cost is
+    two scans + an O(1) broadcast.
+
+    Determinism across engines: balances are converted to integer CENTS
+    first, so the quartile interpolation ``a + (b - a) * {0.25,0.5,0.75}``
+    runs on integer-valued doubles with power-of-two fractions — exact
+    in IEEE arithmetic, bit-identical on Spark and DuckDB, and the
+    bucket comparison needs no rounding at all (the round-before-
+    threshold convention is unnecessary when the math is exact).
+
+    Tie semantics differ from NTILE by design: equal balances land in
+    the same bucket (value-based binning), whereas NTILE splits ties to
+    force equal populations — the classic accuracy/scalability trade of
+    percentile bucketing."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_acctbal",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    cuts = c.agg(
+        F.expr("percentile(cents, 0.25)").alias("q1"),
+        F.expr("percentile(cents, 0.50)").alias("q2"),
+        F.expr("percentile(cents, 0.75)").alias("q3"),
+    )
+    bucketed = c.crossJoin(F.broadcast(cuts)).select(
+        "c_acctbal",
+        F.when(F.col("cents") <= F.col("q1"), 1)
+        .when(F.col("cents") <= F.col("q2"), 2)
+        .when(F.col("cents") <= F.col("q3"), 3)
+        .otherwise(4)
+        .alias("quartile"),
+    )
+    return bucketed.groupBy("quartile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.min("c_acctbal"), 2).alias("min_bal"),
         F.round(F.max("c_acctbal"), 2).alias("max_bal"),

@@ -309,7 +309,9 @@ def keyword_search_bm25(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens("text")).alias("word"))
     doclen = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    n_docs = d.count()
+    # corpus stats stay IN the plan as single-row aggregates broadcast
+    # into the score (no eager d.count() driver action)
+    n_docs_df = d.agg(F.count(F.lit(1)).alias("n_docs"))
     avg_dl_df = doclen.agg(F.avg("dl").alias("avg_dl"))
     tf = (
         tok.filter(F.col("word").isin(*_BM25_TERMS))
@@ -318,7 +320,7 @@ def keyword_search_bm25(spark, sf_dir):
     )
     df_t = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     k1, b = _BM25_K1, _BM25_B
-    idf = F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
     tf_norm = (
         F.col("tf") * (k1 + 1)
         / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avg_dl")))
@@ -327,6 +329,7 @@ def keyword_search_bm25(spark, sf_dir):
         tf.join(F.broadcast(df_t), "word")
         .join(doclen, "doc_id")
         .crossJoin(F.broadcast(avg_dl_df))
+        .crossJoin(F.broadcast(n_docs_df))
         .groupBy("doc_id")
         .agg(F.sum(idf * tf_norm).alias("score"))
     )

@@ -66,6 +66,56 @@ def stream_articles(spark: SparkSession, input_dir: str) -> DataFrame:
     )
 
 
+def read_articles_mixed(spark: SparkSession, path: str) -> DataFrame:
+    """Mixed-format directory scan (A12): per file, NDJSON if every line
+    parses, else whole-file (multiLine) JSON — object or array — else
+    skip the file. Reference: streamlit_app.py:101-109 (pd.read_json
+    lines=True, fallback json.load, ``except: continue``).
+
+    Spark-first shape: ONE permissive NDJSON scan classifies every file
+    (corrupt-line count per input_file_name — the collect is one row per
+    FILE, like any directory listing, never per row); clean files keep
+    their rows from that same scan, dirty files are re-read in a second
+    multiLine scan where DROPMALFORMED discards the unparseable ones.
+    Two scans total regardless of file count."""
+    schema_c = StructType(ARTICLE_SCHEMA.fields + [StructField("_corrupt_record", StringType(), True)])
+    raw = (
+        spark.read.schema(schema_c)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .withColumn("_file", F.input_file_name())
+        # cache: (a) Spark forbids queries touching ONLY _corrupt_record
+        # on a raw scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — caching
+        # materializes the full parse; (b) the classifier agg and the
+        # clean-file rows then share one parse pass
+        .cache()
+    )
+    per_file = raw.groupBy("_file").agg(
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)).alias("bad")
+    ).collect()
+    clean = [r["_file"] for r in per_file if r["bad"] == 0]
+    dirty = [r["_file"] for r in per_file if r["bad"] > 0]
+    parts = []
+    if clean:
+        parts.append(
+            raw.filter(F.col("_file").isin(clean)).drop("_corrupt_record", "_file")
+        )
+    if dirty:
+        parts.append(
+            spark.read.schema(ARTICLE_SCHEMA)
+            .option("multiLine", True)
+            .option("mode", "DROPMALFORMED")
+            .json(dirty)
+        )
+    if not parts:
+        return spark.createDataFrame([], ARTICLE_SCHEMA)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def repair_schema(df: DataFrame) -> DataFrame:
     """Schema-repair projection (B3: work.py:135-138,
     streamlit_app.py:120-126): force required columns into existence as

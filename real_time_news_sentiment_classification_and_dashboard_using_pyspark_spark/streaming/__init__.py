@@ -2,6 +2,7 @@ from .pipeline import (
     batch_fanout,
     dedup_within_watermark,
     scored_stream,
+    session_counts,
     start_pipeline,
     windowed_counts,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "batch_fanout",
     "dedup_within_watermark",
     "scored_stream",
+    "session_counts",
     "start_pipeline",
     "windowed_counts",
 ]

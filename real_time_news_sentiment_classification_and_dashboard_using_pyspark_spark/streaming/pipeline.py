@@ -28,7 +28,9 @@ def scored_stream(spark: SparkSession, input_dir: str) -> DataFrame:
     return transform_articles(stream_articles(spark, input_dir))
 
 
-def batch_fanout(output_dir: str, memory_table: str = "news_sentiment"):
+def batch_fanout(
+    output_dir: str, memory_table: str = "news_sentiment", console: bool = False
+):
     """Build the foreachBatch fan-out callable (module-level so tests can
     drive the at-least-once retry path directly with a static batch).
 
@@ -41,7 +43,11 @@ def batch_fanout(output_dir: str, memory_table: str = "news_sentiment"):
       count rows, seeded once per process from the committed metrics
       sink (O(batches) rows — never the corpus). Each refresh publishes
       a LocalRelation; no trigger rescans ``scored/``. Driver-side twin
-      of ``stateful.running_sentiment_totals``."""
+      of ``stateful.running_sentiment_totals``.
+    - ``console=True`` adds the reference's console sink (A6,
+      streaming_pipeline.py:196-203) as a debug print of each
+      micro-batch — inside the same single query, not a second
+      competing streaming query."""
     totals: dict[str, int] = {}
     applied: set[int] = set()
     seeded = False
@@ -69,6 +75,9 @@ def batch_fanout(output_dir: str, memory_table: str = "news_sentiment"):
         _seed(session)
         batch_df.persist()
         try:
+            if console:
+                print(f"-------- micro-batch {batch_id} --------")
+                batch_df.show(20, truncate=24)
             (
                 batch_df.withColumn("batch_id", F.lit(batch_id))
                 .write.mode("overwrite")
@@ -112,6 +121,7 @@ def start_pipeline(
     available_now: bool = False,
     trigger_seconds: int = 10,
     memory_table: str = "news_sentiment",
+    console: bool = False,
 ) -> StreamingQuery:
     """Single-query fan-out (fixes J4): per micro-batch, persist once,
     then (1) write scored rows to a batch_id-partitioned parquet sink,
@@ -124,7 +134,7 @@ def start_pipeline(
     deterministic test/backfill mode (subsumes the reference's
     fetch/sleep polling loop, work.py:357-389)."""
     scored = scored_stream(spark, input_dir)
-    process_batch = batch_fanout(output_dir, memory_table)
+    process_batch = batch_fanout(output_dir, memory_table, console=console)
 
     writer = (
         scored.writeStream.foreachBatch(process_batch)
@@ -160,6 +170,39 @@ def windowed_counts(
             ),
             key_col,
             "cnt",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked SESSION windows — dynamic-length event-time windows
+    that close after ``gap`` of inactivity (F.session_window), completing
+    the event-time surface next to the tumbling/sliding aggregations.
+    Batch twin: the lag/cumsum sessionization in ``event_sessions``
+    (plans/relational_queries.py); the streaming test asserts equality.
+
+    State per key is one open session (merged on arrival), evicted once
+    the watermark passes its close — bounded regardless of stream
+    length, unlike the batch rendering's full-history window sort."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format(F.col("session_window.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            key_col,
+            "n_events",
         )
     )
 

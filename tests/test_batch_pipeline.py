@@ -17,6 +17,7 @@ from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.p
 )
 from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.sources.articles import (
     read_articles,
+    read_articles_mixed,
 )
 
 FIXTURE = [
@@ -91,6 +92,29 @@ def test_summary_percentages(spark, article_file):
     assert summary["Neutral"][0] == 1
     assert sum(c for c, _ in summary.values()) == 4
     assert sum(p for _, p in summary.values()) == pytest.approx(100.0)
+
+
+def test_mixed_dir_ndjson_array_object_garbage(spark, tmp_path):
+    """A12 reference semantics (streamlit_app.py:101-109): per file,
+    NDJSON -> whole-file JSON (array OR single object) -> skip."""
+    d = tmp_path / "mixed"
+    d.mkdir()
+    with open(d / "lines.json", "w") as f:
+        for row in FIXTURE[:2]:
+            f.write(json.dumps(row) + "\n")
+    with open(d / "array.json", "w") as f:
+        json.dump(FIXTURE[2:4], f, indent=2)  # pretty-printed array
+    with open(d / "object.json", "w") as f:
+        json.dump(FIXTURE[5], f, indent=2)  # single pretty-printed object
+    with open(d / "garbage.json", "w") as f:
+        f.write("<html>not json at all</html>\n")
+
+    got = read_articles_mixed(spark, str(d))
+    assert sorted(r["id"] for r in got.select("id").collect()) == [
+        "a1", "a2", "a3", "a4", "a6",
+    ]
+    # nested publisher struct survives the multiLine path too
+    assert got.filter(F.col("id") == "a6").head()["source"]["name"] == "Wire"
 
 
 def test_schema_repair_tolerates_missing_columns(spark):

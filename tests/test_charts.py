@@ -1,0 +1,64 @@
+"""Chart-sink tests (A13): deterministic SVG pie/histogram from the
+serving metrics dict, PNG path import-gated."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.charts import (
+    histogram_svg,
+    pie_svg,
+    save_sentiment_chart,
+)
+
+
+def test_pie_has_one_slice_per_nonzero_class():
+    svg = pie_svg({"Positive": 2, "Neutral": 1, "Negative": 1})
+    assert svg.count("<path") == 3
+    assert "Positive: 2 (50.0%)" in svg
+    # deterministic: identical input -> identical bytes
+    assert svg == pie_svg({"Positive": 2, "Neutral": 1, "Negative": 1})
+
+
+def test_pie_single_class_is_full_circle():
+    svg = pie_svg({"Positive": 5, "Neutral": 0, "Negative": 0})
+    assert "<circle" in svg and "<path" not in svg
+
+
+def test_pie_empty_renders_no_data_frame():
+    assert "no data" in pie_svg({"Positive": 0, "Neutral": 0, "Negative": 0})
+
+
+def test_pie_slice_angles_sum_to_circle():
+    # the last emitted arc must end at 2*pi (floating angles accumulate)
+    counts = {"Positive": 7, "Neutral": 2, "Negative": 4}
+    total = sum(counts.values())
+    angle = 0.0
+    for c in ("Positive", "Neutral", "Negative"):
+        angle += 2 * math.pi * counts[c] / total
+    assert angle == pytest.approx(2 * math.pi)
+
+
+def test_histogram_bars_match_bins():
+    svg = histogram_svg([0, 3, 1])
+    assert svg.count("<rect") == 3
+    assert "bin 1: 3" in svg
+
+
+def test_save_svg_and_png_gate(tmp_path):
+    metrics = {"class_counts": {"Positive": 1, "Neutral": 1, "Negative": 0}}
+    out = save_sentiment_chart(metrics, str(tmp_path / "dist.svg"))
+    assert open(out).read().startswith("<svg")
+    try:
+        import matplotlib  # noqa: F401
+
+        has_mpl = True
+    except ImportError:
+        has_mpl = False
+    if not has_mpl:
+        with pytest.raises(NotImplementedError):
+            save_sentiment_chart(metrics, str(tmp_path / "dist.png"))
+    else:  # pragma: no cover - container has no matplotlib
+        assert save_sentiment_chart(metrics, str(tmp_path / "dist.png"))

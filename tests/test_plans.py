@@ -79,3 +79,23 @@ def test_simhash_blocking_is_hash_join_not_nested_loop(spark):
     plan = plan_of(spark, "simhash_pairs")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quartiles_approx_has_no_window(spark):
+    """The scale-safe quartile rendering must not contain ANY window
+    (the exact NTILE twin's single-partition sort is what it exists to
+    avoid); cut-points arrive via broadcast."""
+    plan = plan_of(spark, "acctbal_quartiles_approx")
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_embedding_near_dup_is_distributed_block_cogroup(spark):
+    """The all-pairs kernel must be a cogrouped FlatMapCoGroupsInPandas
+    over block pairs fed by broadcast grid joins — not the old rendering
+    that collect()ed the corpus into a driver-side broadcast matrix."""
+    plan = plan_of(spark, "embedding_near_dup_pairs")
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "BroadcastExchange" in plan  # the tiny block-pair grid
+    # both sides are real file scans, not driver-materialized rows
+    assert plan.count("Scan parquet") >= 2

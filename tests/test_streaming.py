@@ -14,6 +14,7 @@ from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.s
 from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.streaming import (
     batch_fanout,
     dedup_within_watermark,
+    session_counts,
     start_pipeline,
     windowed_counts,
 )
@@ -124,6 +125,20 @@ def test_batch_retry_is_idempotent(spark, tmp_path):
     assert view == {"Positive": 2, "Negative": 1}
 
 
+def test_console_sink_prints_batch(spark, tmp_path, capsys):
+    """A6: the console debug sink prints each micro-batch's rows from
+    inside the single-query fan-out."""
+    out = tmp_path / "out"
+    fanout = batch_fanout(str(out), memory_table="console_view", console=True)
+    batch = spark.createDataFrame(
+        [("id1", "Positive", 0.5)], "id string, sentiment string, polarity double"
+    )
+    fanout(batch, 7)
+    printed = capsys.readouterr().out
+    assert "micro-batch 7" in printed
+    assert "Positive" in printed
+
+
 def test_view_totals_seeded_from_metrics_on_restart(spark, tmp_path):
     """A fresh process (new fanout closure) must recover prior totals
     from the committed metrics sink — O(batches) rows, read once — and
@@ -181,6 +196,66 @@ def test_windowed_counts_match_batch_oracle(spark, tmp_path):
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
+    }
+    assert got == expected
+
+
+def test_session_windows_match_batch_sessionization(spark, tmp_path):
+    """Stream the events table through watermarked session windows
+    (30 min gap) and assert exact equality with the batch lag/cumsum
+    sessionization — the same cross-check pattern windowed_counts has."""
+    src = tmp_path / "events_json"
+    events = events_with_ts(spark, SF)
+    events.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        "user_id",
+    ).coalesce(2).write.mode("overwrite").json(str(src))
+
+    stream = (
+        spark.readStream.schema("event_id bigint, ts_str string, user_id bigint")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts_str"))
+    )
+    agg = session_counts(stream, ts_col="ts", key_col="user_id", gap="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("session_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM session_stream").collect()
+    }
+
+    # batch twin: gap > 30 min starts a new session; session_window's
+    # end = last event ts + gap
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    sess = (
+        events.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            (F.col("prev").isNull())
+            | ((F.col("ts").cast("double") - F.col("prev").cast("double")) >= 30 * 60),
+        )
+        .withColumn("sess_id", F.sum(F.col("new_sess").cast("int")).over(w))
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            F.date_format(
+                F.max("ts") + F.expr("INTERVAL 30 MINUTES"), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            ).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    expected = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in sess.collect()
     }
     assert got == expected
 
