@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators.skew import salted_agg
 from ..sources.tables import events_with_ts, table
 from .registry import register
 
@@ -358,6 +359,105 @@ def customers_without_orders(spark, sf_dir):
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "salted_event_type_stats",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY event_type
+""",
+    tags=("agg", "skew", "salted"),
+)
+def salted_event_type_stats(spark, sf_dir):
+    """Two-phase SALTED aggregation over the 5-value ``event_type``
+    column — the explicit skew rendering for a hot grouping key AQE
+    can't split (operators/skew.py). Phase 1 spreads each hot key over
+    16 (key, salt) reducers; phase 2 merges 16 partial rows per key.
+    The result is identical to the plain groupBy (salting only reorders
+    the algebraic merge), so the oracle is the plain SQL aggregate —
+    exactly the property that makes salting safe to deploy."""
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    merged = salted_agg(
+        e,
+        "event_type",
+        {
+            "n_events": (F.count(F.lit(1)), F.sum("n_events")),
+            "total_value": (F.sum("value"), F.sum("total_value")),
+        },
+    )
+    return merged.select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round("total_value", 2).alias("total_value"),
+    )
+
+
+@register(
+    "waiting_suppliers",
+    oracle="""
+WITH late AS (
+    SELECT DISTINCT l.l_orderkey, l.l_suppkey
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS n_waiting_orders
+FROM late t
+JOIN supplier s ON s.s_suppkey = t.l_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = t.l_orderkey AND l2.l_suppkey <> t.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = t.l_orderkey AND l3.l_suppkey <> t.l_suppkey)
+GROUP BY s.s_name
+ORDER BY n_waiting_orders DESC, s.s_name ASC
+LIMIT 10
+""",
+    tags=("join", "semi", "anti", "topk"),
+)
+def waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    this schema: lateness = shipped > 90 days after the order date. For
+    each late (order, supplier): the order must involve ANOTHER supplier
+    (correlated EXISTS -> left-semi with an extra non-equi conjunct) but
+    NO other supplier may be late on it (correlated NOT EXISTS ->
+    left-anti) — the densest correlated-subquery shape in the TPC-H
+    suite, planned as two hash joins on l_orderkey.
+
+    Scale: every join is keyed on l_orderkey, so all three legs co-
+    partition on one shuffle key; the `late` set is filtered before
+    either semi/anti probe, and the final agg carries one row per
+    (supplier, order)."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    s = table(spark, sf_dir, "supplier")
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    others = l.select(F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp"))
+    late_others = late.select(
+        F.col("l_orderkey").alias("a_key"), F.col("l_suppkey").alias("a_supp")
+    )
+    t = late.join(
+        others,
+        (F.col("l_orderkey") == F.col("o_key")) & (F.col("l_suppkey") != F.col("o_supp")),
+        "left_semi",
+    ).join(
+        late_others,
+        (F.col("l_orderkey") == F.col("a_key")) & (F.col("l_suppkey") != F.col("a_supp")),
+        "left_anti",
+    )
+    return (
+        t.join(F.broadcast(s), t.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_waiting_orders"))
+        .orderBy(F.desc("n_waiting_orders"), F.asc("s_name"))
+        .limit(10)
     )
 
 

@@ -401,10 +401,13 @@ def ivf_topk_probe(spark, sf_dir):
     )
 
 
-@register(
-    "hyperplane_lsh_buckets",
-    oracle="""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+# Shared md5-seeded hyperplane-LSH bucket construction (8 +-1
+# hyperplanes -> 8 sign bits -> 256 buckets), identical family on both
+# engines with no RNG. The dot is rounded before the sign test
+# (registry convention) — an unrounded 64-term float sum near zero can
+# land on opposite signs between Spark's and DuckDB's addition orders.
+_LSH_BUCKETS_CTE = """
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 pos AS (SELECT vec_id, i, emb[i + 1] AS x FROM e, range(64) t(i)),
 signs AS (
     SELECT j, i,
@@ -421,19 +424,12 @@ buckets AS (
     SELECT vec_id,
            CAST(sum(CASE WHEN round(dot, 6) > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
     FROM dots GROUP BY vec_id
-)
-SELECT bucket, count(*) AS n_vectors
-FROM buckets GROUP BY bucket
-""",
-    tags=("similarity", "ann", "lsh"),
-)
-def hyperplane_lsh_buckets(spark, sf_dir):
-    """Random-hyperplane (SimHash-for-vectors) LSH: 8 md5-seeded +-1
-    hyperplanes -> 8 sign bits -> 256 buckets; report occupancy. This is
-    the embedding-space blocking structure: near-cosine vectors agree on
-    most sign bits, so candidate pairs come from same/adjacent buckets
-    instead of the O(n^2) loop. The hyperplanes are derived from md5
-    parity so both engines build the identical family with no RNG."""
+)"""
+
+
+def _lsh_buckets(spark, sf_dir) -> DataFrame:
+    """(vec_id, bucket) for every embedding — Spark twin of
+    ``_LSH_BUCKETS_CTE``."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -459,17 +455,88 @@ def hyperplane_lsh_buckets(spark, sf_dir):
         .groupBy("vec_id", "j")
         .agg(F.sum(F.col("x") * F.col("s")).alias("dot"))
     )
-    # round before the sign test (registry convention: round before any
-    # threshold) — an unrounded 64-term float sum near zero can land on
-    # opposite signs between Spark's and DuckDB's addition orders
-    buckets = dots.groupBy("vec_id").agg(
+    return dots.groupBy("vec_id").agg(
         F.sum(
             F.when(F.round(F.col("dot"), 6) > 0, F.pow(F.lit(2.0), F.col("j")).cast("bigint")).otherwise(0)
         )
         .cast("bigint")
         .alias("bucket")
     )
-    return buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+@register(
+    "hyperplane_lsh_buckets",
+    oracle=f"""
+WITH {_LSH_BUCKETS_CTE}
+SELECT bucket, count(*) AS n_vectors
+FROM buckets GROUP BY bucket
+""",
+    tags=("similarity", "ann", "lsh"),
+)
+def hyperplane_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane (SimHash-for-vectors) LSH: 8 md5-seeded +-1
+    hyperplanes -> 8 sign bits -> 256 buckets; report occupancy. This is
+    the embedding-space blocking structure: near-cosine vectors agree on
+    most sign bits, so candidate pairs come from same/adjacent buckets
+    instead of the O(n^2) loop. The hyperplanes are derived from md5
+    parity so both engines build the identical family with no RNG."""
+    return _lsh_buckets(spark, sf_dir).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+
+
+@register(
+    "lsh_near_dup_pairs",
+    oracle=f"""
+WITH {_LSH_BUCKETS_CTE},
+en AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+cand AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cos_sim
+    FROM (SELECT en.*, bk.bucket FROM en JOIN buckets bk USING (vec_id)) a
+    JOIN (SELECT en.*, bk.bucket FROM en JOIN buckets bk USING (vec_id)) b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cos_sim FROM cand WHERE cos_sim >= 0.3
+""",
+    tags=("similarity", "dedup", "ann", "lsh"),
+)
+def lsh_near_dup_pairs(spark, sf_dir):
+    """Near-duplicate pairs via LSH candidate generation — the
+    SUB-QUADRATIC scale path of the dedup family: candidates are only
+    pairs landing in the SAME hyperplane bucket (equi-join on the
+    bucket id; work scales with bucket occupancy, not corpus^2), then
+    the exact cosine verifies each candidate. Compare
+    ``embedding_near_dup_pairs`` (exact, O(n^2) block grid): this trades
+    recall (pairs split across buckets are missed — more tables/bits
+    tune that) for join-keyed scalability; both share the verify
+    threshold, so the result is a strict subset of the exact pairs."""
+    bk = _lsh_buckets(spark, sf_dir)
+    en = _emb_n(spark, sf_dir)
+    side = en.join(bk, "vec_id")
+    a = side.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = side.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    cand = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    return (
+        cand.select(
+            "vec_a",
+            "vec_b",
+            _sim(F.col("emb_a"), F.col("norm_a"), F.col("emb_b"), F.col("norm_b")).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+    )
 
 
 @register(

@@ -50,6 +50,49 @@ def token_stats_by_source(spark, sf_dir):
 
 
 @register(
+    "bpe_token_estimate",
+    oracle=r"""
+WITH t AS (
+    SELECT source,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n]')) AS n_bpe,
+           len(string_split_regex(trim(text), '\s+')) AS n_ws
+    FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+)
+SELECT source,
+       CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+       round(avg(n_bpe), 4) AS avg_bpe_tokens,
+       round(avg(CAST(n_bpe AS DOUBLE) / n_ws), 4) AS bpe_per_word
+FROM t GROUP BY source
+""",
+    tags=("text", "tokenize", "agg"),
+)
+def bpe_token_estimate(spark, sf_dir):
+    """BPE-style token-count estimation — the LLM-pipeline budgeting
+    query ("how many tokens is this corpus"). A real BPE merges learned
+    subwords; the standard cheap estimator is the GPT-2 pre-tokenizer
+    regex shape — letter runs, digit runs, single punctuation — which
+    upper-bounds merges and tracks real tokenizers within ~15%. Both
+    engines evaluate the identical character-class regex, all map-side,
+    one shuffle over ~20 source groups; bpe_per_word is the classic
+    tokens-per-whitespace-word fertility diagnostic."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    t = d.select(
+        "source",
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n]"), F.lit(0))
+        ).alias("n_bpe"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_ws"),
+    )
+    return t.groupBy("source").agg(
+        F.sum("n_bpe").cast("bigint").alias("total_bpe_tokens"),
+        F.round(F.avg("n_bpe"), 4).alias("avg_bpe_tokens"),
+        F.round(F.avg(F.col("n_bpe").cast("double") / F.col("n_ws")), 4).alias("bpe_per_word"),
+    )
+
+
+@register(
     "stopword_ratio_by_lang",
     oracle=f"""
 WITH t AS (

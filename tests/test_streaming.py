@@ -289,6 +289,62 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert got == ["a", "b"]
 
 
+def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
+    """LEFT OUTER stream-stream join: an impression with no click inside
+    its hour must emit with NULL click once the watermark passes the
+    join window. Far-future rows on BOTH sides push the (min-policy)
+    global watermark so eviction happens inside the availableNow run."""
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    imp_dir.mkdir(), clk_dir.mkdir()
+    imps = [
+        {"imp_id": "i1", "ts_str": "2024-01-01 10:00:00"},
+        {"imp_id": "i2", "ts_str": "2024-01-01 11:00:00"},  # never clicked
+        {"imp_id": "i_future", "ts_str": "2024-01-02 10:00:00"},  # watermark pusher
+    ]
+    clks = [
+        {"imp_ref": "i1", "ts_str": "2024-01-01 10:20:00"},
+        {"imp_ref": "zz", "ts_str": "2024-01-02 10:00:00"},  # watermark pusher
+    ]
+    with open(imp_dir / "a.json", "w") as f:
+        for r in imps:
+            f.write(json.dumps(r) + "\n")
+    with open(clk_dir / "a.json", "w") as f:
+        for r in clks:
+            f.write(json.dumps(r) + "\n")
+
+    imp = (
+        spark.readStream.schema("imp_id string, ts_str string").json(str(imp_dir))
+        .withColumn("imp_ts", F.to_timestamp("ts_str"))
+        .withWatermark("imp_ts", "10 minutes")
+    )
+    clk = (
+        spark.readStream.schema("imp_ref string, ts_str string").json(str(clk_dir))
+        .withColumn("clk_ts", F.to_timestamp("ts_str"))
+        .withWatermark("clk_ts", "10 minutes")
+    )
+    joined = imp.join(
+        clk,
+        F.expr(
+            "imp_id = imp_ref AND clk_ts >= imp_ts AND clk_ts <= imp_ts + interval 1 hour"
+        ),
+        "left_outer",
+    ).select("imp_id", F.date_format("clk_ts", "HH:mm").alias("click_at"))
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_left_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["imp_id"], r["click_at"])
+        for r in spark.sql("SELECT * FROM ss_left_join").collect()
+    }
+    assert ("i1", "10:20") in got
+    assert ("i2", None) in got  # the outer-emitted unmatched impression
+
+
 def test_stream_stream_join_with_watermarks(spark, tmp_path):
     """Stream-stream inner join (impressions x clicks) with watermarks
     and an event-time range constraint — the join class the reference
