@@ -474,3 +474,95 @@ def fuzzy_name_match(spark, sf_dir):
         .filter(F.col("edit_distance") != -1)
         .select("s_name", "c_name", "edit_distance")
     )
+
+
+@register(
+    "near_dup_clusters",
+    oracle="""
+WITH RECURSIVE
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.emb, b.emb) /
+          (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.4
+),
+edges AS (
+    SELECT vec_a AS s, vec_b AS d FROM pairs
+    UNION ALL
+    SELECT vec_b AS s, vec_a AS d FROM pairs
+),
+reach(v, r) AS (
+    SELECT DISTINCT s AS v, s AS r FROM edges
+    UNION
+    SELECT edges.d AS v, reach.r FROM reach JOIN edges ON edges.s = reach.v
+),
+comp AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v)
+SELECT cluster_id, CAST(count(*) AS BIGINT) AS size
+FROM comp GROUP BY cluster_id
+""",
+    tags=("dedup", "clusters", "iterative"),
+)
+def near_dup_clusters(spark, sf_dir):
+    """Connected components over the near-duplicate pair graph —
+    TRANSITIVE dedup clusters (A~B, B~C => one cluster), the step that
+    turns pairwise similarity into "keep one representative per group"
+    for a training corpus. cluster_id = min vec_id in the component.
+
+    Spark rendering: iterative min-label propagation — labels start as
+    each vertex id; each round every vertex takes the min of its own
+    and its neighbors' labels; converged when no label changes. This is
+    the distributed-iteration class of algorithm (PageRank, label
+    propagation): a driver loop over LAZY rounds, with localCheckpoint
+    truncating the lineage each round and a per-round convergence
+    count — the driver never holds data, only the changed-row counter.
+    Rounds = graph diameter (near-dup components are shallow; capped
+    with a hard error rather than silent truncation). The DuckDB twin
+    is a recursive CTE computing min reachable vertex.
+
+    Scale: each round is one self-equi-join on vertex id (co-partitioned
+    after the first shuffle) + a groupBy min. At 100 TB you'd swap the
+    propagation for alternating large-star/small-star (same per-round
+    plan shape, O(log n) rounds)."""
+    from .similarity_queries import _block_grid_pairs
+
+    # 0.4 radius (tighter than the pair query's 0.3): at the driver's
+    # corpus this yields ~42 multi-node clusters instead of one giant
+    # component — the structure the operator exists to surface
+    pairs = _block_grid_pairs(spark, sf_dir, threshold=0.4).select("vec_a", "vec_b")
+    edges = (
+        pairs.selectExpr("vec_a AS s", "vec_b AS d")
+        .unionByName(pairs.selectExpr("vec_b AS s", "vec_a AS d"))
+        .cache()
+    )
+    labels = edges.select(F.col("s").alias("v")).distinct().withColumn("lbl", F.col("v"))
+    labels = labels.localCheckpoint()
+    for _ in range(20):
+        msgs = (
+            edges.join(labels, edges.s == labels.v)
+            .groupBy(F.col("d").alias("v2"))
+            .agg(F.min("lbl").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(msgs, labels.v == msgs.v2, "left")
+            .select(
+                "v",
+                F.least(F.col("lbl"), F.coalesce(F.col("nbr_min"), F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint()  # truncate lineage: each round is one join deep
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("near_dup_clusters: no convergence in 20 rounds")
+    edges.unpersist()
+    return labels.groupBy(F.col("lbl").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("size")
+    )

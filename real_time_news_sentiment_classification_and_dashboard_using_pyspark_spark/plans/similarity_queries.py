@@ -260,6 +260,13 @@ def embedding_near_dup_pairs(spark, sf_dir):
     For sub-quadratic *approximate* dedup use the LSH / IVF family
     (hyperplane_lsh_buckets, ivf_topk_probe) as the candidate generator
     feeding this same kernel."""
+    return _block_grid_pairs(spark, sf_dir, threshold=0.3)
+
+
+def _block_grid_pairs(spark, sf_dir, threshold: float) -> DataFrame:
+    """Exact all-pairs cosine >= threshold via the distributed block
+    grid (see embedding_near_dup_pairs docstring); also feeds
+    near_dup_clusters at its own threshold."""
     import numpy as np
     import pandas as pd
 
@@ -301,7 +308,7 @@ def embedding_near_dup_pairs(spark, sf_dir):
         aids = lpdf["vec_id"].to_numpy()
         bids = rpdf["vec_id"].to_numpy()
         sims = np.round(an @ bn.T, 6)
-        ai, bj = np.nonzero(sims >= 0.3)
+        ai, bj = np.nonzero(sims >= threshold)
         va, vb, s = aids[ai], bids[bj], sims[ai, bj]
         if key[0] == key[1]:
             # same block on both sides: each unordered pair appears twice
