@@ -1579,3 +1579,170 @@ def acctbal_quartiles_approx(spark, sf_dir):
         F.round(F.min("c_acctbal"), 2).alias("min_bal"),
         F.round(F.max("c_acctbal"), 2).alias("max_bal"),
     )
+
+
+@register(
+    "status_pivot_by_segment",
+    oracle="""
+SELECT c.c_mktsegment,
+       CAST(sum(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(sum(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+       CAST(sum(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+    tags=("pivot", "agg", "join"),
+)
+def status_pivot_by_segment(spark, sf_dir):
+    """Long->wide PIVOT: order counts per (segment, status) spread into
+    one column per status via ``groupBy().pivot(col, values)``. Pinning
+    the pivot value list keeps the plan a single pass (no extra
+    distinct-values job) and makes the output schema static — exactly
+    what a 100 TB pivot needs; Catalyst compiles it to the same
+    conditional aggregates the oracle spells out."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    wide = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    return wide.select(
+        "c_mktsegment",
+        F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).cast("bigint").alias("n_finished"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("n_pending"),
+    )
+
+
+@register(
+    "top_decile_values_by_type",
+    oracle="""
+WITH ranked AS (
+    SELECT event_type, "value",
+           percent_rank() OVER (PARTITION BY event_type
+                                ORDER BY round("value", 6) DESC, event_id ASC) AS pr
+    FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_top,
+       round(avg("value"), 4) AS avg_top_value,
+       round(min("value"), 4) AS cutoff_value
+FROM ranked WHERE pr <= 0.1
+GROUP BY event_type
+""",
+    tags=("window", "rank", "agg"),
+)
+def top_decile_values_by_type(spark, sf_dir):
+    """percent_rank windows: the top decile of event values WITHIN each
+    event_type — distribution-relative filtering (heavy-user cutoffs,
+    outlier trimming). The window partitions on a real key (5 types),
+    so every partition sorts in parallel — no single-reducer funnel;
+    ordering uses the 6dp-rounded value + event_id tiebreak so both
+    engines rank identically."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc(F.round(F.col("value"), 6)), F.asc("event_id")
+    )
+    ranked = e.select("event_type", "value", F.percent_rank().over(w).alias("pr"))
+    return (
+        ranked.filter(F.col("pr") <= 0.1)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_top"),
+            F.round(F.avg("value"), 4).alias("avg_top_value"),
+            F.round(F.min("value"), 4).alias("cutoff_value"),
+        )
+    )
+
+
+@register(
+    "stratified_sample_by_lang",
+    oracle="""
+WITH s AS (
+    SELECT lang, n_chars,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15))::BIGINT % 10 = 0 AS picked
+    FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN picked THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       round(avg(CASE WHEN picked THEN n_chars END), 4) AS sample_avg_chars,
+       round(avg(n_chars), 4) AS full_avg_chars
+FROM s GROUP BY lang
+""",
+    tags=("sampling", "agg"),
+)
+def stratified_sample_by_lang(spark, sf_dir):
+    """DETERMINISTIC stratified sampling — the reproducible-subset
+    primitive of a training-data pipeline (eval splits, ablation
+    corpora): pick ~10% per language stratum by md5(doc_id) parity, not
+    rand(). Hash-based selection is stable across runs, engines, and
+    partitionings (sample() is not), joins cleanly against other tables
+    picked the same way, and the per-stratum sample-vs-full length
+    comparison doubles as the selection-bias check."""
+    d = table(spark, sf_dir, "documents")
+    picked = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 18, 15), 16, 10)
+        .cast("bigint") % 10 == 0
+    )
+    s = d.select("lang", "n_chars", picked.alias("picked"))
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("picked"), 1).otherwise(0)).cast("bigint").alias("n_sampled"),
+        F.round(F.avg(F.when(F.col("picked"), F.col("n_chars"))), 4).alias("sample_avg_chars"),
+        F.round(F.avg("n_chars"), 4).alias("full_avg_chars"),
+    )
+
+
+@register(
+    "click_purchase_funnel",
+    oracle="""
+WITH clicks AS (
+    SELECT user_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+    SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+),
+converted AS (
+    SELECT DISTINCT c.user_id
+    FROM clicks c JOIN purchases p
+      ON p.user_id = c.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+)
+SELECT CAST((SELECT count(DISTINCT user_id) FROM clicks) AS BIGINT) AS n_clickers,
+       CAST((SELECT count(*) FROM converted) AS BIGINT) AS n_converted
+""",
+    tags=("join", "range", "funnel"),
+)
+def click_purchase_funnel(spark, sf_dir):
+    """Event-sequence funnel: users with a purchase within 1 hour AFTER
+    a click — the behavioral-analytics join class (range self-join on
+    user_id + event-time window). The equi-key carries the join; the
+    time range is a residual predicate, so this stays a hash join, and
+    the batch rendering mirrors the stream-stream interval join tested
+    in streaming (same condition shape). One lazy plan: both funnel
+    stages are single-row aggs crossJoined."""
+    e = events_with_ts(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    converted = (
+        clicks.join(
+            purchases,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") > F.col("ts"))
+            & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")),
+            "left_semi",
+        )
+        .select("user_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_converted"))
+    )
+    n_clickers = clicks.agg(
+        F.count_distinct(F.col("user_id")).cast("bigint").alias("n_clickers")
+    )
+    return n_clickers.crossJoin(converted)
