@@ -1746,3 +1746,37 @@ def click_purchase_funnel(spark, sf_dir):
         F.count_distinct(F.col("user_id")).cast("bigint").alias("n_clickers")
     )
     return n_clickers.crossJoin(converted)
+
+
+@register(
+    "approx_distinct_contract",
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+       TRUE AS approx_within_5pct
+FROM events
+GROUP BY event_type
+""",
+    tags=("sketch", "approx", "agg"),
+)
+def approx_distinct_contract(spark, sf_dir):
+    """HyperLogLog++ cardinality sketch with an error-bound contract:
+    per event_type, the exact distinct-user count PLUS a flag asserting
+    Spark's approx_count_distinct (rsd=0.05) landed within 5% of exact.
+    Sketch values themselves are engine-specific, so the oracle checks
+    the CONTRACT (exact count + bound holds), not the raw estimate —
+    the honest way to diff a sketch across engines. At 100 TB the
+    sketch is the point: HLL partial states merge associatively
+    map-side, so the shuffle carries ~kilobyte sketches instead of the
+    distinct-user set a count_distinct would spill."""
+    e = table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("n_users_approx"),
+    )
+    within = (
+        F.abs(F.col("n_users_approx") - F.col("n_users_exact"))
+        / F.col("n_users_exact").cast("double")
+        <= 0.05
+    )
+    return agg.select("event_type", "n_users_exact", within.alias("approx_within_5pct"))

@@ -5,6 +5,7 @@ expressions; the DuckDB oracles use the identical token definition."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.text import stable_fingerprint, tokens
@@ -380,4 +381,164 @@ def keyword_search_bm25(spark, sf_dir):
         scored.select("doc_id", F.round("score", 6).alias("bm25_score"))
         .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
         .limit(10)
+    )
+
+
+_STOPLIST = ("the", "a", "of", "to", "and", "in", "is", "it", "that", "for")
+
+
+@register(
+    "corpus_quality_flags",
+    oracle=f"""
+WITH w AS (
+    SELECT doc_id, lang, t.w AS word
+    FROM documents, unnest({TOKS_SQL}) AS t(w)
+),
+c AS (
+    SELECT doc_id, lang, word, count(*) AS n FROM w GROUP BY doc_id, lang, word
+),
+d AS (
+    SELECT doc_id, lang,
+           CAST(sum(n) AS BIGINT) AS total,
+           max(n) AS maxn,
+           CAST(sum(CASE WHEN word IN {str(_STOPLIST)} THEN n ELSE 0 END) AS BIGINT) AS n_stop,
+           CAST(sum(len(word) * n) AS BIGINT) AS n_chars
+    FROM c GROUP BY doc_id, lang
+),
+f AS (
+    SELECT lang,
+           total,
+           round(maxn / CAST(total AS DOUBLE), 6) AS rep_frac,
+           round(n_stop / CAST(total AS DOUBLE), 6) AS stop_frac,
+           round(n_chars / CAST(total AS DOUBLE), 6) AS mean_word_len
+    FROM d
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN rep_frac > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+       CAST(sum(CASE WHEN stop_frac < 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_stopword,
+       CAST(sum(CASE WHEN total < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
+       CAST(sum(CASE WHEN mean_word_len < 3 OR mean_word_len > 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_word_len,
+       CAST(sum(CASE WHEN rep_frac <= 0.2 AND stop_frac >= 0.05 AND total >= 20
+                      AND mean_word_len >= 3 AND mean_word_len <= 10
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM f GROUP BY lang
+""",
+    tags=("text", "quality", "filter", "agg"),
+)
+def corpus_quality_flags(spark, sf_dir):
+    """Gopher/C4-style corpus quality gate: per-document repetition
+    fraction (top word freq / total — catches degenerate loops),
+    stopword density (natural-language-ness), length floor, and mean
+    word length band; rolled up per language as kept/dropped counts per
+    rule. This is the pretraining-corpus filter pass. Shape: explode
+    tokens -> partial-agg count per (doc, word) -> per-doc stats -> tiny
+    per-lang rollup. Both shuffles key on doc_id (then lang), partial
+    aggregation halves the exploded volume map-side; nothing is
+    quadratic and no UDF — the whole pass is whole-stage codegen.
+    Fractions are rounded to 6dp before thresholding (registry
+    convention) so both engines flag identically."""
+    d = table(spark, sf_dir, "documents")
+    w = d.select("doc_id", "lang", F.explode(tokens("text")).alias("word"))
+    c = w.groupBy("doc_id", "lang", "word").agg(F.count(F.lit(1)).alias("n"))
+    per_doc = c.groupBy("doc_id", "lang").agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.max("n").alias("maxn"),
+        F.sum(F.when(F.col("word").isin(*_STOPLIST), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_stop"),
+        F.sum(F.length("word") * F.col("n")).cast("bigint").alias("n_chars"),
+    )
+    tot_d = F.col("total").cast("double")
+    f = per_doc.select(
+        "lang",
+        "total",
+        F.round(F.col("maxn") / tot_d, 6).alias("rep_frac"),
+        F.round(F.col("n_stop") / tot_d, 6).alias("stop_frac"),
+        F.round(F.col("n_chars") / tot_d, 6).alias("mean_word_len"),
+    )
+    kept = (
+        (F.col("rep_frac") <= 0.2)
+        & (F.col("stop_frac") >= 0.05)
+        & (F.col("total") >= 20)
+        & (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10)
+    )
+    return f.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("rep_frac") > 0.2, 1).otherwise(0)).cast("bigint").alias("n_repetitive"),
+        F.sum(F.when(F.col("stop_frac") < 0.05, 1).otherwise(0)).cast("bigint").alias("n_low_stopword"),
+        F.sum(F.when(F.col("total") < 20, 1).otherwise(0)).cast("bigint").alias("n_too_short"),
+        F.sum(F.when((F.col("mean_word_len") < 3) | (F.col("mean_word_len") > 10), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bad_word_len"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+    )
+
+
+_PACK_BUDGET = 2048  # tokens per training sequence
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, lang, (n_chars + 3) // 4 AS est_tokens FROM documents
+),
+c AS (
+    SELECT lang, est_tokens,
+           sum(est_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - est_tokens AS cum_before
+    FROM t
+),
+p AS (
+    SELECT lang, cum_before // {_PACK_BUDGET} AS pack_id, est_tokens FROM c
+),
+packs AS (
+    SELECT lang, pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(est_tokens) AS BIGINT) AS pack_tokens
+    FROM p GROUP BY lang, pack_id
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_packs,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       round(avg(CAST(n_docs AS DOUBLE)), 4) AS avg_docs_per_pack,
+       round(avg(CAST(pack_tokens AS DOUBLE)), 4) AS avg_pack_tokens,
+       max(pack_tokens) AS max_pack_tokens
+FROM packs GROUP BY lang
+""",
+    tags=("text", "packing", "window", "agg"),
+)
+def pack_sequences(spark, sf_dir):
+    """Training-sequence packing: assign documents to fixed-budget
+    (2048-token) packs by running-token-count bucketing within
+    each language stream — the batch rendering of GPT-style example
+    packing, reported as packs / fill / overflow stats per language.
+    The cumulative sum windows PARTITION BY lang, so every partition
+    sorts in parallel (no global single-reducer window); token math is
+    integer end-to-end ((n_chars+3) div 4) so both engines bucket
+    identically with no float drift. At 100 TB the same plan holds with
+    a finer stream key (e.g. lang x shard) to bound per-partition sort
+    memory."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", F.expr("(n_chars + 3) div 4").alias("est_tokens"))
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    c = t.select(
+        "lang",
+        "est_tokens",
+        (F.sum("est_tokens").over(w) - F.col("est_tokens")).alias("cum_before"),
+    )
+    p = c.select("lang", F.expr(f"cum_before div {_PACK_BUDGET}").alias("pack_id"), "est_tokens")
+    packs = p.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("est_tokens").cast("bigint").alias("pack_tokens"),
+    )
+    return packs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_packs"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.round(F.avg(F.col("n_docs").cast("double")), 4).alias("avg_docs_per_pack"),
+        F.round(F.avg(F.col("pack_tokens").cast("double")), 4).alias("avg_pack_tokens"),
+        F.max("pack_tokens").alias("max_pack_tokens"),
     )
