@@ -371,14 +371,21 @@ def simhash_pairs(spark, sf_dir):
         f"(CASE WHEN v{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         for b in range(32)
     )
-    sig = votes.select(
-        "doc_id",
-        F.expr(sig_expr).cast("bigint").alias("simhash"),
-    ).withColumns(
-        {
-            "hi16": F.expr("simhash div 65536"),
-            "lo16": F.col("simhash") % 65536,
-        }
+    # One narrow row per doc; cached because the two-block union self-join
+    # reads it FOUR times (x/y sides x hi/lo blocks) — uncached, the
+    # 32-aggregate signature pass over exploded shingles runs 4x.
+    sig = (
+        votes.select(
+            "doc_id",
+            F.expr(sig_expr).cast("bigint").alias("simhash"),
+        )
+        .withColumns(
+            {
+                "hi16": F.expr("simhash div 65536"),
+                "lo16": F.col("simhash") % 65536,
+            }
+        )
+        .cache()
     )
 
     def block_join(key):
@@ -509,83 +516,19 @@ def near_dup_clusters(spark, sf_dir):
     turns pairwise similarity into "keep one representative per group"
     for a training corpus. cluster_id = min vec_id in the component.
 
-    Spark rendering: iterative min-label propagation — labels start as
-    each vertex id; each round every vertex takes the min of its own
-    and its neighbors' labels; converged when no label changes. This is
-    the distributed-iteration class of algorithm (PageRank, label
-    propagation): a driver loop over LAZY rounds, with localCheckpoint
-    truncating the lineage each round and a per-round convergence
-    count — the driver never holds data, only the changed-row counter.
-    Rounds = graph diameter (near-dup components are shallow; capped
-    with a hard error rather than silent truncation). The DuckDB twin
-    is a recursive CTE computing min reachable vertex.
-
-    Scale: each round is one self-equi-join on vertex id (co-partitioned
-    after the first shuffle) + a groupBy min. At 100 TB you'd swap the
-    propagation for alternating large-star/small-star (same per-round
-    plan shape, O(log n) rounds)."""
+    Spark rendering: ``operators.graph.connected_components`` — min-label
+    propagation with pointer halving (O(log diameter) rounds, one
+    equi-join + min-agg + one halving join per round, localCheckpoint
+    lineage truncation, convergence detected without an extra shuffle).
+    The DuckDB twin is a recursive CTE computing min reachable vertex."""
+    from ..operators.graph import connected_components
     from .similarity_queries import _block_grid_pairs
 
     # 0.4 radius (tighter than the pair query's 0.3): at the driver's
     # corpus this yields ~42 multi-node clusters instead of one giant
     # component — the structure the operator exists to surface
     pairs = _block_grid_pairs(spark, sf_dir, threshold=0.4).select("vec_a", "vec_b")
-    # Explode each pair into both directed edges in ONE scan of `pairs`
-    # (a union of two selects would run the expensive block-matmul twice
-    # to first populate the cache).
-    edges = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("vec_a").alias("s"), F.col("vec_b").alias("d")),
-                    F.struct(F.col("vec_b").alias("s"), F.col("vec_a").alias("d")),
-                )
-            ).alias("e")
-        )
-        .select("e.s", "e.d")
-        .cache()
-    )
-    labels = edges.select(F.col("s").alias("v")).distinct().withColumn("lbl", F.col("v"))
-    labels = labels.localCheckpoint()
-    for _ in range(20):
-        msgs = (
-            edges.join(labels, edges.s == labels.v)
-            .groupBy(F.col("d").alias("v2"))
-            .agg(F.min("lbl").alias("nbr_min"))
-        )
-        gathered = labels.join(msgs, labels.v == msgs.v2, "left").select(
-            "v",
-            F.col("lbl").alias("old_lbl"),
-            F.least(F.col("lbl"), F.coalesce(F.col("nbr_min"), F.col("lbl"))).alias("lbl"),
-        )
-        # Pointer halving: also adopt the label OF my label (b.lbl is in
-        # my component because b.v == my lbl is). Cuts convergence from
-        # O(diameter) rounds to O(log diameter) — one extra equi-join
-        # per round buys chain-shaped components collapsing in 4-5
-        # rounds instead of 15+.
-        hop = gathered.select(F.col("v").alias("hv"), F.col("lbl").alias("hlbl"))
-        new_labels = (
-            gathered.join(hop, gathered.lbl == hop.hv, "left")
-            .select(
-                "v",
-                F.least(F.col("lbl"), F.coalesce(F.col("hlbl"), F.col("lbl"))).alias("lbl"),
-                (
-                    F.least(F.col("lbl"), F.coalesce(F.col("hlbl"), F.col("lbl")))
-                    < F.col("old_lbl")
-                ).alias("chg"),
-            )
-            .localCheckpoint()  # truncate lineage: each round is bounded-depth
-        )
-        # The convergence flag rides along in the checkpointed result, so
-        # detecting quiescence is a scan of already-materialized
-        # partitions, not a second shuffle join.
-        changed = new_labels.filter(F.col("chg")).count()
-        labels = new_labels.select("v", "lbl")
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError("near_dup_clusters: no convergence in 20 rounds")
-    edges.unpersist()
+    labels = connected_components(pairs, src="vec_a", dst="vec_b")
     return labels.groupBy(F.col("lbl").alias("cluster_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("size")
     )

@@ -1780,3 +1780,42 @@ def approx_distinct_contract(spark, sf_dir):
         <= 0.05
     )
     return agg.select("event_type", "n_users_exact", within.alias("approx_within_5pct"))
+
+
+@register(
+    "acctbal_stats_unpivot",
+    oracle="""
+WITH wide AS (
+    SELECT c_mktsegment,
+           round(min(c_acctbal), 2) AS min_bal,
+           round(avg(c_acctbal), 2) AS avg_bal,
+           round(max(c_acctbal), 2) AS max_bal
+    FROM customer GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, 'min_bal' AS stat, min_bal AS value FROM wide
+UNION ALL
+SELECT c_mktsegment, 'avg_bal' AS stat, avg_bal AS value FROM wide
+UNION ALL
+SELECT c_mktsegment, 'max_bal' AS stat, max_bal AS value FROM wide
+""",
+    tags=("unpivot", "melt", "agg"),
+)
+def acctbal_stats_unpivot(spark, sf_dir):
+    """Wide->long UNPIVOT (melt): per-segment balance stats spread back
+    into (segment, stat, value) rows — the inverse of
+    status_pivot_by_segment and the standard feed for long-format chart
+    / metric sinks. ``DataFrame.unpivot`` compiles to a single Expand
+    node (each input row emitted once per stat column, no join, no
+    shuffle beyond the 5-group agg that feeds it)."""
+    c = table(spark, sf_dir, "customer")
+    wide = c.groupBy("c_mktsegment").agg(
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+    return wide.unpivot(
+        ids=["c_mktsegment"],
+        values=["min_bal", "avg_bal", "max_bal"],
+        variableColumnName="stat",
+        valueColumnName="value",
+    )

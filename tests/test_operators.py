@@ -155,3 +155,34 @@ def test_clean_idempotent_on_unicode(spark):
     df2 = spark.createDataFrame([Row(c=c) for c in once], "c string")
     twice = [r["d"] for r in df2.select(clean_text("c").alias("d")).collect()]
     assert once == twice
+
+
+class TestConnectedComponents:
+    def test_chain_converges_logarithmically(self, spark):
+        """A 64-node path graph (diameter 63) must collapse to one
+        component labeled 0 in far fewer than 63 rounds — the pointer-
+        halving guarantee. max_rounds=10 would fail plain propagation."""
+        from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.operators.graph import (
+            connected_components,
+        )
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(63)], "s bigint, d bigint"
+        )
+        labels = connected_components(edges, max_rounds=10)
+        rows = {r["v"]: r["lbl"] for r in labels.collect()}
+        assert len(rows) == 64
+        assert set(rows.values()) == {0}
+
+    def test_two_components_and_isolated_edge(self, spark):
+        from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.operators.graph import (
+            connected_components,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 21), (21, 20)],
+            "s bigint, d bigint",
+        )
+        labels = connected_components(edges)
+        comp = {r["v"]: r["lbl"] for r in labels.collect()}
+        assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
