@@ -1819,3 +1819,141 @@ def acctbal_stats_unpivot(spark, sf_dir):
         variableColumnName="stat",
         valueColumnName="value",
     )
+
+
+@register(
+    "daily_events_gapfill",
+    oracle="""
+WITH ev AS (
+    SELECT event_type, CAST(ts::TIMESTAMP AS DATE) AS day FROM events
+),
+counts AS (
+    SELECT event_type, day, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY event_type, day
+),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+spine AS (
+    SELECT t.event_type, s.day::DATE AS day
+    FROM (SELECT DISTINCT event_type FROM ev) t
+    CROSS JOIN bounds
+    CROSS JOIN LATERAL (SELECT unnest(generate_series(bounds.d0, bounds.d1, INTERVAL 1 DAY)) AS day) s
+)
+SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+       spine.event_type,
+       coalesce(counts.n, 0) AS n_events
+FROM spine LEFT JOIN counts
+  ON counts.event_type = spine.event_type AND counts.day = spine.day
+""",
+    tags=("timeseries", "gapfill", "join"),
+)
+def daily_events_gapfill(spark, sf_dir):
+    """Time-series gap-fill: daily event counts per type over a dense
+    date spine — missing (type, day) cells emitted as explicit zeros,
+    the shape every downstream chart / anomaly detector needs. The
+    spine is generated IN the plan (sequence(min,max) exploded, cross
+    joined with the distinct-type dimension): both sides of the cross
+    join are aggregate-derived and tiny (days x types), so the spine
+    broadcasts against the counts — the fact table is only scanned
+    once, for the groupBy. No driver-side date loop, no collect."""
+    e = events_with_ts(spark, sf_dir)
+    ev = e.select("event_type", F.to_date("ts").alias("day"))
+    counts = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    bounds = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(bounds)
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+        )
+    )
+    return (
+        spine.join(counts, ["event_type", "day"], "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "region_status_cube",
+    oracle="""
+SELECT coalesce(r.r_name, '(all)') AS region,
+       coalesce(o.o_orderstatus, '(all)') AS status,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY CUBE (r.r_name, o.o_orderstatus)
+""",
+    tags=("cube", "grouping-sets", "agg"),
+)
+def region_status_cube(spark, sf_dir):
+    """CUBE grouping sets: order counts and revenue for every
+    (region, status) combination PLUS each one-dimensional margin and
+    the grand total in a single pass — the OLAP cross-tab feed. Spark
+    compiles cube() to one Expand + one aggregate (each input row
+    emitted once per grouping set), so the fact side is still scanned
+    and shuffled once; the dimension joins stay broadcast."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.cube("r_name", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("(all)")).alias("region"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("(all)")).alias("status"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@register(
+    "approx_quantile_contract",
+    oracle="""
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 2) AS p50_exact,
+       TRUE AS approx_within_1pct
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("sketch", "approx", "quantile"),
+)
+def approx_quantile_contract(spark, sf_dir):
+    """Quantile sketch with an error contract: per order priority, the
+    exact median order price PLUS a flag asserting Spark's
+    percentile_approx (accuracy 10000) landed within 1% of exact. Like
+    approx_distinct_contract, the oracle checks the CONTRACT, not the
+    engine-specific sketch value. At 100 TB the sketch is mandatory:
+    exact percentiles need a full sort per group, while the KLL-style
+    sketch merges map-side partial states of bounded size."""
+    o = table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)").alias("p50"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
+    )
+    within = (
+        F.abs(F.col("p50_approx") - F.col("p50")) / F.col("p50") <= 0.01
+    )
+    return agg.select(
+        "o_orderpriority",
+        F.round("p50", 2).alias("p50_exact"),
+        within.alias("approx_within_1pct"),
+    )

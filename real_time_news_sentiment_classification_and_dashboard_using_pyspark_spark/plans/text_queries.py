@@ -386,6 +386,72 @@ def keyword_search_bm25(spark, sf_dir):
 
 _STOPLIST = ("the", "a", "of", "to", "and", "in", "is", "it", "that", "for")
 
+# DuckDB CTE fragment computing per-doc quality stats; ends with
+# q(doc_id, lang, total, rep_frac, stop_frac, mean_word_len, kept).
+# The Spark twin is _doc_quality() below — keep the two in lockstep.
+_DOC_QUALITY_SQL = f"""
+w AS (
+    SELECT doc_id, lang, t.w AS word
+    FROM documents, unnest({TOKS_SQL}) AS t(w)
+),
+c AS (
+    SELECT doc_id, lang, word, count(*) AS n FROM w GROUP BY doc_id, lang, word
+),
+d AS (
+    SELECT doc_id, lang,
+           CAST(sum(n) AS BIGINT) AS total,
+           max(n) AS maxn,
+           CAST(sum(CASE WHEN word IN {str(_STOPLIST)} THEN n ELSE 0 END) AS BIGINT) AS n_stop,
+           CAST(sum(len(word) * n) AS BIGINT) AS n_chars
+    FROM c GROUP BY doc_id, lang
+),
+q AS (
+    SELECT doc_id, lang, total,
+           round(maxn / CAST(total AS DOUBLE), 6) AS rep_frac,
+           round(n_stop / CAST(total AS DOUBLE), 6) AS stop_frac,
+           round(n_chars / CAST(total AS DOUBLE), 6) AS mean_word_len,
+           (round(maxn / CAST(total AS DOUBLE), 6) <= 0.2
+            AND round(n_stop / CAST(total AS DOUBLE), 6) >= 0.05
+            AND total >= 20
+            AND round(n_chars / CAST(total AS DOUBLE), 6) >= 3
+            AND round(n_chars / CAST(total AS DOUBLE), 6) <= 10) AS kept
+    FROM d
+)"""
+
+
+def _doc_quality(spark, sf_dir):
+    """Per-document quality stats + keep/drop verdict (the Spark twin of
+    ``_DOC_QUALITY_SQL``): explode tokens -> (doc, word) partial counts
+    -> per-doc stats, fractions rounded to 6dp before thresholding."""
+    d = table(spark, sf_dir, "documents")
+    w = d.select("doc_id", "lang", F.explode(tokens("text")).alias("word"))
+    c = w.groupBy("doc_id", "lang", "word").agg(F.count(F.lit(1)).alias("n"))
+    per_doc = c.groupBy("doc_id", "lang").agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.max("n").alias("maxn"),
+        F.sum(F.when(F.col("word").isin(*_STOPLIST), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_stop"),
+        F.sum(F.length("word") * F.col("n")).cast("bigint").alias("n_chars"),
+    )
+    tot_d = F.col("total").cast("double")
+    stats = per_doc.select(
+        "doc_id",
+        "lang",
+        "total",
+        F.round(F.col("maxn") / tot_d, 6).alias("rep_frac"),
+        F.round(F.col("n_stop") / tot_d, 6).alias("stop_frac"),
+        F.round(F.col("n_chars") / tot_d, 6).alias("mean_word_len"),
+    )
+    kept = (
+        (F.col("rep_frac") <= 0.2)
+        & (F.col("stop_frac") >= 0.05)
+        & (F.col("total") >= 20)
+        & (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10)
+    )
+    return stats.withColumn("kept", kept)
+
 
 @register(
     "corpus_quality_flags",
@@ -438,32 +504,7 @@ def corpus_quality_flags(spark, sf_dir):
     quadratic and no UDF — the whole pass is whole-stage codegen.
     Fractions are rounded to 6dp before thresholding (registry
     convention) so both engines flag identically."""
-    d = table(spark, sf_dir, "documents")
-    w = d.select("doc_id", "lang", F.explode(tokens("text")).alias("word"))
-    c = w.groupBy("doc_id", "lang", "word").agg(F.count(F.lit(1)).alias("n"))
-    per_doc = c.groupBy("doc_id", "lang").agg(
-        F.sum("n").cast("bigint").alias("total"),
-        F.max("n").alias("maxn"),
-        F.sum(F.when(F.col("word").isin(*_STOPLIST), F.col("n")).otherwise(0))
-        .cast("bigint")
-        .alias("n_stop"),
-        F.sum(F.length("word") * F.col("n")).cast("bigint").alias("n_chars"),
-    )
-    tot_d = F.col("total").cast("double")
-    f = per_doc.select(
-        "lang",
-        "total",
-        F.round(F.col("maxn") / tot_d, 6).alias("rep_frac"),
-        F.round(F.col("n_stop") / tot_d, 6).alias("stop_frac"),
-        F.round(F.col("n_chars") / tot_d, 6).alias("mean_word_len"),
-    )
-    kept = (
-        (F.col("rep_frac") <= 0.2)
-        & (F.col("stop_frac") >= 0.05)
-        & (F.col("total") >= 20)
-        & (F.col("mean_word_len") >= 3)
-        & (F.col("mean_word_len") <= 10)
-    )
+    f = _doc_quality(spark, sf_dir)
     return f.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(F.when(F.col("rep_frac") > 0.2, 1).otherwise(0)).cast("bigint").alias("n_repetitive"),
@@ -472,7 +513,7 @@ def corpus_quality_flags(spark, sf_dir):
         F.sum(F.when((F.col("mean_word_len") < 3) | (F.col("mean_word_len") > 10), 1).otherwise(0))
         .cast("bigint")
         .alias("n_bad_word_len"),
-        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
     )
 
 
@@ -541,4 +582,110 @@ def pack_sequences(spark, sf_dir):
         F.round(F.avg(F.col("n_docs").cast("double")), 4).alias("avg_docs_per_pack"),
         F.round(F.avg(F.col("pack_tokens").cast("double")), 4).alias("avg_pack_tokens"),
         F.max("pack_tokens").alias("max_pack_tokens"),
+    )
+
+
+@register(
+    "curation_pipeline",
+    oracle=f"""
+WITH {_DOC_QUALITY_SQL},
+fp AS (
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({TOKS_SQL})), ' ')) AS fingerprint
+    FROM documents
+),
+k AS (
+    SELECT q.doc_id, q.lang, q.total, fp.fingerprint
+    FROM q JOIN fp ON q.doc_id = fp.doc_id
+    WHERE q.kept
+),
+keepers AS (SELECT fingerprint, min(doc_id) AS keep_id FROM k GROUP BY fingerprint),
+dd AS (
+    SELECT k.* FROM k JOIN keepers
+      ON k.fingerprint = keepers.fingerprint AND k.doc_id = keepers.keep_id
+),
+s AS (
+    SELECT *,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15))::BIGINT % 2 = 0 AS sampled
+    FROM dd
+),
+raw AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_raw FROM q GROUP BY lang),
+qual AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_quality FROM q WHERE kept GROUP BY lang),
+dedup AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_dedup FROM dd GROUP BY lang),
+samp AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(sum(total) AS BIGINT) AS tokens_sampled
+    FROM s WHERE sampled GROUP BY lang
+)
+SELECT raw.lang, raw.n_raw,
+       coalesce(qual.n_quality, 0) AS n_quality,
+       coalesce(dedup.n_dedup, 0) AS n_dedup,
+       coalesce(samp.n_sampled, 0) AS n_sampled,
+       coalesce(samp.tokens_sampled, 0) AS tokens_sampled
+FROM raw
+LEFT JOIN qual ON raw.lang = qual.lang
+LEFT JOIN dedup ON raw.lang = dedup.lang
+LEFT JOIN samp ON raw.lang = samp.lang
+""",
+    tags=("text", "pipeline", "dedup", "sampling"),
+)
+def curation_pipeline(spark, sf_dir):
+    """END-TO-END corpus curation in ONE lazy plan: Gopher-style quality
+    gate -> exact near-dup removal (bag-of-words fingerprint, keep
+    min-doc_id exemplar) -> deterministic 50% hash sample, reported as
+    a per-language funnel (raw -> quality -> deduped -> sampled +
+    surviving token budget). This is the composition the individual
+    operators exist for — a user runs THIS shape nightly over a crawl.
+
+    Scale shape: quality stats key on doc_id (partial-agg),
+    fingerprint dedup is one groupBy(fingerprint) + self-join on the
+    128-bit key, sampling is an expression filter, and the four funnel
+    stages are per-lang aggregates joined on a 5-row key. No driver
+    action, no collect — Catalyst sees the whole pipeline and reuses
+    the quality subtree across the raw/qual stages."""
+    q = _doc_quality(spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", stable_fingerprint("text").alias("fingerprint"))
+    k = (
+        q.filter(F.col("kept"))
+        .join(fp, "doc_id")
+        .select("doc_id", "lang", "total", "fingerprint")
+    )
+    keepers = k.groupBy("fingerprint").agg(F.min("doc_id").alias("keep_id"))
+    dd = k.join(
+        keepers,
+        (k.fingerprint == keepers.fingerprint) & (k.doc_id == keepers.keep_id),
+    ).select("doc_id", "lang", "total")
+    sampled = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 18, 15), 16, 10)
+        .cast("bigint") % 2 == 0
+    )
+    s = dd.withColumn("sampled", sampled)
+    raw = q.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_raw"))
+    qual = (
+        q.filter(F.col("kept"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_quality"))
+    )
+    dedup = dd.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_dedup"))
+    samp = (
+        s.filter(F.col("sampled"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+            F.sum("total").cast("bigint").alias("tokens_sampled"),
+        )
+    )
+    return (
+        raw.join(qual, "lang", "left")
+        .join(dedup, "lang", "left")
+        .join(samp, "lang", "left")
+        .select(
+            "lang",
+            "n_raw",
+            F.coalesce("n_quality", F.lit(0)).cast("bigint").alias("n_quality"),
+            F.coalesce("n_dedup", F.lit(0)).cast("bigint").alias("n_dedup"),
+            F.coalesce("n_sampled", F.lit(0)).cast("bigint").alias("n_sampled"),
+            F.coalesce("tokens_sampled", F.lit(0)).cast("bigint").alias("tokens_sampled"),
+        )
     )
