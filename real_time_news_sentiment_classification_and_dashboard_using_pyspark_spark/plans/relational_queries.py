@@ -1957,3 +1957,159 @@ def approx_quantile_contract(spark, sf_dir):
         F.round("p50", 2).alias("p50_exact"),
         within.alias("approx_within_1pct"),
     )
+
+
+@register(
+    "shipping_priority",
+    oracle="""
+SELECT o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o.o_orderkey ASC
+LIMIT 10
+""",
+    tags=("join", "topk", "tpch-q3"),
+)
+def shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: top-10 highest-revenue orders placed before a
+    date but (partially) shipped after it, for one market segment.
+    Both date predicates and the segment filter push into the scans
+    (PushedFilters); customer is broadcast; the only shuffle is the
+    per-order aggregate, and the final ordering compiles to
+    TakeOrderedAndProject — no global sort of the aggregate output."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "returned_item_ranking",
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-07-01'
+GROUP BY c.c_custkey, c.c_name
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT 20
+""",
+    tags=("join", "topk", "tpch-q10"),
+)
+def returned_item_ranking(spark, sf_dir):
+    """TPC-H Q10 shape: customers ranked by revenue lost to returned
+    items in a six-month window — the 'who is returning things'
+    report. returnflag + date predicates push down; the
+    fact-fact join (lineitem x orders) shuffles on orderkey once,
+    then re-keys to the customer grain; top-20 is
+    TakeOrderedAndProject with a deterministic tiebreak."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "nation_market_share",
+    oracle="""
+WITH rev AS (
+    SELECT CAST(strftime(o.o_orderdate, '%Y') AS INT) AS o_year,
+           CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_e4,
+           n.n_name AS supp_nation
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+)
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_2' THEN rev_e4 ELSE 0 END)
+             / CAST(sum(rev_e4) AS DOUBLE), 6) AS mkt_share,
+       ((sum(rev_e4) + 50) // 100) / 100.0 AS region_revenue
+FROM rev GROUP BY o_year
+""",
+    tags=("join", "share", "tpch-q8"),
+)
+def nation_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of its region's supplier
+    revenue per order year. Revenue is held as an exact integer
+    (price-cents x integer discount-percent, the house e4 pattern)
+    through both aggregates — the share is a ratio of two sums, and
+    float summation order would drift between engines at the 6th
+    decimal; integer sums cannot. One pass: conditional sum over the
+    same grouped relation, no self-join. All four dimension joins
+    broadcast; the region filter prunes before any shuffle."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            (
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+            ).alias("rev_e4"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    return rev.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_2", F.col("rev_e4")).otherwise(0))
+            / F.sum("rev_e4").cast("double"),
+            6,
+        ).alias("mkt_share"),
+        # Integer half-up to cents BEFORE the one float division — a
+        # round() on sum/10000.0 can land on an exact ...5 tie, where
+        # Spark and DuckDB round differently (registry gotcha).
+        (F.expr("(sum(rev_e4) + 50) div 100") / 100.0).alias("region_revenue"),
+    )

@@ -99,3 +99,43 @@ def test_embedding_near_dup_is_distributed_block_cogroup(spark):
     assert "BroadcastExchange" in plan  # the tiny block-pair grid
     # both sides are real file scans, not driver-materialized rows
     assert plan.count("Scan parquet") >= 2
+
+
+@pytest.mark.parametrize("name", ["shipping_priority", "returned_item_ranking"])
+def test_tpch_topk_shapes(spark, name):
+    """Q3/Q10 shapes: customer broadcast, final ordering is a top-K
+    (per-partition heaps), never a global sort of the aggregate."""
+    plan = plan_of(spark, name)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_market_share_single_aggregate_pass(spark):
+    """Q8 shape: the share is a conditional sum over ONE grouped pass —
+    no self-join of the aggregate, dimension joins broadcast."""
+    plan = plan_of(spark, "nation_market_share")
+    assert "BroadcastHashJoin" in plan
+    # exactly one aggregation grain: no join AFTER the final agg
+    assert plan.count("HashAggregate") <= 4  # partial+final x (year grain)
+
+
+def test_curation_pipeline_is_pure_jvm(spark):
+    """The end-to-end curation funnel must stay whole-stage-codegen:
+    no Python evaluation node anywhere in the plan."""
+    plan = plan_of(spark, "curation_pipeline")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_gapfill_spine_broadcasts_against_counts(spark):
+    """The generated date spine (days x types) must broadcast; the fact
+    table is scanned once for the groupBy."""
+    plan = plan_of(spark, "daily_events_gapfill")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pivot_is_single_pass_no_distinct_job(spark):
+    """Pinned pivot values: one Aggregate, no extra distinct-collection
+    stage (the values list keeps the schema static)."""
+    plan = plan_of(spark, "status_pivot_by_segment")
+    assert "BroadcastHashJoin" in plan
