@@ -805,3 +805,34 @@ def lsh_banded_pairs(spark, sf_dir):
         )
     )
     return v.filter(F.col("cos_sim") >= 0.3)
+
+
+@register(
+    "label_centroids",
+    oracle="""
+WITH e AS (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings),
+pos AS (SELECT label, i, emb[i + 1] AS x FROM e, range(64) t(i))
+SELECT label, CAST(i AS INT) AS dim, round(avg(x), 6) AS centroid_val
+FROM pos
+WHERE i < 4
+GROUP BY label, i
+""",
+    tags=("similarity", "centroid", "agg"),
+)
+def label_centroids(spark, sf_dir):
+    """Per-label centroid vectors (emitted long-format, first 4 dims for
+    the oracle diff) — the k-means/IVF training step and the class-
+    prototype primitive, in pure SQL: posexplode the vector, partial-avg
+    per (label, dim). The shuffle carries labels x 64 partial sums, not
+    vectors; at 100 TB this is exactly how you (re)train IVF coarse
+    centroids in one pass. The full-width variant drops the dim filter
+    and pivots back with array_agg ordered by dim."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    pos = e.select("label", F.posexplode("emb").alias("i", "x"))
+    return (
+        pos.filter(F.col("i") < 4)
+        .groupBy("label", F.col("i").cast("int").alias("dim"))
+        .agg(F.round(F.avg("x"), 6).alias("centroid_val"))
+    )

@@ -116,6 +116,38 @@ def read_articles_mixed(spark: SparkSession, path: str) -> DataFrame:
     return out
 
 
+def read_articles_quarantine(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE scan splitting good rows from a QUARANTINE of
+    unparseable lines — the production upgrade over DROPMALFORMED's
+    silent discard: bad input is preserved (raw line + source file) for
+    replay/debugging instead of vanishing. Returns ``(good, quarantine)``
+    built from ONE parse pass (cached); the quarantine carries the
+    verbatim line so a fixed parser can re-ingest it later. At scale the
+    quarantine is a tiny side output written next to the sink — the
+    ingest-completeness audit ("we dropped 0.3% and here they are") the
+    reference cannot answer."""
+    schema_c = StructType(
+        ARTICLE_SCHEMA.fields + [StructField("_corrupt_record", StringType(), True)]
+    )
+    raw = (
+        spark.read.schema(schema_c)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .withColumn("_file", F.input_file_name())
+        .cache()  # one parse pass feeds both splits (and dodges
+        # QUERY_ONLY_CORRUPT_RECORD_COLUMN on the quarantine side)
+    )
+    good = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record", "_file")
+    quarantine = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line"),
+        F.col("_file").alias("source_file"),
+    )
+    return good, quarantine
+
+
 def repair_schema(df: DataFrame) -> DataFrame:
     """Schema-repair projection (B3: work.py:135-138,
     streamlit_app.py:120-126): force required columns into existence as

@@ -18,6 +18,7 @@ from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.p
 from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.sources.articles import (
     read_articles,
     read_articles_mixed,
+    read_articles_quarantine,
 )
 
 FIXTURE = [
@@ -115,6 +116,25 @@ def test_mixed_dir_ndjson_array_object_garbage(spark, tmp_path):
     ]
     # nested publisher struct survives the multiLine path too
     assert got.filter(F.col("id") == "a6").head()["source"]["name"] == "Wire"
+
+
+def test_quarantine_scan_preserves_bad_lines(spark, tmp_path):
+    """PERMISSIVE quarantine split: good rows parse, bad lines survive
+    VERBATIM with their source file — nothing silently dropped."""
+    d = tmp_path / "quar"
+    d.mkdir()
+    with open(d / "batch.json", "w") as f:
+        for row in FIXTURE[:3]:
+            f.write(json.dumps(row) + "\n")
+        f.write("{not valid json}\n")
+        f.write("also not json\n")
+
+    good, quarantine = read_articles_quarantine(spark, str(d))
+    assert sorted(r["id"] for r in good.select("id").collect()) == ["a1", "a2", "a3"]
+    bad = quarantine.collect()
+    assert sorted(r["raw_line"] for r in bad) == ["{not valid json}", "also not json"] or \
+        sorted(r["raw_line"] for r in bad) == sorted(["{not valid json}", "also not json"])
+    assert all(r["source_file"].endswith("batch.json") for r in bad)
 
 
 def test_schema_repair_tolerates_missing_columns(spark):
