@@ -637,55 +637,40 @@ def curation_pipeline(spark, sf_dir):
     surviving token budget). This is the composition the individual
     operators exist for — a user runs THIS shape nightly over a crawl.
 
-    Scale shape: quality stats key on doc_id (partial-agg),
-    fingerprint dedup is one groupBy(fingerprint) + self-join on the
-    128-bit key, sampling is an expression filter, and the four funnel
-    stages are per-lang aggregates joined on a 5-row key. No driver
-    action, no collect — Catalyst sees the whole pipeline and reuses
-    the quality subtree across the raw/qual stages."""
+    Scale shape — SINGLE PASS: every document is annotated with its
+    stage flags (kept / dedup-survivor / sampled) in one annotated
+    relation, and the whole funnel is ONE per-lang aggregate of
+    conditional sums. The first draft computed each stage as its own
+    aggregate and joined them — the plan audit (PLANS.md) showed 21
+    Exchanges because Catalyst re-derived the quality subtree per
+    branch; the flag rendering is ~7 (quality stats, fingerprint join,
+    keeper min-agg + join, final rollup), each keyed on doc_id /
+    fingerprint / lang. No driver action, no collect."""
     q = _doc_quality(spark, sf_dir)
     d = table(spark, sf_dir, "documents")
     fp = d.select("doc_id", stable_fingerprint("text").alias("fingerprint"))
-    k = (
-        q.filter(F.col("kept"))
-        .join(fp, "doc_id")
-        .select("doc_id", "lang", "total", "fingerprint")
+    ann = q.join(fp, "doc_id")
+    keepers = (
+        ann.filter(F.col("kept"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"))
     )
-    keepers = k.groupBy("fingerprint").agg(F.min("doc_id").alias("keep_id"))
-    dd = k.join(
-        keepers,
-        (k.fingerprint == keepers.fingerprint) & (k.doc_id == keepers.keep_id),
-    ).select("doc_id", "lang", "total")
-    sampled = (
+    survives = F.col("kept") & (F.col("doc_id") == F.col("keep_id"))
+    sampled = survives & (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 18, 15), 16, 10)
         .cast("bigint") % 2 == 0
     )
-    s = dd.withColumn("sampled", sampled)
-    raw = q.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_raw"))
-    qual = (
-        q.filter(F.col("kept"))
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_quality"))
+    flagged = (
+        ann.join(keepers, "fingerprint", "left")
+        .withColumn("survives", survives)
+        .withColumn("sampled", sampled)
     )
-    dedup = dd.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_dedup"))
-    samp = (
-        s.filter(F.col("sampled"))
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
-            F.sum("total").cast("bigint").alias("tokens_sampled"),
-        )
-    )
-    return (
-        raw.join(qual, "lang", "left")
-        .join(dedup, "lang", "left")
-        .join(samp, "lang", "left")
-        .select(
-            "lang",
-            "n_raw",
-            F.coalesce("n_quality", F.lit(0)).cast("bigint").alias("n_quality"),
-            F.coalesce("n_dedup", F.lit(0)).cast("bigint").alias("n_dedup"),
-            F.coalesce("n_sampled", F.lit(0)).cast("bigint").alias("n_sampled"),
-            F.coalesce("tokens_sampled", F.lit(0)).cast("bigint").alias("tokens_sampled"),
-        )
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("bigint").alias("n_quality"),
+        F.sum(F.when(F.col("survives"), 1).otherwise(0)).cast("bigint").alias("n_dedup"),
+        F.sum(F.when(F.col("sampled"), 1).otherwise(0)).cast("bigint").alias("n_sampled"),
+        F.sum(F.when(F.col("sampled"), F.col("total")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_sampled"),
     )
