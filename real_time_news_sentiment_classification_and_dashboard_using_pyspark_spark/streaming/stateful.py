@@ -62,3 +62,65 @@ def running_sentiment_totals(scored_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- Spark 4 transformWithStateInPandas rendering of the same operator ---
+# The modern arbitrary-state API (SPARK-49564): typed state handles
+# (ValueState/ListState/MapState), timers, and RocksDB-backed storage.
+# Same semantics as running_sentiment_totals above; kept side by side so
+# both API generations are covered (applyInPandasWithState is the
+# stable/legacy surface, transformWithState the forward path).
+
+try:  # pragma: no cover - import surface depends on pyspark build
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotalsProcessor(StatefulProcessor):
+        """Per-sentiment cumulative (count, polarity_sum) via a typed
+        ValueState — O(keys) state, update-mode output each batch."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: N802
+            count, polarity_sum = (
+                tuple(self._state.get()) if self._state.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                count += len(pdf)
+                polarity_sum += float(pdf["polarity"].sum())
+            self._state.update((count, polarity_sum))
+            yield pd.DataFrame(
+                {
+                    "sentiment": [key[0]],
+                    "total_count": [count],
+                    "total_polarity": [polarity_sum],
+                    "avg_polarity": [polarity_sum / count if count else 0.0],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    def running_sentiment_totals_tws(scored_stream: DataFrame) -> DataFrame:
+        """transformWithStateInPandas rendering — requires the RocksDB
+        state store provider (set
+        ``spark.sql.streaming.stateStore.providerClass`` to
+        RocksDBStateStoreProvider before starting the query) AND a
+        working ``google.protobuf`` (the TWS state protocol is
+        protobuf-encoded; this container ships a broken protobuf, so
+        the pytest for this operator skips there — the legacy-API twin
+        above is the one exercised end-to-end)."""
+        return (
+            scored_stream.select("sentiment", "polarity")
+            .groupBy("sentiment")
+            .transformWithStateInPandas(
+                RunningTotalsProcessor(),
+                outputStructType=OUTPUT_SCHEMA,
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+
+except ImportError:  # pragma: no cover
+    RunningTotalsProcessor = None  # type: ignore[assignment]
+    running_sentiment_totals_tws = None  # type: ignore[assignment]

@@ -154,3 +154,64 @@ def test_salted_agg_matches_plain_agg_under_skew(spark):
         ).collect()
     }
     assert plain == salted
+
+
+def test_tws_running_totals_matches_legacy_api(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 typed-state API, RocksDB
+    store) produces the same cumulative totals as the
+    applyInPandasWithState rendering."""
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.streaming.stateful import (
+        running_sentiment_totals_tws,
+    )
+
+    import pytest as _pytest
+
+    if running_sentiment_totals_tws is None:
+        _pytest.skip("transformWithStateInPandas not available in this build")
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        _pytest.skip("TWS state protocol needs google.protobuf (broken in this env)")
+
+    src = tmp_path / "in_tws"
+    src.mkdir()
+    rows1 = [{"sentiment": "Positive", "polarity": 0.5}, {"sentiment": "Negative", "polarity": -0.4}]
+    rows2 = [{"sentiment": "Positive", "polarity": 0.3}]
+    for name, rows in [("a.json", rows1), ("b.json", rows2)]:
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema("sentiment string, polarity double")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = (
+            running_sentiment_totals_tws(stream)
+            .writeStream.format("memory")
+            .queryName("running_totals_tws")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = spark.sql("SELECT * FROM running_totals_tws").collect()
+        last = {}
+        for r in rows:
+            if r["sentiment"] not in last or r["total_count"] > last[r["sentiment"]]["total_count"]:
+                last[r["sentiment"]] = r
+        assert last["Positive"]["total_count"] == 2
+        assert abs(last["Positive"]["total_polarity"] - 0.8) < 1e-9
+        assert last["Negative"]["total_count"] == 1
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
