@@ -186,3 +186,42 @@ class TestConnectedComponents:
         labels = connected_components(edges)
         comp = {r["v"]: r["lbl"] for r in labels.collect()}
         assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+# property-based: connected_components matches a union-find reference on
+# random edge lists (pointer halving must not change the fixpoint).
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=30), st.integers(min_value=0, max_value=30)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_connected_components_matches_union_find(spark_global, edges):
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.operators.graph import (
+        connected_components,
+    )
+
+    spark = spark_global
+    parent: dict[int, int] = {}
+
+    def find(v):
+        parent.setdefault(v, v)
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {v: find(v) for v in parent}
+
+    df = spark.createDataFrame(edges, "s bigint, d bigint")
+    got = {r["v"]: r["lbl"] for r in connected_components(df).collect()}
+    assert got == expected
