@@ -143,3 +143,37 @@ def test_schema_repair_tolerates_missing_columns(spark):
     assert set(out.columns) >= {"title", "description", "url", "polarity", "sentiment"}
     row = out.head()
     assert row["url"] is None and row["sentiment"] == "Positive"
+
+
+def test_python_datasource_batch_and_stream(spark, tmp_path):
+    """Spark 4 Python Data Source API: the article API as a first-class
+    format — batch read fans pages out to executor tasks; the stream
+    reader ingests by page offsets with no NDJSON landing zone."""
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.sources.datasource import (
+        ArticlesDataSource,
+    )
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.sources.http import (
+        synthetic_fetcher,
+    )
+
+    spark.dataSource.register(ArticlesDataSource)
+
+    df = spark.read.format("articles_api").option("batches", "4").load()
+    rows = df.collect()
+    assert len(rows) == 40
+    assert {r["id"] for r in rows} == {
+        a["id"] for b in range(4) for a in synthetic_fetcher(b)
+    }
+
+    q = (
+        spark.readStream.format("articles_api")
+        .option("batches", "3")
+        .load()
+        .writeStream.format("memory")
+        .queryName("api_stream_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql("SELECT count(*) c FROM api_stream_test").head()["c"] == 30
