@@ -674,3 +674,142 @@ def curation_pipeline(spark, sf_dir):
         .cast("bigint")
         .alias("tokens_sampled"),
     )
+
+
+# Plain-document 3-gram shingles (no synthetic near-dup augmentation —
+# that corpus belongs to the dedup suite). Spark side mirrors the
+# posexplode+lead construction proven 20x faster than array-lambda
+# shingling (PERF.md).
+_DOC_SHINGLES_SQL = f"""
+dtok AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+dsh AS (
+    SELECT DISTINCT doc_id, s AS shingle
+    FROM dtok, unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(s)
+)"""
+
+
+def _doc_shingles(spark, sf_dir):
+    from pyspark.sql.window import Window as _W
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.posexplode(tokens("text")).alias("pos", "word"))
+    w = _W.partitionBy("doc_id").orderBy("pos")
+    return (
+        tok.withColumn("w1", F.lead("word", 1).over(w))
+        .withColumn("w2", F.lead("word", 2).over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "word", "w1", "w2").alias("shingle"))
+        .distinct()
+    )
+
+
+@register(
+    "benchmark_contamination",
+    oracle=f"""
+WITH {_DOC_SHINGLES_SQL},
+bench AS (SELECT DISTINCT shingle FROM dsh WHERE doc_id < 10),
+hits AS (
+    SELECT DISTINCT s.doc_id
+    FROM dsh s JOIN bench b ON s.shingle = b.shingle
+    WHERE s.doc_id >= 10
+),
+d AS (SELECT doc_id, lang FROM documents WHERE doc_id >= 10)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN hits.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       round(sum(CASE WHEN hits.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS contamination_rate
+FROM d LEFT JOIN hits ON d.doc_id = hits.doc_id
+GROUP BY d.lang
+""",
+    tags=("text", "decontamination", "semi-join"),
+)
+def benchmark_contamination(spark, sf_dir):
+    """Benchmark DECONTAMINATION scan — the pretraining hygiene pass:
+    flag every corpus document sharing at least one 3-gram shingle with
+    a held-out benchmark set (here: doc_id < 10 stands in for the eval
+    suite), reported as a per-language contamination rate. Shape: the
+    benchmark's distinct-shingle set is tiny and BROADCASTS into a
+    left-semi join against corpus shingles — the corpus is scanned
+    once, nothing quadratic, and raising n-gram order or swapping in
+    the dedup suite's hashed shingles is a constant change. At 100 TB
+    this is the exact plan: eval-set n-grams are always broadcast-
+    sized."""
+    sh = _doc_shingles(spark, sf_dir)
+    bench = sh.filter(F.col("doc_id") < 10).select("shingle").distinct()
+    hits = (
+        sh.filter(F.col("doc_id") >= 10)
+        .join(F.broadcast(bench), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") >= 10)
+        .select("doc_id", "lang")
+    )
+    flagged = d.join(hits, "doc_id", "left")
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("bigint").alias("n_contaminated"),
+        F.round(
+            F.sum(F.when(F.col("hit"), 1).otherwise(0)) / F.count(F.lit(1)).cast("double"), 4
+        ).alias("contamination_rate"),
+    )
+
+
+_VOCAB_K = 1000
+
+
+@register(
+    "oov_rate_by_source",
+    oracle=f"""
+WITH w AS (
+    SELECT doc_id, source, t.w AS word
+    FROM documents, unnest({TOKS_SQL}) AS t(w)
+),
+counts AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+vocab AS (
+    SELECT word FROM counts
+    ORDER BY cnt DESC, word ASC
+    LIMIT {_VOCAB_K}
+)
+SELECT w.source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN vocab.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       round(sum(CASE WHEN vocab.word IS NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS oov_rate
+FROM w LEFT JOIN vocab ON w.word = vocab.word
+GROUP BY w.source
+""",
+    tags=("text", "vocab", "tokenizer"),
+)
+def oov_rate_by_source(spark, sf_dir):
+    """Tokenizer-fit check: learn a top-{_VOCAB_K} vocabulary from global
+    token counts, then measure the out-of-vocabulary occurrence rate per
+    source — the query that tells you which data slice a fixed
+    vocabulary (or tokenizer merge table) serves worst. The vocabulary
+    derivation is a TakeOrdered top-K (count DESC, word ASC — total
+    order, engine-independent) and BROADCASTS back against the token
+    stream; the corpus is tokenized once, two keyed aggregates, no UDF."""
+    d = table(spark, sf_dir, "documents")
+    w = d.select("source", F.explode(tokens("text")).alias("word"))
+    counts = w.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        counts.orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(_VOCAB_K)
+        .select("word")
+        .withColumn("in_vocab", F.lit(True))
+    )
+    j = w.join(F.broadcast(vocab), "word", "left")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast("bigint").alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("oov_rate"),
+    )
