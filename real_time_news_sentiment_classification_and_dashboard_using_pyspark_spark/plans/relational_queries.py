@@ -2113,3 +2113,49 @@ def nation_market_share(spark, sf_dir):
         # Spark and DuckDB round differently (registry gotcha).
         (F.expr("(sum(rev_e4) + 50) div 100") / 100.0).alias("region_revenue"),
     )
+
+
+@register(
+    "discounted_brand_revenue",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_quantity <= 30
+  AND p.p_size <= 15
+  AND ((p.p_brand = 'Brand#1' AND p.p_size <= 5  AND l.l_quantity <= 11)
+    OR (p.p_brand = 'Brand#2' AND p.p_size <= 10 AND l.l_quantity BETWEEN 10 AND 20)
+    OR (p.p_brand = 'Brand#3' AND p.p_size <= 15 AND l.l_quantity BETWEEN 20 AND 30))
+""",
+    tags=("join", "disjunction", "tpch-q19"),
+)
+def discounted_brand_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: an OR of (brand, size, quantity) conjunct
+    groups spanning BOTH join sides. The classic optimization is spelled
+    out rather than hoped for: the WEAKEST per-side bounds implied by
+    the disjunction (l_quantity <= 30, p_size <= 15) are written as
+    standalone conjuncts, so each reaches its own scan as a pushed
+    filter BEFORE the join, while the full OR runs as the residual
+    post-join predicate. Catalyst cannot split an OR across sides on
+    its own — without the redundant bounds, every lineitem row would
+    reach the join. part stays broadcast."""
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") <= 30)
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    disj = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 5) & (F.col("l_quantity") <= 11))
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size") <= 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size") <= 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(disj).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+    )

@@ -139,3 +139,14 @@ def test_pivot_is_single_pass_no_distinct_job(spark):
     stage (the values list keeps the schema static)."""
     plan = plan_of(spark, "status_pivot_by_segment")
     assert "BroadcastHashJoin" in plan
+
+
+def test_q19_disjunction_bounds_push_to_both_scans(spark):
+    """Q19 shape: the weakest per-side bounds of the OR-of-conjuncts
+    must reach BOTH scans as pushed filters (Catalyst can't split the
+    OR across join sides by itself)."""
+    plan = plan_of(spark, "discounted_brand_revenue")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("l_quantity,30" in p for p in pushed), pushed
+    assert any("p_size,15" in p for p in pushed), pushed
+    assert "BroadcastHashJoin" in plan
