@@ -2163,3 +2163,102 @@ def discounted_brand_revenue(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
     )
+
+
+@register(
+    "lineitem_numeric_profile",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(l_quantity), 4) AS mean_qty,
+       round(stddev_samp(l_quantity), 4) AS sd_qty,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("profile", "statistics", "agg"),
+)
+def lineitem_numeric_profile(spark, sf_dir):
+    """Column-profiler aggregates — the data-quality/EDA pass over a
+    fact table: per return flag, spread (stddev_samp) and bivariate
+    structure (Pearson corr, sample covariance). All five moments are
+    single-pass partial aggregates (sum, sum-of-squares, cross-sums
+    merge associatively), so the shuffle carries a handful of doubles
+    per group — the same plan profiles 100 TB. Both engines compute
+    textbook two-pass-free formulas; 4-6dp rounding absorbs summation-
+    order drift."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg("l_quantity"), 4).alias("mean_qty"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qty_disc"),
+    )
+
+
+@register(
+    "daily_anomaly_zscore",
+    oracle="""
+WITH ev AS (
+    SELECT event_type, CAST(ts::TIMESTAMP AS DATE) AS day FROM events
+),
+daily AS (
+    SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_events
+    FROM ev GROUP BY event_type, day
+),
+scored AS (
+    SELECT event_type, day, n_events,
+           count(*) OVER w AS n_hist,
+           avg(n_events) OVER w AS mu,
+           stddev_samp(n_events) OVER w AS sd
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type,
+       strftime(day, '%Y-%m-%d') AS day,
+       n_events,
+       round((n_events - mu) / sd, 4) AS zscore
+FROM scored
+WHERE n_hist = 7 AND sd > 0 AND abs(round((n_events - mu) / sd, 4)) >= 2
+""",
+    tags=("timeseries", "anomaly", "window"),
+)
+def daily_anomaly_zscore(spark, sf_dir):
+    """Monitoring-surface anomaly detection: days whose event volume
+    sits >= 2 trailing-window standard deviations from the prior
+    7 days' mean, per event type. Composition of the engine's window
+    machinery: daily partial-agg, then mean/stddev over a bounded
+    trailing frame (PARTITION BY event_type — parallel windows, no
+    single-reducer sort), z-score rounded before thresholding so both
+    engines flag identical days. The production alerting query shape:
+    at 100 TB the daily rollup shrinks the window input to
+    days x types rows regardless of event volume."""
+    e = events_with_ts(spark, sf_dir)
+    daily = (
+        e.select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    scored = daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.count(F.lit(1)).over(w).alias("n_hist"),
+        F.avg("n_events").over(w).alias("mu"),
+        F.stddev_samp("n_events").over(w).alias("sd"),
+    )
+    z = F.round((F.col("n_events") - F.col("mu")) / F.col("sd"), 4)
+    return (
+        scored.filter((F.col("n_hist") == 7) & (F.col("sd") > 0))
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            z.alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) >= 2)
+    )
