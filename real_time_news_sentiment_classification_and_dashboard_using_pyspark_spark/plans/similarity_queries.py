@@ -776,35 +776,36 @@ def lsh_banded_pairs(spark, sf_dir):
         .select("vec_a", "vec_b")
         .distinct()
     )
-    en = e.select(
-        "vec_id",
-        "emb",
-        F.sqrt(
-            F.aggregate(F.transform("emb", lambda u: u * u), F.lit(0.0), lambda a, u: a + u)
-        ).alias("nrm"),
-    )
-    x = en.select(
-        F.col("vec_id").alias("vec_a"), F.col("emb").alias("aemb"), F.col("nrm").alias("anrm")
-    )
-    y = en.select(
-        F.col("vec_id").alias("vec_b"), F.col("emb").alias("bemb"), F.col("nrm").alias("bnrm")
-    )
-    v = (
-        cand.join(x, "vec_a")
-        .join(y, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(
-                F.aggregate(
-                    F.zip_with("aemb", "bemb", lambda p, q: p * q), F.lit(0.0), lambda a, u: a + u
-                )
-                / (F.col("anrm") * F.col("bnrm")),
-                6,
-            ).alias("cos_sim"),
-        )
-    )
-    return v.filter(F.col("cos_sim") >= 0.3)
+    x = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("aemb"))
+    y = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("bemb"))
+    joined = cand.join(x, "vec_a").join(y, "vec_b")
+
+    # Candidate volume is O(occupancy^2) summed over buckets — verifying
+    # with interpreted higher-order folds is the exact anti-pattern
+    # PERF.md documents (CodegenFallback per pair). Arrow-batched numpy
+    # does the whole batch in three vectorized ops.
+    def _cos_batch(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.array(list(pdf["aemb"]), dtype=np.float64)
+            b = np.array(list(pdf["bemb"]), dtype=np.float64)
+            dots = np.einsum("ij,ij->i", a, b)
+            nrm = np.sqrt(np.einsum("ij,ij->i", a, a) * np.einsum("ij,ij->i", b, b))
+            sims = np.round(dots / nrm, 6)
+            keep = sims >= 0.3
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"].to_numpy()[keep],
+                    "vec_b": pdf["vec_b"].to_numpy()[keep],
+                    "cos_sim": sims[keep],
+                }
+            )
+
+    return joined.mapInPandas(_cos_batch, "vec_a bigint, vec_b bigint, cos_sim double")
 
 
 @register(
