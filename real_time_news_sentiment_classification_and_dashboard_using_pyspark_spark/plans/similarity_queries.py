@@ -263,12 +263,24 @@ def embedding_near_dup_pairs(spark, sf_dir):
     return _block_grid_pairs(spark, sf_dir, threshold=0.3)
 
 
+_BASE_PAIR_THRESHOLD = 0.3
+
+
 def _block_grid_pairs(spark, sf_dir, threshold: float) -> DataFrame:
     """Exact all-pairs cosine >= threshold via the distributed block
     grid (see embedding_near_dup_pairs docstring); also feeds
-    near_dup_clusters at its own threshold."""
+    near_dup_clusters at its own threshold.
+
+    The matmul kernel always materializes at the BASE threshold (0.3)
+    and is cached; tighter thresholds are a filter on top. Every caller
+    in one session then shares ONE O(n^2) matmul pass — Spark's cache
+    manager matches the identical base plan (the same mechanism the
+    dedup suite uses to share its shingle table)."""
     import numpy as np
     import pandas as pd
+
+    if threshold < _BASE_PAIR_THRESHOLD:
+        raise ValueError(f"threshold {threshold} below base {_BASE_PAIR_THRESHOLD}")
 
     n_blocks = 8
 
@@ -308,7 +320,7 @@ def _block_grid_pairs(spark, sf_dir, threshold: float) -> DataFrame:
         aids = lpdf["vec_id"].to_numpy()
         bids = rpdf["vec_id"].to_numpy()
         sims = np.round(an @ bn.T, 6)
-        ai, bj = np.nonzero(sims >= threshold)
+        ai, bj = np.nonzero(sims >= _BASE_PAIR_THRESHOLD)
         va, vb, s = aids[ai], bids[bj], sims[ai, bj]
         if key[0] == key[1]:
             # same block on both sides: each unordered pair appears twice
@@ -321,11 +333,15 @@ def _block_grid_pairs(spark, sf_dir, threshold: float) -> DataFrame:
             va, vb = np.minimum(va, vb), np.maximum(va, vb)
         return pd.DataFrame({"vec_a": va, "vec_b": vb, "cos_sim": s})
 
-    return (
+    base = (
         left.groupby("bi", "bj")
         .cogroup(right.groupby("bi", "bj"))
         .applyInPandas(block_pair, "vec_a bigint, vec_b bigint, cos_sim double")
+        .cache()
     )
+    if threshold == _BASE_PAIR_THRESHOLD:
+        return base
+    return base.filter(F.col("cos_sim") >= threshold)
 
 
 @register(
