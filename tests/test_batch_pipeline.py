@@ -177,3 +177,41 @@ def test_python_datasource_batch_and_stream(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.sql("SELECT count(*) c FROM api_stream_test").head()["c"] == 30
+
+
+def test_curated_corpus_materialization_matches_funnel(spark, tmp_path):
+    """write_curated_corpus lands exactly the rows curation_pipeline
+    counts as n_sampled, partitioned by lang (pruning-ready)."""
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.curation import (
+        write_curated_corpus,
+    )
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans import (
+        REGISTRY,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "curated")
+    write_curated_corpus(spark, sf, out)
+
+    funnel = {
+        r["lang"]: (r["n_sampled"], r["tokens_sampled"])
+        for r in REGISTRY["curation_pipeline"].fn(spark, sf).collect()
+    }
+    back = spark.read.parquet(out)
+    got = {
+        r["lang"]: (r["n"], r["toks"])
+        for r in back.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("est_tokens").alias("toks"))
+        .collect()
+    }
+    assert {k: v for k, v in funnel.items() if v[0] > 0} == got
+
+    # partition pruning: a lang filter must read only that partition
+    one_lang = next(k for k, v in got.items())
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        back.filter(F.col("lang") == one_lang).explain("formatted")
+    assert f"lang={one_lang}" in buf.getvalue() or "PartitionFilters" in buf.getvalue()
