@@ -150,3 +150,18 @@ def test_q19_disjunction_bounds_push_to_both_scans(spark):
     assert any("l_quantity,30" in p for p in pushed), pushed
     assert any("p_size,15" in p for p in pushed), pushed
     assert "BroadcastHashJoin" in plan
+
+
+def test_contamination_benchmark_side_broadcasts(spark):
+    """Decontamination: the eval-set shingle dimension must broadcast
+    into the semi-join — the corpus side never shuffles for it."""
+    plan = plan_of(spark, "benchmark_contamination")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_oov_vocab_broadcasts(spark):
+    """The learned top-K vocabulary must broadcast back over the token
+    stream (TakeOrdered derivation, broadcast application)."""
+    plan = plan_of(spark, "oov_rate_by_source")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
