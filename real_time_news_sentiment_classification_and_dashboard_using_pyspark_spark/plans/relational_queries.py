@@ -2262,3 +2262,89 @@ def daily_anomaly_zscore(spark, sf_dir):
         )
         .filter(F.abs(F.col("zscore")) >= 2)
     )
+
+
+@register(
+    "late_shipment_priority",
+    oracle="""
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o.o_orderpriority
+""",
+    tags=("semi", "exists", "tpch-q4"),
+)
+def late_shipment_priority(spark, sf_dir):
+    """TPC-H Q4 shape: orders (in a window) having AT LEAST ONE line
+    shipped >90 days after ordering, counted per priority — correlated
+    EXISTS rendered as a left-semi join whose date-arithmetic predicate
+    rides the join condition. The semi join short-circuits per order
+    (no fan-out, no dedup needed) and the orderdate window pushes into
+    the orders scan."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    semi = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+
+
+@register(
+    "idle_rich_customers",
+    oracle="""
+WITH avg_bal AS (
+    SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+)
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_custs,
+       round(sum(c.c_acctbal), 2) AS total_bal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+CROSS JOIN avg_bal
+WHERE c.c_acctbal > avg_bal.a
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY n.n_name
+""",
+    tags=("anti", "scalar-subquery", "tpch-q22"),
+)
+def idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: customers with above-average balance and no
+    RECENT orders (none since 2001), rolled up per nation — the
+    anti-join + scalar-subquery combination (who has money but stopped
+    buying). The global average is a single-row aggregate crossJoined
+    (broadcast scalar), the no-recent-orders test a left-anti join on
+    custkey with the date filter PUSHED INTO the anti side's scan,
+    nation broadcast."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2001-01-01")
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("a"))
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("a"))
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (
+        idle.join(F.broadcast(n), idle.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
