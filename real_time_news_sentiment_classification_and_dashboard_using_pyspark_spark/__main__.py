@@ -8,6 +8,9 @@
       # streaming_pipeline.py generate mode: drop synthetic NDJSON batches
   python -m ... dashboard --scored out_dir/scored
       # streamlit_app.py equivalent: print the dashboard metrics dict
+  python -m ... curate --sf-dir /root/testdata/sf0.01 --output out/curated
+      # corpus curation: quality gate -> dedup -> sample, written
+      # partitioned by lang (engine extension; no reference equivalent)
 """
 
 from __future__ import annotations
@@ -45,6 +48,10 @@ def main() -> None:
     d = sub.add_parser("dashboard")
     d.add_argument("--scored", required=True)
 
+    c = sub.add_parser("curate")
+    c.add_argument("--sf-dir", required=True)
+    c.add_argument("--output", required=True)
+
     args = ap.parse_args()
 
     if args.mode == "generate":
@@ -72,6 +79,14 @@ def main() -> None:
         elif args.mode == "dashboard":
             scored = spark.read.parquet(args.scored)
             print(json.dumps(dashboard_metrics(scored), default=str, indent=2))
+        elif args.mode == "curate":
+            from .curation import write_curated_corpus
+
+            write_curated_corpus(spark, args.sf_dir, args.output)
+            back = spark.read.parquet(args.output)
+            n = back.count()
+            langs = sorted(r["lang"] for r in back.select("lang").distinct().collect())
+            print(json.dumps({"written": args.output, "n_docs": n, "langs": langs}))
     finally:
         spark.stop()
 
