@@ -483,8 +483,87 @@ def fuzzy_name_match(spark, sf_dir):
     )
 
 
+def _cluster_sizes(pairs) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    labels = connected_components(pairs, src="vec_a", dst="vec_b")
+    return labels.groupBy(F.col("lbl").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("size")
+    )
+
+
+def _near_dup_clusters_oracle() -> str:
+    from .similarity_queries import _BANDED_BUCKETS_CTE
+
+    return f"""
+WITH RECURSIVE {_BANDED_BUCKETS_CTE},
+en AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM (SELECT en.vec_id, bk.t, bk.bucket FROM en JOIN bbuckets bk USING (vec_id)) a
+    JOIN (SELECT en.vec_id, bk.t, bk.bucket FROM en JOIN bbuckets bk USING (vec_id)) b
+      ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+pairs AS (
+    SELECT c.vec_a, c.vec_b
+    FROM cand c JOIN en x ON c.vec_a = x.vec_id JOIN en y ON c.vec_b = y.vec_id
+    WHERE round(list_dot_product(x.emb, y.emb) / (x.nrm * y.nrm), 6) >= 0.4
+),
+edges AS (
+    SELECT vec_a AS s, vec_b AS d FROM pairs
+    UNION ALL
+    SELECT vec_b AS s, vec_a AS d FROM pairs
+),
+reach(v, r) AS (
+    SELECT DISTINCT s AS v, s AS r FROM edges
+    UNION
+    SELECT edges.d AS v, reach.r FROM reach JOIN edges ON edges.s = reach.v
+),
+comp AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v)
+SELECT cluster_id, CAST(count(*) AS BIGINT) AS size
+FROM comp GROUP BY cluster_id
+"""
+
+
 @register(
     "near_dup_clusters",
+    oracle=_near_dup_clusters_oracle(),
+    tags=("dedup", "clusters", "iterative", "lsh"),
+)
+def near_dup_clusters(spark, sf_dir):
+    """Connected components over the near-duplicate pair graph —
+    TRANSITIVE dedup clusters (A~B, B~C => one cluster), the step that
+    turns pairwise similarity into "keep one representative per group"
+    for a training corpus. cluster_id = min vec_id in the component.
+
+    THE PRODUCTION SHAPE: edges come from the banded-LSH candidate
+    generator (4 tables x 4 bits, shared with ``lsh_banded_pairs``) with
+    exact cosine verification at the 0.4 radius — work scales with
+    bucket collisions, never corpus^2, and transitivity degrades cluster
+    recall gracefully when a pair is missed (one bridging edge per
+    cluster suffices). The oracle mirrors the identical md5-seeded
+    candidate CTE, so the comparison is bit-exact at any recall; the
+    recall trade itself is measured, not guessed — ``lsh_recall_eval``
+    quantifies per-band pair recall, and ``near_dup_clusters_exact`` is
+    the all-pairs ground truth to diff against at oracle scale.
+
+    Spark rendering of the closure: ``operators.graph
+    .connected_components`` — partition-local union-find contraction
+    rounds (union-of-spanning-forests), pointer-halving min-label
+    propagation for the adversarial tail. The DuckDB twin is a
+    recursive CTE computing the min reachable vertex."""
+    from .similarity_queries import _banded_pairs_base
+
+    pairs = (
+        _banded_pairs_base(spark, sf_dir)
+        .filter(F.col("cos_sim") >= 0.4)
+        .select("vec_a", "vec_b")
+    )
+    return _cluster_sizes(pairs)
+
+
+@register(
+    "near_dup_clusters_exact",
     oracle="""
 WITH RECURSIVE
 e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -508,27 +587,18 @@ comp AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v)
 SELECT cluster_id, CAST(count(*) AS BIGINT) AS size
 FROM comp GROUP BY cluster_id
 """,
-    tags=("dedup", "clusters", "iterative"),
+    tags=("dedup", "clusters", "iterative", "exact"),
 )
-def near_dup_clusters(spark, sf_dir):
-    """Connected components over the near-duplicate pair graph —
-    TRANSITIVE dedup clusters (A~B, B~C => one cluster), the step that
-    turns pairwise similarity into "keep one representative per group"
-    for a training corpus. cluster_id = min vec_id in the component.
-
-    Spark rendering: ``operators.graph.connected_components`` — min-label
-    propagation with pointer halving (O(log diameter) rounds, one
-    equi-join + min-agg + one halving join per round, localCheckpoint
-    lineage truncation, convergence detected without an extra shuffle).
-    The DuckDB twin is a recursive CTE computing min reachable vertex."""
-    from ..operators.graph import connected_components
+def near_dup_clusters_exact(spark, sf_dir):
+    """Ground-truth twin of ``near_dup_clusters``: the same transitive
+    closure over the EXACT all-pairs 0.4-radius graph (block-grid
+    matmul, O(n^2) by definition — the oracle/evaluation path you run
+    at sample scale to measure what the LSH edge generator misses,
+    never the 100 TB path). 0.4 (tighter than the pair query's 0.3)
+    yields ~42 multi-node clusters at the driver's corpus instead of
+    one giant component — the structure the operator exists to
+    surface."""
     from .similarity_queries import _block_grid_pairs
 
-    # 0.4 radius (tighter than the pair query's 0.3): at the driver's
-    # corpus this yields ~42 multi-node clusters instead of one giant
-    # component — the structure the operator exists to surface
     pairs = _block_grid_pairs(spark, sf_dir, threshold=0.4).select("vec_a", "vec_b")
-    labels = connected_components(pairs, src="vec_a", dst="vec_b")
-    return labels.groupBy(F.col("lbl").alias("cluster_id")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("size")
-    )
+    return _cluster_sizes(pairs)

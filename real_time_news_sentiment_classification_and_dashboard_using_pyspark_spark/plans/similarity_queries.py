@@ -744,84 +744,106 @@ def lsh_banded_pairs(spark, sf_dir):
     is ~0.6^4 = 0.13, OR-ed over 4 tables = ~0.43 expected recall at a
     fraction of brute force's candidate volume (measured at sf0.01:
     427/990 exact pairs = 43%, vs 19/990 for the single 8-bit table —
-    the theory holds to two decimal places). Candidates are DISTINCT
-    same-(table, bucket) pairs — an equi-join on the composite key,
-    work proportional to bucket occupancy summed over tables — then the
-    exact cosine verifies each candidate once. The dedup suite's
-    recall/cost dial: tables x bits tunes it; both engines build the
-    identical md5-seeded family."""
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    pos = e.select("vec_id", F.posexplode("emb").alias("i", "x"))
-    signs = (
-        spark.range(_N_TABLES).select(F.col("id").alias("t"))
-        .crossJoin(spark.range(_N_BITS).select(F.col("id").alias("j")))
-        .crossJoin(spark.range(64).select(F.col("id").alias("i")))
-        .select(
-            "t",
-            "j",
-            "i",
-            F.when(
-                F.conv(
-                    F.substring(F.md5(F.concat_ws("_", "t", "j", "i")), 32, 1), 16, 10
-                ).cast("bigint") % 2 == 1,
-                F.lit(1.0),
-            )
-            .otherwise(F.lit(-1.0))
-            .alias("s"),
-        )
-    )
-    dots = (
-        pos.join(F.broadcast(signs), "i")
-        .groupBy("vec_id", "t", "j")
-        .agg(F.sum(F.col("x") * F.col("s")).alias("dot"))
-    )
-    buckets = dots.groupBy("vec_id", "t").agg(
-        F.sum(
-            F.when(F.round(F.col("dot"), 6) > 0, F.pow(F.lit(2.0), F.col("j")).cast("bigint")).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("bucket")
-    )
-    left = buckets.select(F.col("vec_id").alias("vec_a"), "t", "bucket")
-    right = buckets.select(F.col("vec_id").alias("vec_b"), "t", "bucket")
-    cand = (
-        left.join(right, ["t", "bucket"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
-    x = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("aemb"))
-    y = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("bemb"))
-    joined = cand.join(x, "vec_a").join(y, "vec_b")
+    the theory holds to two decimal places). Candidate pairs are
+    same-(table, bucket) collisions verified by the exact cosine —
+    here fused into one per-bucket Arrow kernel; work is proportional
+    to bucket occupancy summed over tables, never corpus^2. The dedup
+    suite's recall/cost dial: tables x bits tunes it; both engines
+    build the identical md5-seeded family."""
+    return _banded_pairs_base(spark, sf_dir)
 
-    # Candidate volume is O(occupancy^2) summed over buckets — verifying
-    # with interpreted higher-order folds is the exact anti-pattern
-    # PERF.md documents (CodegenFallback per pair). Arrow-batched numpy
-    # does the whole batch in three vectorized ops.
-    def _cos_batch(batches):
+
+def _banded_buckets_np(spark, sf_dir) -> DataFrame:
+    """(vec_id, t, bucket) for every embedding under the banded
+    md5-seeded hyperplane family — numerically the same construction as
+    ``_BANDED_BUCKETS_CTE`` (sign = md5 parity, bit = round(dot, 6) > 0)
+    but computed as ONE Arrow kernel: a (T*B) x 64 sign matrix built
+    deterministically inside the worker, one matmul per batch. Replaces
+    a posexplode -> broadcast-join -> two-groupBy pipeline (3 shuffles,
+    T*B*64 intermediate rows per vector) with a narrow map — the 6dp
+    round absorbs the summation-order difference exactly as the
+    registry's engine-parity convention prescribes."""
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def _bucket_kernel(batches):
+        import hashlib
+
         import numpy as np
         import pandas as pd
 
+        w = np.empty((_N_TABLES * _N_BITS, 64), dtype=np.float64)
+        for t in range(_N_TABLES):
+            for j in range(_N_BITS):
+                for i in range(64):
+                    h = hashlib.md5(f"{t}_{j}_{i}".encode()).hexdigest()
+                    w[t * _N_BITS + j, i] = 1.0 if int(h[31], 16) % 2 == 1 else -1.0
+        pow2 = 2 ** np.arange(_N_BITS, dtype=np.int64)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            a = np.array(list(pdf["aemb"]), dtype=np.float64)
-            b = np.array(list(pdf["bemb"]), dtype=np.float64)
-            dots = np.einsum("ij,ij->i", a, b)
-            nrm = np.sqrt(np.einsum("ij,ij->i", a, a) * np.einsum("ij,ij->i", b, b))
-            sims = np.round(dots / nrm, 6)
-            keep = sims >= 0.3
-            yield pd.DataFrame(
+            x = np.array(list(pdf["embedding"]), dtype=np.float64)
+            bits = np.round(x @ w.T, 6) > 0  # n x (T*B)
+            ids = pdf["vec_id"].to_numpy()
+            out = []
+            for t in range(_N_TABLES):
+                bucket = bits[:, t * _N_BITS : (t + 1) * _N_BITS].astype(np.int64) @ pow2
+                out.append(
+                    pd.DataFrame({"vec_id": ids, "t": np.int32(t), "bucket": bucket})
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return e.mapInPandas(_bucket_kernel, "vec_id bigint, t int, bucket bigint")
+
+
+_BANDED_BASE_THRESHOLD = 0.3
+
+
+def _banded_pairs_base(spark, sf_dir) -> DataFrame:
+    """Verified banded-LSH pair set at the base threshold (0.3), cached
+    for the session: ``near_dup_clusters`` (0.4) and any tighter caller
+    filter on top, so one bucket-grouped pass serves the whole family.
+
+    Plan: bucket assignment (narrow Arrow kernel) -> join embeddings on
+    vec_id -> group by (t, bucket) -> per-group numpy all-pairs cosine
+    -> distinct. The (t, bucket) grouping IS the LSH-keyed shuffle: each
+    task does occupancy^2 work on its own bucket, so total work tracks
+    true collisions, not corpus^2. The same unordered pair colliding in
+    several tables yields bit-identical (vec_a, vec_b, cos_sim) rows
+    (same vectors, same float ops), so DISTINCT collapses them. Skew =
+    a hot bucket; B bits is the dial (more bits -> smaller buckets)."""
+    bk = _banded_buckets_np(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    side = bk.join(e, "vec_id")
+
+    def _pair_kernel(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame(
                 {
-                    "vec_a": pdf["vec_a"].to_numpy()[keep],
-                    "vec_b": pdf["vec_b"].to_numpy()[keep],
-                    "cos_sim": sims[keep],
+                    "vec_a": pd.Series(dtype="int64"),
+                    "vec_b": pd.Series(dtype="int64"),
+                    "cos_sim": pd.Series(dtype="float64"),
                 }
             )
+        pdf = pdf.sort_values("vec_id")
+        x = np.array(list(pdf["embedding"]), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        sims = np.round(xn @ xn.T, 6)
+        ai, bj = np.nonzero(np.triu(sims >= _BANDED_BASE_THRESHOLD, k=1))
+        return pd.DataFrame(
+            {"vec_a": ids[ai], "vec_b": ids[bj], "cos_sim": sims[ai, bj]}
+        )
 
-    return joined.mapInPandas(_cos_batch, "vec_a bigint, vec_b bigint, cos_sim double")
+    return (
+        side.groupBy("t", "bucket")
+        .applyInPandas(_pair_kernel, "vec_a bigint, vec_b bigint, cos_sim double")
+        .distinct()
+        .cache()
+    )
 
 
 @register(

@@ -225,3 +225,49 @@ def test_connected_components_matches_union_find(spark_global, edges):
     df = spark.createDataFrame(edges, "s bigint, d bigint")
     got = {r["v"]: r["lbl"] for r in connected_components(df).collect()}
     assert got == expected
+
+
+class TestConnectedComponentsModes:
+    def test_reliable_checkpoint_dir(self, spark, tmp_path):
+        """checkpoint_dir switches lineage truncation to reliable
+        storage — files must actually land under the directory and the
+        labels must be unchanged."""
+        from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.operators.graph import (
+            connected_components,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "s bigint, d bigint"
+        )
+        ckpt = str(tmp_path / "cc_ckpt")
+        labels = connected_components(edges, checkpoint_dir=ckpt)
+        comp = {r["v"]: r["lbl"] for r in labels.collect()}
+        assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+        import os
+
+        assert any(files for _, _, files in os.walk(ckpt)), "no checkpoint files written"
+
+    def test_phase2_fallback_on_contraction_stall(self, spark, monkeypatch):
+        """With tiny contraction partitions a long path stalls the
+        union-of-forests phase (star count stops shrinking while the
+        partition count is already minimal), which must hand off to the
+        pointer-halving phase and still converge to one component."""
+        import real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.operators.graph as g
+
+        monkeypatch.setattr(g, "_EDGES_PER_PART", 4)
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(63)], "s bigint, d bigint"
+        )
+        labels = g.connected_components(edges, max_rounds=25)
+        rows = {r["v"]: r["lbl"] for r in labels.collect()}
+        assert len(rows) == 64
+        assert set(rows.values()) == {0}
+
+    def test_self_loop_only_vertex_keeps_own_label(self, spark):
+        from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.operators.graph import (
+            connected_components,
+        )
+
+        edges = spark.createDataFrame([(5, 5), (1, 2)], "s bigint, d bigint")
+        comp = {r["v"]: r["lbl"] for r in connected_components(edges).collect()}
+        assert comp == {5: 5, 1: 1, 2: 1}
