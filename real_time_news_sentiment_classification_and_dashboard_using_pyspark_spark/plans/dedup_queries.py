@@ -81,23 +81,26 @@ def _corpus(spark, sf_dir) -> DataFrame:
 def _shingles(spark, sf_dir) -> DataFrame:
     """(doc_id, shingle, h32): distinct 3-token shingles + 32-bit md5 hash.
 
-    Implementation note: built via posexplode + window lead(), NOT an
-    array transform with element_at — Catalyst inlines the tokenization
-    subtree into every element_at access inside a lambda, turning the
-    transform into O(tokens x 3) regexp evaluations per document (~20x
-    slower measured at sf0.1). Here each document is tokenized exactly
-    once; the window shuffle is on doc_id and the per-group sort is on
-    an int position."""
-    from pyspark.sql.window import Window
-
+    Implementation note: built by zipping three shifted array SLICES of
+    the token array — array-level ops, so the tokenization expression is
+    evaluated a constant ~4 times per DOCUMENT (once per slice + size).
+    This beats both alternatives measured at sf0.1: an array transform
+    with element_at (Catalyst inlines the tokenization subtree into
+    every element access — O(tokens x 3) regexp evaluations per doc,
+    ~20x slower) and posexplode + window lead() (tokenizes once but
+    pays a full shuffle + per-doc sort over every token row — ~2x
+    slower). No shuffle at all until the final distinct."""
     c = _corpus(spark, sf_dir)
-    tok = c.select("doc_id", F.posexplode(F.expr(SPARK_TOKS)).alias("pos", "word"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
+
+    def shifted(start: int) -> F.Column:
+        return F.expr(
+            f"slice({SPARK_TOKS}, {start}, greatest(size({SPARK_TOKS}) - 2, 0))"
+        )
+
+    zipped = F.arrays_zip(shifted(1), shifted(2), shifted(3))
     return (
-        tok.withColumn("w1", F.lead("word", 1).over(w))
-        .withColumn("w2", F.lead("word", 2).over(w))
-        .filter(F.col("w2").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "word", "w1", "w2").alias("shingle"))
+        c.select("doc_id", F.explode(zipped).alias("z"))
+        .select("doc_id", F.concat_ws(" ", "z.0", "z.1", "z.2").alias("shingle"))
         .distinct()
         .withColumn("h32", F.conv(F.substring(F.md5("shingle"), 25, 8), 16, 10).cast("bigint"))
     )
@@ -150,38 +153,52 @@ def dedup_exact(spark, sf_dir):
 # n-gram Jaccard (exact, shingle-blocked)
 # ---------------------------------------------------------------------------
 
-_JACCARD_BODY = """
+# Stop-shingle cutoff: shingles appearing in more documents than this
+# carry no near-dup signal (boilerplate), and each one costs df^2 rows
+# in the shared-shingle self-join — one shingle in 1% of a 100 TB
+# corpus would alone generate ~10^14 candidate rows. Dropping them
+# bounds per-key join fan-out at cutoff^2 and makes total join work
+# linear in the number of distinct shingles. Jaccard is then computed
+# over the informative (kept) shingle sets, identically on both
+# engines. 20 sits above the sf0.01 max df (14), so the small-scale
+# golden is byte-identical to the unfiltered form.
+STOP_SHINGLE_DF = 20
+
+_JACCARD_BODY = f"""
+stop AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > {STOP_SHINGLE_DF}),
+kept AS (SELECT sh.* FROM sh WHERE shingle NOT IN (SELECT shingle FROM stop)),
+ksizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
 inter AS (
     SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
-    FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    FROM kept x JOIN kept y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
     GROUP BY 1, 2
 ),
 jac AS (
     SELECT i.doc_a, i.doc_b,
            round(n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 4) AS jaccard
     FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.doc_a
-    JOIN sizes sb ON sb.doc_id = i.doc_b
+    JOIN ksizes sa ON sa.doc_id = i.doc_a
+    JOIN ksizes sb ON sb.doc_id = i.doc_b
 )
 SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5
 """
 
 
-@register(
-    "ngram_jaccard_pairs",
-    oracle=SHINGLES_SQL + ",\n" + _JACCARD_BODY,
-    tags=("dedup", "jaccard"),
-)
-def ngram_jaccard_pairs(spark, sf_dir):
-    """Exact 3-gram Jaccard near-dup pairs, blocked by shared shingle:
-    the pair space is generated by an equi-join on the shingle (each
-    shingle touches few docs), never a cross join. Intersection = join
-    count; union via |A|+|B|-inter. Scale: the shingle join is the only
-    big shuffle and its key cardinality grows with corpus size — skew
-    guarded by AQE (a stop-shingle prefilter is the 100 TB add-on)."""
-    sh = _shingles(spark, sf_dir).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    x, y = sh.alias("x"), sh.alias("y")
+def _jaccard_pairs_from_shingles(sh: DataFrame, cutoff: int = STOP_SHINGLE_DF) -> DataFrame:
+    """Shared-shingle-blocked exact Jaccard over a (doc_id, shingle)
+    DataFrame, with the stop-shingle prefilter applied to both the pair
+    join and the per-doc sizes (so the Jaccard denominator matches the
+    filtered intersection). The stop list is tiny by Zipf — boilerplate
+    is few distinct shingles — so it broadcasts."""
+    stop = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > cutoff)
+        .select("shingle")
+    )
+    kept = sh.join(F.broadcast(stop), "shingle", "left_anti")
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    x, y = kept.alias("x"), kept.alias("y")
     inter = (
         x.join(y, (F.col("x.shingle") == F.col("y.shingle")) & (F.col("x.doc_id") < F.col("y.doc_id")))
         .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
@@ -203,6 +220,22 @@ def ngram_jaccard_pairs(spark, sf_dir):
         )
     )
     return jac.filter(F.col("jaccard") >= 0.5)
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=SHINGLES_SQL + ",\n" + _JACCARD_BODY,
+    tags=("dedup", "jaccard"),
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs, blocked by shared shingle:
+    the pair space is generated by an equi-join on the shingle, never a
+    cross join, with a stop-shingle doc-frequency prefilter
+    (``STOP_SHINGLE_DF``) so no single hot shingle can blow the join up
+    quadratically. Intersection = join count; union via |A|+|B|-inter.
+    Scale: join work is bounded by n_shingles x cutoff^2 — linear in
+    corpus size; the oracle applies the identical prefilter CTE."""
+    return _jaccard_pairs_from_shingles(_shingles(spark, sf_dir).cache())
 
 
 # ---------------------------------------------------------------------------

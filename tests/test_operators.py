@@ -271,3 +271,44 @@ class TestConnectedComponentsModes:
         edges = spark.createDataFrame([(5, 5), (1, 2)], "s bigint, d bigint")
         comp = {r["v"]: r["lbl"] for r in connected_components(edges).collect()}
         assert comp == {5: 5, 1: 1, 2: 1}
+
+
+class TestStopShinglePrefilter:
+    def test_hot_shingle_contributes_no_pairs(self, spark):
+        """Docs sharing ONLY a hot (above-cutoff) shingle must not pair;
+        docs sharing rare shingles still do, with Jaccard computed over
+        the kept shingle sets on both sides."""
+        from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans.dedup_queries import (
+            _jaccard_pairs_from_shingles,
+        )
+
+        rows = []
+        # hot shingle across 40 docs (df=40 > cutoff=2)
+        for d in range(40):
+            rows.append((d, "the quick fox"))
+        # docs 0 and 1 additionally share two rare shingles
+        rows += [(0, "rare pair one"), (1, "rare pair one")]
+        rows += [(0, "rare pair two"), (1, "rare pair two")]
+        sh = spark.createDataFrame(rows, "doc_id bigint, shingle string")
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in _jaccard_pairs_from_shingles(sh, cutoff=2).collect()
+        }
+        # only (0, 1) pairs — via the two rare shingles; jaccard over the
+        # KEPT sets is 2/2 = 1.0 (the hot shingle is excluded from sizes)
+        assert got == {(0, 1): 1.0}
+
+    def test_cutoff_noop_below_df(self, spark):
+        """With the cutoff above every df the prefilter must be a no-op
+        (the sf0.01 golden-stability argument)."""
+        from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans.dedup_queries import (
+            _jaccard_pairs_from_shingles,
+        )
+
+        rows = [(0, "a b c"), (1, "a b c"), (0, "d e f"), (1, "d e f"), (2, "x y z")]
+        sh = spark.createDataFrame(rows, "doc_id bigint, shingle string")
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in _jaccard_pairs_from_shingles(sh, cutoff=100).collect()
+        }
+        assert got == {(0, 1): 1.0}
