@@ -65,10 +65,52 @@ def train_sentiment_model(train: DataFrame, text_col: str = "text") -> PipelineM
     return build_pipeline().fit(labeled)
 
 
-def train_on_documents(spark: SparkSession, sf_dir: str) -> PipelineModel:
-    """Weak supervision: lexicon-label the documents table, fit."""
-    docs = score_text_expr(table(spark, sf_dir, "documents"), "text")
-    return train_sentiment_model(docs.select("text", "sentiment"))
+_MODEL_MEMO: dict[str, PipelineModel] = {}
+
+
+def _model_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    base = os.environ.get(
+        "SPARK_GRAFT_MODEL_DIR",
+        os.path.join(os.getcwd(), "spark-warehouse", "models"),
+    )
+    return os.path.join(base, f"sentiment_lr_{tag}")
+
+
+def train_on_documents(
+    spark: SparkSession, sf_dir: str, persist: bool = True
+) -> PipelineModel:
+    """Weak supervision: lexicon-label the documents table, fit.
+
+    Train-once semantics — the production contract for a model in a
+    query path: the fitted PipelineModel is memoized per corpus in the
+    session and persisted to the model registry dir
+    (``$SPARK_GRAFT_MODEL_DIR``, default ``spark-warehouse/models``),
+    so repeated queries and fresh processes pay model LOAD + inference,
+    never a refit. Training happens at most once per corpus — exactly
+    like fitting on a sample at 100 TB and broadcasting the artifact."""
+    import os
+
+    key = os.path.abspath(sf_dir)
+    if key in _MODEL_MEMO:
+        return _MODEL_MEMO[key]
+    path = _model_path(sf_dir)
+    model = None
+    if persist and os.path.isdir(path):
+        try:
+            model = PipelineModel.load(path)
+        except Exception:
+            model = None  # corrupt/partial artifact: refit below
+    if model is None:
+        docs = score_text_expr(table(spark, sf_dir, "documents"), "text")
+        model = train_sentiment_model(docs.select("text", "sentiment"))
+        if persist:
+            model.write().overwrite().save(path)
+    _MODEL_MEMO[key] = model
+    return model
 
 
 def predict_sentiment(model: PipelineModel, df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -166,6 +166,127 @@ def mllib_sentiment_agreement(spark, sf_dir):
     )
 
 
+# Fixed-weight hashed linear classifier: the inference plan of the
+# MLlib path (hash -> bucket -> dot product -> argmax) with md5-derived
+# deterministic weights, so the WHOLE scoring pipeline is ANSI-SQL-
+# expressible and integer-exact — the oracle-checkable twin of
+# ``mllib_sentiment_agreement``'s rows-only model path.
+_LIN_BUCKETS = 64
+
+
+def _lin_weight_sql(c: int) -> str:
+    return (
+        f"(('0x' || substr(md5(CAST(b AS VARCHAR) || '_{c}'), 32, 1))::BIGINT % 5) - 2"
+    )
+
+
+_LINEAR_AGREEMENT_SQL = f"""
+, ltok AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z\\s]', '', 'g')), ' '),
+                              x -> x <> '')) AS word
+    FROM classified
+),
+lbuck AS (
+    SELECT doc_id, ('0x' || substr(md5(word), 25, 8))::BIGINT % {_LIN_BUCKETS} AS b
+    FROM ltok
+),
+lw AS (
+    SELECT b,
+           {_lin_weight_sql(0)} AS w0,
+           {_lin_weight_sql(1)} AS w1,
+           {_lin_weight_sql(2)} AS w2
+    FROM range({_LIN_BUCKETS}) t(b)
+),
+lsums AS (
+    SELECT tb.doc_id, sum(w0) AS s0, sum(w1) AS s1, sum(w2) AS s2
+    FROM lbuck tb JOIN lw ON tb.b = lw.b
+    GROUP BY tb.doc_id
+),
+lpred AS (
+    SELECT c.sentiment,
+           CASE WHEN coalesce(s0, 0) >= coalesce(s1, 0) AND coalesce(s0, 0) >= coalesce(s2, 0) THEN 'Neutral'
+                WHEN coalesce(s1, 0) >= coalesce(s2, 0) THEN 'Positive'
+                ELSE 'Negative' END AS ml_sentiment
+    FROM classified c LEFT JOIN lsums s USING (doc_id)
+)
+SELECT sentiment, count(*) AS n_docs,
+       CAST(sum(CASE WHEN ml_sentiment = sentiment THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+FROM lpred GROUP BY sentiment
+"""
+
+
+@register(
+    "linear_sentiment_agreement",
+    oracle=SCORED_DOCS_SQL + _LINEAR_AGREEMENT_SQL,
+    tags=("sentiment", "ml", "linear"),
+)
+def linear_sentiment_agreement(spark, sf_dir):
+    """Hashed-linear text classification, fully oracle-checkable: the
+    exact inference plan shape of the MLlib model (tokenize -> hash to
+    buckets -> broadcast the weight matrix -> per-doc dot products ->
+    argmax) but with a FIXED md5-derived integer weight matrix, so both
+    engines reproduce every score bit-for-bit. This is the SQL twin
+    closing the oracle hole ``mllib_sentiment_agreement`` (rows-only by
+    nature) leaves: same plan, same agreement-summary output shape,
+    deterministic weights instead of fitted ones.
+
+    Plan: the 64x3 weight matrix is a broadcast-joined dimension (at
+    10^5+ features this is exactly a broadcast of model coefficients);
+    per-doc scores are one partial-aggregated groupBy; argmax is a
+    deterministic CASE (ties resolve by class id: Neutral, Positive,
+    Negative)."""
+    from ..functions.sentiment import score_text_expr
+    from ..sources.tables import table as _t
+    from .dedup_queries import SPARK_TOKS
+
+    docs = score_text_expr(_t(spark, sf_dir, "documents"), "text")
+    toks = docs.select("doc_id", F.explode(F.expr(SPARK_TOKS)).alias("word"))
+    buck = toks.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("word"), 25, 8), 16, 10).cast("bigint")
+            % _LIN_BUCKETS
+        ).alias("b"),
+    )
+
+    def w(c: int) -> F.Column:
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat_ws("_", F.col("b"), F.lit(c))), 32, 1),
+                16,
+                10,
+            ).cast("bigint")
+            % 5
+            - 2
+        )
+
+    weights = spark.range(_LIN_BUCKETS).select(
+        F.col("id").alias("b"), w(0).alias("w0"), w(1).alias("w1"), w(2).alias("w2")
+    )
+    sums = (
+        buck.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("w0").alias("s0"), F.sum("w1").alias("s1"), F.sum("w2").alias("s2"))
+    )
+    s0 = F.coalesce(F.col("s0"), F.lit(0))
+    s1 = F.coalesce(F.col("s1"), F.lit(0))
+    s2 = F.coalesce(F.col("s2"), F.lit(0))
+    pred = docs.join(sums, "doc_id", "left").select(
+        "sentiment",
+        F.when((s0 >= s1) & (s0 >= s2), "Neutral")
+        .when(s1 >= s2, "Positive")
+        .otherwise("Negative")
+        .alias("ml_sentiment"),
+    )
+    return pred.groupBy("sentiment").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("ml_sentiment") == F.col("sentiment")).cast("int"))
+        .cast("bigint")
+        .alias("n_agree"),
+    )
+
+
 @register(
     "sentiment_docs_join_scorer",
     oracle=SCORED_DOCS_SQL
