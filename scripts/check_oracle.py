@@ -76,6 +76,40 @@ def approx_equal(a, b):
     return True
 
 
+def compare_one(spark, con, name: str, sf_dir: str) -> tuple[str | None, int]:
+    """Run one registry query on Spark and (if present) its DuckDB
+    oracle; return (problem, n_rows) where problem=None means pass.
+    Importable — tests/test_oracle_full.py parametrizes over this so
+    ``pytest tests/`` certifies the FULL registry, not the driver's
+    sampled window."""
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    sdf = qs[name](spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    if name not in oracles:
+        if not scols:
+            return ("rows-only query produced no columns", len(srows))
+        return (None, len(srows))  # rows-only contract
+    res = con.execute(oracles[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    problems = []
+    if len(srows) != len(drows):
+        problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+    if sorted(scols) != sorted(dcols):
+        problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+    if not problems:
+        ns, nd = norm_rows(scols, srows), norm_rows(dcols, drows)
+        if ns != nd:
+            if approx_equal(ns, nd):
+                problems.append("values differ only within float tolerance")
+            else:
+                diff = [(a, b) for a, b in zip(ns, nd) if a != b][:3]
+                problems.append(f"VALUES differ, e.g. {diff}")
+    return ("; ".join(problems) if problems else None, len(srows))
+
+
 def main():
     args = [a for a in sys.argv[1:]]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
@@ -83,54 +117,28 @@ def main():
 
     spark = get_spark("oracle-check")
     con = duck_con(sf_dir)
-    qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
 
-    names = wanted or list(qs)
+    names = wanted or list(entry_mod.queries())
     n_pass = n_fail = 0
     for name in names:
         t0 = time.time()
         try:
-            sdf = qs[name](spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            problem, n_rows = compare_one(spark, con, name, sf_dir)
         except Exception:
-            print(f"FAIL  {name}: SPARK ERROR")
+            print(f"FAIL  {name}: ERROR")
             traceback.print_exc()
             n_fail += 1
             continue
         spark_t = time.time() - t0
-        if name not in oracles:
-            print(f"pass* {name}: rows={len(srows)} (no oracle, rows-only) [{spark_t:.1f}s]")
+        if problem:
+            print(f"FAIL  {name}: {problem} [{spark_t:.1f}s]")
+            n_fail += 1
+        elif name not in oracles:
+            print(f"pass* {name}: rows={n_rows} (no oracle, rows-only) [{spark_t:.1f}s]")
             n_pass += 1
-            continue
-        try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
-        except Exception:
-            print(f"FAIL  {name}: DUCKDB ERROR")
-            traceback.print_exc()
-            n_fail += 1
-            continue
-        problems = []
-        if len(srows) != len(drows):
-            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
-        if not problems:
-            ns, nd = norm_rows(scols, srows), norm_rows(dcols, drows)
-            if ns != nd:
-                if approx_equal(ns, nd):
-                    problems.append("values differ only within float tolerance")
-                else:
-                    diff = [(a, b) for a, b in zip(ns, nd) if a != b][:3]
-                    problems.append(f"VALUES differ, e.g. {diff}")
-        if problems:
-            print(f"FAIL  {name}: {'; '.join(problems)} [{spark_t:.1f}s]")
-            n_fail += 1
         else:
-            print(f"pass  {name}: rows={len(srows)} [{spark_t:.1f}s]")
+            print(f"pass  {name}: rows={n_rows} [{spark_t:.1f}s]")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     spark.stop()
