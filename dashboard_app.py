@@ -28,6 +28,7 @@ from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.c
 )
 from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.serving import (  # noqa: E402
     dashboard_metrics,
+    raw_sample,
 )
 
 
@@ -63,6 +64,18 @@ def main() -> None:  # pragma: no cover - interactive
     st.bar_chart(m["class_counts"])
     st.subheader("Recent headlines")
     st.table(m["top_headlines"])
+
+    # reference parity: the "Show raw data" expander
+    # (streamlit_app.py:355-359) — engine serves a bounded recent slice,
+    # never the whole frame
+    with st.expander("Show raw data"):
+        n = st.slider("rows", 50, 1000, 200)
+        st.dataframe(_raw(scored_path, n))
+
+
+@st.cache_data(ttl=10)
+def _raw(scored_path: str, n: int) -> list[dict]:
+    return raw_sample(_spark().read.parquet(scored_path), n=n)
 
 
 if __name__ == "__main__":

@@ -26,6 +26,18 @@ def dedup_latest(scored: DataFrame, key: str = "title", ts_col: str = "fetched_a
     return scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
+def raw_sample(scored: DataFrame, n: int = 200) -> list[dict[str, Any]]:
+    """The dashboard's "Show raw data" expander (streamlit_app.py:355-359)
+    — the reference collects the WHOLE frame into the page; here the
+    engine serves the n most recent rows (TakeOrderedAndProject: each
+    partition keeps its local top-n, the driver merges K*n rows) so the
+    widget stays O(n) at any corpus size."""
+    return [
+        r.asDict()
+        for r in scored.orderBy(F.desc("fetched_at"), F.asc("id")).limit(n).collect()
+    ]
+
+
 def dashboard_metrics(scored: DataFrame, top_k: int = 20, nbins: int = 30) -> dict[str, Any]:
     """One pass over the scored articles table -> every dashboard widget:
 

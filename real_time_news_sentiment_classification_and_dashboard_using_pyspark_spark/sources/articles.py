@@ -73,11 +73,15 @@ def read_articles_mixed(spark: SparkSession, path: str) -> DataFrame:
     lines=True, fallback json.load, ``except: continue``).
 
     Spark-first shape: ONE permissive NDJSON scan classifies every file
-    (corrupt-line count per input_file_name — the collect is one row per
-    FILE, like any directory listing, never per row); clean files keep
-    their rows from that same scan, dirty files are re-read in a second
-    multiLine scan where DROPMALFORMED discards the unparseable ones.
-    Two scans total regardless of file count."""
+    (corrupt-line count per input_file_name); clean files keep their
+    rows from that same scan via a broadcast SEMI-JOIN against the
+    clean-file aggregate — never an ``isin(file_list)`` literal, whose
+    expression tree and driver memory grow with the file count. The
+    only driver-side list is the DIRTY files (re-read in a second
+    multiLine DROPMALFORMED scan — a file-source re-scan needs its path
+    list, exactly like any directory listing, and dirty files are the
+    rare exception by construction). Two scans total regardless of file
+    count; clean-path work is fully distributed."""
     schema_c = StructType(ARTICLE_SCHEMA.fields + [StructField("_corrupt_record", StringType(), True)])
     raw = (
         spark.read.schema(schema_c)
@@ -93,26 +97,19 @@ def read_articles_mixed(spark: SparkSession, path: str) -> DataFrame:
     )
     per_file = raw.groupBy("_file").agg(
         F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)).alias("bad")
-    ).collect()
-    clean = [r["_file"] for r in per_file if r["bad"] == 0]
-    dirty = [r["_file"] for r in per_file if r["bad"] > 0]
-    parts = []
-    if clean:
-        parts.append(
-            raw.filter(F.col("_file").isin(clean)).drop("_corrupt_record", "_file")
-        )
+    )
+    clean_files = per_file.filter(F.col("bad") == 0).select("_file")
+    out = raw.join(F.broadcast(clean_files), "_file", "left_semi").drop(
+        "_corrupt_record", "_file"
+    )
+    dirty = [r["_file"] for r in per_file.filter(F.col("bad") > 0).collect()]
     if dirty:
-        parts.append(
+        out = out.unionByName(
             spark.read.schema(ARTICLE_SCHEMA)
             .option("multiLine", True)
             .option("mode", "DROPMALFORMED")
             .json(dirty)
         )
-    if not parts:
-        return spark.createDataFrame([], ARTICLE_SCHEMA)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
     return out
 
 

@@ -118,6 +118,28 @@ def test_mixed_dir_ndjson_array_object_garbage(spark, tmp_path):
     assert got.filter(F.col("id") == "a6").head()["source"]["name"] == "Wire"
 
 
+def test_mixed_dir_scales_to_many_files(spark, tmp_path):
+    """A12 at file-count scale: 1,000 files must not build a 1,000-term
+    isin() literal — the clean side is a broadcast semi-join, and only
+    the (rare) dirty files become a driver-side re-scan list."""
+    d = tmp_path / "many"
+    d.mkdir()
+    for i in range(1000):
+        with open(d / f"f{i:04d}.json", "w") as f:
+            if i % 100 == 99:  # 10 dirty files: pretty-printed array
+                json.dump([{"id": f"arr{i}", "title": "t"}], f, indent=2)
+            else:
+                f.write(json.dumps({"id": f"nd{i}", "title": "t"}) + "\n")
+
+    got = read_articles_mixed(spark, str(d))
+    ids = [r["id"] for r in got.select("id").collect()]
+    assert len(ids) == 1000
+    assert sum(1 for i in ids if i.startswith("arr")) == 10
+    # the literal-free plan: no 1,000-branch In() expression anywhere
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert " IN (" not in plan and "isin" not in plan
+
+
 def test_quarantine_scan_preserves_bad_lines(spark, tmp_path):
     """PERMISSIVE quarantine split: good rows parse, bad lines survive
     VERBATIM with their source file — nothing silently dropped."""
@@ -132,8 +154,9 @@ def test_quarantine_scan_preserves_bad_lines(spark, tmp_path):
     good, quarantine = read_articles_quarantine(spark, str(d))
     assert sorted(r["id"] for r in good.select("id").collect()) == ["a1", "a2", "a3"]
     bad = quarantine.collect()
-    assert sorted(r["raw_line"] for r in bad) == ["{not valid json}", "also not json"] or \
-        sorted(r["raw_line"] for r in bad) == sorted(["{not valid json}", "also not json"])
+    assert sorted(r["raw_line"] for r in bad) == sorted(
+        ["{not valid json}", "also not json"]
+    )
     assert all(r["source_file"].endswith("batch.json") for r in bad)
 
 

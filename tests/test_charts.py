@@ -62,3 +62,46 @@ def test_save_svg_and_png_gate(tmp_path):
             save_sentiment_chart(metrics, str(tmp_path / "dist.png"))
     else:  # pragma: no cover - container has no matplotlib
         assert save_sentiment_chart(metrics, str(tmp_path / "dist.png"))
+
+
+def test_png_backend_via_stubbed_matplotlib(tmp_path, monkeypatch):
+    """Exercise the real .png code path (work.py:333-341 parity) with a
+    recording matplotlib stub: backend selection, pie args (zero-count
+    classes dropped, reference class order + colors), savefig target,
+    figure closed."""
+    import sys
+    import types
+
+    calls = {}
+
+    class _Ax:
+        def pie(self, values, labels=None, colors=None, autopct=None):
+            calls["pie"] = (values, labels, colors, autopct)
+
+    class _Fig:
+        def savefig(self, path):
+            calls["savefig"] = path
+            with open(path, "wb") as f:
+                f.write(b"\x89PNG\r\n\x1a\nstub")
+
+    mpl = types.ModuleType("matplotlib")
+    mpl.use = lambda backend: calls.setdefault("backend", backend)
+    plt = types.ModuleType("matplotlib.pyplot")
+    plt.subplots = lambda: (_Fig(), _Ax())
+    plt.close = lambda fig: calls.setdefault("closed", fig)
+    mpl.pyplot = plt
+    monkeypatch.setitem(sys.modules, "matplotlib", mpl)
+    monkeypatch.setitem(sys.modules, "matplotlib.pyplot", plt)
+
+    metrics = {"class_counts": {"Positive": 3, "Neutral": 0, "Negative": 1}}
+    out = save_sentiment_chart(metrics, str(tmp_path / "dist.png"))
+
+    assert calls["backend"] == "Agg"
+    values, labels, colors, autopct = calls["pie"]
+    assert labels == ["Positive", "Negative"]  # zero-count Neutral dropped
+    assert values == [3, 1]
+    assert colors == ["#2e7d32", "#c62828"]
+    assert autopct == "%1.1f%%"
+    assert calls["savefig"] == out
+    assert "closed" in calls
+    assert open(out, "rb").read().startswith(b"\x89PNG")

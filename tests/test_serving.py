@@ -54,6 +54,26 @@ def test_generator_to_stream_to_dashboard(spark, tmp_path):
     fetched = [h["fetched_at"] for h in metrics["top_headlines"]]
     assert fetched == sorted(fetched, reverse=True)
 
+    # raw-data expander contract: bounded recent slice, all columns,
+    # served through TakeOrderedAndProject (never a full collect)
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.serving import (
+        raw_sample,
+    )
+
+    sample = raw_sample(scored, n=7)
+    assert 0 < len(sample) <= 7
+    assert set(scored.columns) <= set(sample[0])
+    ts = [r["fetched_at"] for r in sample]
+    assert ts == sorted(ts, reverse=True)
+    plan = (
+        scored.orderBy(F.desc("fetched_at"), F.asc("id"))
+        .limit(7)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
 
 def test_dedup_latest_keeps_most_recent(spark):
     rows = [
