@@ -23,6 +23,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark import (  # noqa: E402
+    clear_caches,
     get_spark,
 )
 from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans import (  # noqa: E402
@@ -85,6 +86,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, q in REGISTRY.items():
+        # cold per query: without this, plan-keyed cache hits make each
+        # number depend on which cache-sharing sibling ran earlier, and
+        # round-over-round deltas stop being attributable
+        clear_caches(spark)
         t0 = time.time()
         q.fn(spark, sf_dir).foreach(lambda _: None)  # full materialization
         timings[name] = round(time.time() - t0, 3)

@@ -22,5 +22,22 @@ Layout
 
 from .session import get_spark
 
-__all__ = ["get_spark"]
+
+def clear_caches(spark) -> None:
+    """Release every cached relation the query catalog has registered.
+
+    Cache contract: catalog queries ``.cache()`` shared intermediates
+    (shingle sets, embedding norms, classified-file scans). Spark's
+    cache manager keys them by canonicalized plan, so repeated queries
+    over the same ``sf_dir`` share one materialization — intended for
+    interactive sessions, but a long-lived session that touches many
+    datasets accumulates entries until the executors' storage fills.
+    Call this between workloads (bench.py calls it between queries so
+    every timing is cold/attributable); it does NOT drop driver-side
+    artifacts with their own lifecycle (the persisted sentiment model's
+    train-once memo)."""
+    spark.catalog.clearCache()
+
+
+__all__ = ["get_spark", "clear_caches"]
 __version__ = "0.1.0"

@@ -813,3 +813,248 @@ def oov_rate_by_source(spark, sf_dir):
             4,
         ).alias("oov_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data mechanics: deterministic splits, PII scrubbing, per-domain
+# caps, repetition quality — the coordination-free operations a 100 TB
+# pretraining pipeline runs between curation and tokenization.
+# ---------------------------------------------------------------------------
+
+_SPLIT_MOD = 100  # md5 bucket space; 80/10/10 split
+
+
+@register(
+    "hash_split_counts",
+    oracle=f"""
+WITH b AS (
+    SELECT n_chars,
+           ('0x' || substr(md5('split_' || CAST(doc_id AS VARCHAR)), 25, 8))::BIGINT
+               % {_SPLIT_MOD} AS bucket
+    FROM documents
+),
+s AS (
+    SELECT n_chars,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'validation'
+                ELSE 'test' END AS split
+    FROM b
+)
+SELECT split,
+       count(*)                      AS n_docs,
+       CAST(sum(n_chars) AS BIGINT)  AS total_chars
+FROM s GROUP BY split
+""",
+    tags=("curation", "split"),
+)
+def hash_split_counts(spark, sf_dir):
+    """Deterministic 80/10/10 train/validation/test assignment by md5
+    bucket of the document key — the ONLY split that works at 100 TB:
+    no global sort, no sampling state, no coordination; every executor
+    (and every rerun, and every engine) assigns each doc identically.
+    Pure map + 3-group aggregate; the assignment expression is also the
+    partition filter a training job pushes down to skip 20% of the
+    corpus at scan time."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split_"), F.col("doc_id").cast("string"))), 25, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % _SPLIT_MOD
+    )
+    s = d.select(
+        "n_chars",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "validation")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[^\s]+"
+_NUMBLOCK_RE = r"\b[0-9]{6,}\b"
+
+
+@register(
+    "pii_redaction_stats",
+    oracle=f"""
+WITH m AS (
+    SELECT source,
+           length(text) AS n_chars,
+           len(regexp_extract_all(text, '{_EMAIL_RE}'))    AS n_email,
+           len(regexp_extract_all(text, '{_URL_RE}'))      AS n_url,
+           len(regexp_extract_all(text, '{_NUMBLOCK_RE}')) AS n_num,
+           length(regexp_replace(regexp_replace(regexp_replace(text,
+               '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_URL_RE}', '<URL>', 'g'),
+               '{_NUMBLOCK_RE}', '<NUM>', 'g')) AS n_chars_redacted
+    FROM documents
+)
+SELECT source,
+       count(*)                                        AS n_docs,
+       CAST(sum(CASE WHEN n_email + n_url + n_num > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                                                       AS docs_with_pii,
+       CAST(sum(n_email) AS BIGINT)                    AS total_emails,
+       CAST(sum(n_url) AS BIGINT)                      AS total_urls,
+       CAST(sum(n_num) AS BIGINT)                      AS total_number_blocks,
+       CAST(sum(n_chars - n_chars_redacted) AS BIGINT) AS chars_removed
+FROM m GROUP BY source
+""",
+    tags=("curation", "pii"),
+)
+def pii_redaction_stats(spark, sf_dir):
+    """PII scrub audit: emails, URLs, and long digit blocks found and
+    redacted per source, with the exact character delta the redaction
+    would remove. The scrub itself is three chained native
+    regexp_replace calls — whole-stage-codegen map work with NO shuffle
+    except the final per-source rollup; at 100 TB this is the shape you
+    want (regex cost scales with bytes scanned, embarrassingly
+    parallel). Patterns are RE2-and-Java-regex common subset so the
+    DuckDB oracle sees byte-identical semantics."""
+    d = table(spark, sf_dir, "documents")
+    n_email = F.size(F.expr(f"regexp_extract_all(text, '{_EMAIL_RE}', 0)"))
+    n_url = F.size(F.expr(f"regexp_extract_all(text, '{_URL_RE}', 0)"))
+    n_num = F.size(F.expr(f"regexp_extract_all(text, '{_NUMBLOCK_RE}', 0)"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+            _URL_RE,
+            "<URL>",
+        ),
+        _NUMBLOCK_RE,
+        "<NUM>",
+    )
+    m = d.select(
+        "source",
+        F.length("text").alias("n_chars"),
+        n_email.alias("n_email"),
+        n_url.alias("n_url"),
+        n_num.alias("n_num"),
+        F.length(redacted).alias("n_chars_redacted"),
+    )
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(((F.col("n_email") + F.col("n_url") + F.col("n_num")) > 0).cast("int"))
+        .cast("bigint")
+        .alias("docs_with_pii"),
+        F.sum("n_email").cast("bigint").alias("total_emails"),
+        F.sum("n_url").cast("bigint").alias("total_urls"),
+        F.sum("n_num").cast("bigint").alias("total_number_blocks"),
+        F.sum(F.col("n_chars") - F.col("n_chars_redacted")).cast("bigint").alias("chars_removed"),
+    )
+
+
+_DOMAIN_CAP = 40
+
+
+@register(
+    "domain_cap_sample",
+    oracle=f"""
+WITH r AS (
+    SELECT source, n_chars,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY substr(md5('cap_' || CAST(doc_id AS VARCHAR)), 1, 16), doc_id
+           ) AS rn
+    FROM documents
+)
+SELECT source,
+       count(*)                     AS n_docs,
+       CAST(sum(CASE WHEN rn <= {_DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rn <= {_DOMAIN_CAP} THEN n_chars ELSE 0 END) AS BIGINT)
+                                    AS kept_chars
+FROM r GROUP BY source
+""",
+    tags=("curation", "sampling"),
+)
+def domain_cap_sample(spark, sf_dir):
+    """Per-domain document cap — the anti-domination guard (no single
+    source may contribute more than K docs) every web-scale corpus
+    applies before training. Selection is a deterministic md5-ordered
+    row_number per source: an unbiased, seedless, rerun-stable sample.
+    One hash-partitioned window over the source key; skew-prone at 100
+    TB only if one domain dominates the corpus — in which case
+    pre-aggregate counts (this query's own output) identify the keys to
+    salt."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.substring(F.md5(F.concat(F.lit("cap_"), F.col("doc_id").cast("string"))), 1, 16),
+        F.col("doc_id"),
+    )
+    r = d.select("source", "n_chars", F.row_number().over(w).alias("rn"))
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("rn") <= _DOMAIN_CAP).cast("int")).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("rn") <= _DOMAIN_CAP, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_chars"),
+    )
+
+
+@register(
+    "repeated_ngram_quality",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, {TOKS_SQL} AS toks FROM documents
+),
+g AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 3
+                THEN list_transform(range(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+                ELSE [] END AS grams
+    FROM t
+),
+r AS (
+    SELECT doc_id, len(grams) AS n_total, len(list_distinct(grams)) AS n_distinct
+    FROM g
+),
+b AS (
+    SELECT CASE WHEN n_total = 0 THEN 'empty'
+                WHEN (10000 * (n_total - n_distinct)) // n_total >= 2000 THEN 'high_repetition'
+                WHEN (10000 * (n_total - n_distinct)) // n_total >= 500 THEN 'some_repetition'
+                ELSE 'clean' END AS bucket
+    FROM r
+)
+SELECT bucket, count(*) AS n_docs FROM b GROUP BY bucket
+""",
+    tags=("curation", "quality"),
+)
+def repeated_ngram_quality(spark, sf_dir):
+    """Trigram-repetition quality gate: documents whose trigram stream
+    repeats itself (boilerplate, keyword stuffing, decode loops) are the
+    classic low-quality slice; the duplicate-trigram share is computed
+    with array built-ins (transform/array_distinct — zero UDF, zero
+    explode, zero shuffle until the 4-group rollup) and bucketed with
+    INTEGER permille math so both engines threshold the exact same
+    value. At 100 TB: pure map work, scales with bytes."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    grams = F.when(
+        F.size("toks") >= 3,
+        F.expr(
+            "transform(sequence(0, size(toks) - 3),"
+            " i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    r = t.select(
+        F.size(grams).alias("n_total"),
+        F.size(F.array_distinct(grams)).alias("n_distinct"),
+    )
+    permille = F.expr("(10000 * (n_total - n_distinct)) div n_total")
+    bucket = (
+        F.when(F.col("n_total") == 0, "empty")
+        .when(permille >= 2000, "high_repetition")
+        .when(permille >= 500, "some_repetition")
+        .otherwise("clean")
+    )
+    return r.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
