@@ -85,9 +85,22 @@ def payload_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "source", F.encode(F.col("text"), "UTF-8").alias("payload"))
 
 
-def extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched feature extraction over the binary column."""
-    return payload_table(spark, sf_dir).mapInPandas(_extract_features, FEATURE_SCHEMA)
+def extract_features(
+    spark: SparkSession, sf_dir: str, min_parallelism: int | None = None
+) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column.
+
+    If the scan yields fewer partitions than the cluster's parallelism
+    (small files, coarse splits), the payloads are repartitioned first —
+    otherwise the decode kernel runs on a fraction of the cores (a
+    single-file sf0.1 scan is ONE partition: measured 0.9s serial vs
+    0.3s at 32-way). At 100 TB the blob files out-partition the executor
+    count and the branch is a no-op — no blob shuffle."""
+    pt = payload_table(spark, sf_dir)
+    target = min_parallelism or spark.sparkContext.defaultParallelism
+    if pt.rdd.getNumPartitions() < target:
+        pt = pt.repartition(target)
+    return pt.mapInPandas(_extract_features, FEATURE_SCHEMA)
 
 
 @register(
