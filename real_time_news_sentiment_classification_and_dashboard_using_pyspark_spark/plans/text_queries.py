@@ -1058,3 +1058,194 @@ def repeated_ngram_quality(spark, sf_dir):
     return r.select(bucket.alias("bucket")).groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+_PASSAGE_LEN = 8  # tokens per non-overlapping passage chunk
+_BOILERPLATE_DF = 3  # a passage in > this many docs is boilerplate
+
+
+@register(
+    "boilerplate_passage_stats",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, source, {TOKS_SQL} AS toks FROM documents
+),
+p AS (
+    SELECT doc_id, source,
+           unnest(list_transform(range(0, len(toks) // {_PASSAGE_LEN}),
+                  i -> array_to_string(list_slice(toks, i * {_PASSAGE_LEN} + 1,
+                                                  i * {_PASSAGE_LEN} + {_PASSAGE_LEN}), ' ')))
+               AS passage
+    FROM t
+),
+df AS (
+    SELECT passage, count(DISTINCT doc_id) AS n_docs_with
+    FROM p GROUP BY passage
+),
+j AS (
+    SELECT p.source, p.passage, df.n_docs_with FROM p JOIN df USING (passage)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_passages,
+       CAST(sum(CASE WHEN n_docs_with > {_BOILERPLATE_DF} THEN 1 ELSE 0 END) AS BIGINT)
+           AS boilerplate_occurrences,
+       CAST(count(DISTINCT CASE WHEN n_docs_with > {_BOILERPLATE_DF} THEN passage END) AS BIGINT)
+           AS distinct_boilerplate_passages
+FROM j GROUP BY source
+""",
+    tags=("curation", "dedup", "boilerplate"),
+)
+def boilerplate_passage_stats(spark, sf_dir):
+    """C4-style sub-document dedup, adapted to unstructured text: docs
+    are chunked into fixed {_PASSAGE_LEN}-token non-overlapping
+    passages; a passage recurring across more than ``_BOILERPLATE_DF``
+    distinct docs is boilerplate (headers, nav bars, license blurbs) and
+    would be stripped before training. Reported per source: passage
+    volume, boilerplate occurrence count, distinct offending passages.
+    Scale shape: chunking is array built-ins (map-side), the doc-
+    frequency agg and the passage join are both keyed on the passage
+    hash — at 100 TB you'd group on md5(passage), exactly like
+    dedup_exact; no step is ever corpus-quadratic."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "source", tokens("text").alias("toks"))
+    chunks = F.when(
+        F.size("toks") >= _PASSAGE_LEN,
+        F.expr(
+            f"transform(sequence(0, (size(toks) div {_PASSAGE_LEN}) - 1),"
+            f" i -> array_join(slice(toks, i * {_PASSAGE_LEN} + 1, {_PASSAGE_LEN}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    p = t.select("doc_id", "source", F.explode(chunks).alias("passage"))
+    df_counts = p.groupBy("passage").agg(
+        F.countDistinct("doc_id").alias("n_docs_with")
+    )
+    j = p.join(df_counts, "passage")
+    flag = F.col("n_docs_with") > _BOILERPLATE_DF
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_passages"),
+        F.sum(flag.cast("int")).cast("bigint").alias("boilerplate_occurrences"),
+        F.countDistinct(F.when(flag, F.col("passage")))
+        .cast("bigint")
+        .alias("distinct_boilerplate_passages"),
+    )
+
+
+_RANK_CAP = 1000  # tokens outside the top-K vocabulary share one rank
+
+
+@register(
+    "token_rank_quality",
+    oracle=f"""
+WITH w AS (
+    SELECT doc_id, unnest({TOKS_SQL}) AS word FROM documents
+),
+counts AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+vocab AS (
+    SELECT word, row_number() OVER (ORDER BY cnt DESC, word) AS rnk
+    FROM counts
+    ORDER BY cnt DESC, word LIMIT {_RANK_CAP}
+),
+per_doc AS (
+    SELECT w.doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(coalesce(v.rnk, {_RANK_CAP} + 1)) AS BIGINT) AS rank_sum
+    FROM w LEFT JOIN vocab v USING (word)
+    GROUP BY w.doc_id
+),
+b AS (
+    SELECT CASE WHEN rank_sum // n_tokens >= 500 THEN 'rare_heavy'
+                WHEN rank_sum // n_tokens >= 100 THEN 'mixed'
+                ELSE 'common_heavy' END AS bucket
+    FROM per_doc
+)
+SELECT bucket, count(*) AS n_docs FROM b GROUP BY bucket
+""",
+    tags=("curation", "quality"),
+)
+def token_rank_quality(spark, sf_dir):
+    """Frequency-rank quality proxy (the integer-exact cousin of a
+    unigram-LM perplexity score): every token gets its global frequency
+    rank, capped at {_RANK_CAP} (+1 for out-of-vocabulary), and docs are
+    bucketed by mean rank — rare-token-heavy docs are OCR junk or
+    gibberish, common-token-heavy docs are boilerplate-ish. The rank
+    table is a TakeOrdered top-K BROADCAST back over the token stream
+    (never a global window over the full vocabulary — that single-
+    partition sort is the classic 100 TB trap); the mean is an integer
+    division so both engines threshold identical values."""
+    d = table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(tokens("text")).alias("word"))
+    counts = w.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        counts.orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(_RANK_CAP)
+        .select(
+            "word",
+            (F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("word")))).alias(
+                "rnk"
+            ),
+        )
+    )
+    per_doc = (
+        w.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("rnk"), F.lit(_RANK_CAP + 1)))
+            .cast("bigint")
+            .alias("rank_sum"),
+        )
+    )
+    mean_rank = F.expr("rank_sum div n_tokens")
+    bucket = (
+        F.when(mean_rank >= 500, "rare_heavy")
+        .when(mean_rank >= 100, "mixed")
+        .otherwise("common_heavy")
+    )
+    return per_doc.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@register(
+    "source_mixture_rebalance",
+    oracle="""
+WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_sources FROM c)
+SELECT c.source,
+       CAST(c.cnt AS BIGINT) AS n_docs,
+       CAST(least(1000, (1000 * (t.total // t.n_sources)) // c.cnt) AS BIGINT)
+           AS keep_permille,
+       CAST(c.cnt * least(1000, (1000 * (t.total // t.n_sources)) // c.cnt) // 1000
+           AS BIGINT) AS expected_kept
+FROM c CROSS JOIN t
+""",
+    tags=("curation", "sampling"),
+)
+def source_mixture_rebalance(spark, sf_dir):
+    """Mixture-rebalance planner: per-source keep rates (in permille)
+    that downsample over-represented sources toward a uniform target
+    mixture, leaving under-represented sources intact. This is the
+    planning half of mixture control (the executing half is a
+    deterministic hash filter at keep_permille, as in
+    stratified_sample_by_lang). One tiny per-source aggregate crossed
+    with a single-row total — broadcast by construction; integer
+    arithmetic end to end so both engines emit identical plans of
+    record."""
+    d = table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    j = c.crossJoin(F.broadcast(t))
+    keep = F.least(
+        F.lit(1000), F.expr("(1000 * (total div n_sources)) div cnt")
+    ).cast("bigint")
+    return j.select(
+        "source",
+        F.col("cnt").cast("bigint").alias("n_docs"),
+        keep.alias("keep_permille"),
+        F.expr(
+            "CAST((cnt * least(1000, (1000 * (total div n_sources)) div cnt)) div 1000 AS BIGINT)"
+        ).alias("expected_kept"),
+    )
