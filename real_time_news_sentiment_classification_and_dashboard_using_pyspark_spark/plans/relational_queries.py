@@ -2348,3 +2348,143 @@ def idle_rich_customers(spark, sf_dir):
             F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
     )
+
+
+@register(
+    "local_supplier_volume",
+    oracle="""
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+               AND s.s_nationkey = c.c_nationkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+""",
+    tags=("join", "tpch-q5"),
+)
+def local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: revenue where the supplier and the customer live
+    in the SAME nation, per nation of one region, one order year. Five
+    joins, one shuffle: region/nation/supplier/customer are all
+    broadcast (the nationkey-equality rides the supplier join
+    condition), so the lineitem fact flows through BroadcastHashJoins
+    straight into the per-nation partial aggregate. The orderdate
+    window pushes into the orders scan, the region filter prunes the
+    broadcast side before it ships."""
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "top_supplier_revenue",
+    oracle="""
+WITH rev AS (
+    SELECT l_suppkey AS supplier_no,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-04-01'
+    GROUP BY l_suppkey
+),
+m AS (SELECT max(total_revenue) AS mx FROM rev)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+CROSS JOIN m WHERE r.total_revenue = m.mx
+""",
+    tags=("join", "scalar-subquery", "tpch-q15"),
+)
+def top_supplier_revenue(spark, sf_dir):
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in one
+    quarter. The reference formulation is a view consumed twice (once
+    to aggregate, once for its max); here the per-supplier aggregate is
+    computed ONCE and its single-row max is broadcast back as a filter
+    (a cross join with a 1-row aggregate — NLJ by construction, O(rows)
+    not O(rows^2)). Ties on the max are all returned — deterministic
+    without an arbitrary row_number pick."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    m = rev.agg(F.max("total_revenue").alias("mx"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(m), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "small_qty_order_revenue",
+    oracle="""
+WITH avg_qty AS (
+    SELECT l_partkey, avg(l_quantity) AS aq
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN avg_qty a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < 0.2 * a.aq
+""",
+    tags=("join", "scalar-subquery", "tpch-q17"),
+)
+def small_qty_order_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue lost by small-quantity orders — lines
+    whose quantity is below 20% of that part's average quantity, for one
+    brand. The correlated per-part average is a separate keyed aggregate
+    joined back on partkey (Catalyst's own decorrelation shape); the
+    brand filter pushes into the part scan and prunes the probe side
+    early. One lineitem shuffle for the per-part average, broadcast for
+    part — at 100 TB the average table is |parts|, not |lineitem|."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select(
+        "p_partkey"
+    )
+    avg_qty = l.groupBy(F.col("l_partkey").alias("ak")).agg(
+        F.avg("l_quantity").alias("aq")
+    )
+    j = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(avg_qty, F.col("l_partkey") == F.col("ak"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("aq"))
+    )
+    return j.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+    )
