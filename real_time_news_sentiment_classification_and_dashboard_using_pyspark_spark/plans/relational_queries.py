@@ -2488,3 +2488,68 @@ def small_qty_order_revenue(spark, sf_dir):
     return j.agg(
         F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
     )
+
+
+@register(
+    "orders_upsert_merge",
+    oracle="""
+WITH ch AS (
+    SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+           o_totalprice + 100 AS o_totalprice, o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT o_orderkey + 10000000, o_custkey, 'N',
+           o_totalprice, o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 97 = 0
+),
+m AS (
+    SELECT coalesce(ch.o_orderkey, o.o_orderkey) AS k,
+           coalesce(ch.o_orderstatus, o.o_orderstatus) AS status,
+           coalesce(ch.o_totalprice, o.o_totalprice) AS price,
+           CASE WHEN ch.o_orderkey IS NOT NULL AND o.o_orderkey IS NOT NULL
+                THEN 'update'
+                WHEN o.o_orderkey IS NULL THEN 'insert'
+                ELSE 'keep' END AS action
+    FROM orders o FULL OUTER JOIN ch ON o.o_orderkey = ch.o_orderkey
+)
+SELECT action,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(price), 2) AS total_price
+FROM m GROUP BY action
+""",
+    tags=("merge", "upsert", "join"),
+)
+def orders_upsert_merge(spark, sf_dir):
+    """Delta-style MERGE audit: a deterministic changes batch (every
+    10th order re-statused 'U' with +100 price; every 97th cloned to a
+    new key as an insert) upserted into orders via
+    ``operators.merge.merge_upsert``, summarized per merge action. The
+    ORACLE expresses the same merge as one full-outer join — the
+    semantics twin; the ENGINE path is the scale shape (base LEFT JOIN
+    broadcast(changes) + key-only anti join: shuffled bytes are
+    O(|changes| + |base keys|), never a full-width base shuffle)."""
+    from ..operators.merge import merge_upsert
+
+    o = table(spark, sf_dir, "orders")
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 100).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    inserts = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    changes = updates.unionByName(inserts)
+    merged = merge_upsert(o.select(*changes.columns), changes, "o_orderkey")
+    return merged.groupBy(F.col("_merge_action").alias("action")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )

@@ -165,3 +165,51 @@ def test_oov_vocab_broadcasts(spark):
     plan = plan_of(spark, "oov_rate_by_source")
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["local_supplier_volume", "top_supplier_revenue", "small_qty_order_revenue"],
+)
+def test_new_tpch_shapes_broadcast_no_nlj(spark, name):
+    """Q5/Q15/Q17: dimensions broadcast, no sort-merge, no nested-loop —
+    the lineitem fact flows through BroadcastHashJoins only."""
+    plan = plan_of(spark, name)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_token_rank_vocab_broadcasts(spark):
+    """The rank table is a broadcast top-K, never a global window over
+    the vocabulary."""
+    plan = plan_of(spark, "token_rank_quality")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_boilerplate_passages_keyed_joins_only(spark):
+    plan = plan_of(spark, "boilerplate_passage_stats")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_repeated_ngram_single_shuffle(spark):
+    """Duplicate-trigram share is pure map work: exactly one Exchange
+    (the final 4-group rollup)."""
+    plan = plan_of(spark, "repeated_ngram_quality")
+    assert plan.count("Exchange") <= 2  # rollup + AQE read
+    assert "Join" not in plan
+
+
+def test_pii_redaction_single_shuffle_no_join(spark):
+    plan = plan_of(spark, "pii_redaction_stats")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_hash_split_no_shuffle_before_agg(spark):
+    """The split assignment is a pure map expression over the scan —
+    shuffle only for the 3-group aggregate."""
+    plan = plan_of(spark, "hash_split_counts")
+    assert "Join" not in plan
+    assert "Window" not in plan
