@@ -2553,3 +2553,71 @@ def orders_upsert_merge(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+@register(
+    "customer_scd2_batch",
+    oracle="""
+WITH hist AS (
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           '2020-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+    FROM customer
+),
+ch AS (
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal + 500 AS c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey % 7 = 0
+),
+closed AS (
+    SELECT h.c_custkey, h.c_acctbal,
+           h.valid_from,
+           CASE WHEN h.valid_to IS NULL AND ch.c_custkey IS NOT NULL
+                THEN '2025-06-01' ELSE h.valid_to END AS valid_to
+    FROM hist h LEFT JOIN ch ON h.c_custkey = ch.c_custkey
+),
+merged AS (
+    SELECT c_custkey, c_acctbal, valid_from, valid_to FROM closed
+    UNION ALL
+    SELECT c_custkey, c_acctbal, '2025-06-01', CAST(NULL AS VARCHAR) FROM ch
+)
+SELECT CASE WHEN valid_to IS NULL THEN 'current' ELSE 'closed' END AS state,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(c_acctbal), 2) AS total_acctbal
+FROM merged GROUP BY 1
+""",
+    tags=("scd2", "merge", "join"),
+)
+def customer_scd2_batch(spark, sf_dir):
+    """SCD Type-2 batch apply over the customer dimension: every 7th
+    customer gets a +500 balance revision effective 2025-06-01; the
+    operator (``operators.scd.scd2_apply``) closes their current rows
+    and opens revised ones, summarized by current/closed state. Scale
+    shape: the changes batch broadcasts; the history table is rewritten
+    in place by a conditional column expression — shuffled bytes are
+    O(|changes|), never O(|history|). The oracle replays the identical
+    close/open logic in SQL."""
+    from ..operators.scd import scd2_apply
+
+    c = table(spark, sf_dir, "customer")
+    hist = c.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.lit("2020-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    changes = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + 500).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    merged = scd2_apply(hist, changes, "c_custkey", "2025-06-01")
+    return merged.groupBy(
+        F.when(F.col("valid_to").isNull(), "current").otherwise("closed").alias("state")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+    )

@@ -362,3 +362,67 @@ class TestMergeUpsert:
         )
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan or "LeftAnti" in plan
+
+
+class TestScd2Apply:
+    def test_close_open_passthrough(self, spark):
+        from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.operators.scd import (
+            scd2_apply,
+        )
+
+        hist = spark.createDataFrame(
+            [
+                (1, "a", "2020-01-01", None),          # current, will be revised
+                (1, "a0", "2019-01-01", "2020-01-01"),  # closed history, untouched
+                (2, "b", "2020-01-01", None),          # current, unchanged key
+            ],
+            "k int, v string, valid_from string, valid_to string",
+        )
+        changes = spark.createDataFrame([(1, "A")], "k int, v string")
+        rows = scd2_apply(hist, changes, "k", "2025-06-01").collect()
+        assert len(rows) == 4
+        by = {(r["k"], r["valid_from"]): r for r in rows}
+        # revised key: old current row closed at effective date
+        assert by[(1, "2020-01-01")]["valid_to"] == "2025-06-01"
+        # closed history untouched
+        assert by[(1, "2019-01-01")]["valid_to"] == "2020-01-01"
+        # unchanged key stays current
+        assert by[(2, "2020-01-01")]["valid_to"] is None
+        # new current row opened with revised attributes
+        assert by[(1, "2025-06-01")]["valid_to"] is None
+        assert by[(1, "2025-06-01")]["v"] == "A"
+
+    def test_schema_mismatch_rejected(self, spark):
+        from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.operators.scd import (
+            scd2_apply,
+        )
+        import pytest as _pytest
+
+        hist = spark.createDataFrame(
+            [(1, "a", "2020-01-01", None)],
+            "k int, v string, valid_from string, valid_to string",
+        )
+        changes = spark.createDataFrame([(1,)], "k int")
+        with _pytest.raises(ValueError):
+            scd2_apply(hist, changes, "k", "2025-06-01")
+
+    def test_history_not_shuffled(self, spark):
+        """Scale claim: closing rows is a broadcast left join — the
+        history side reaches the join without an Exchange."""
+        from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.operators.scd import (
+            scd2_apply,
+        )
+
+        hist = spark.range(1000).selectExpr(
+            "id AS k", "CAST(id AS STRING) AS v",
+            "'2020-01-01' AS valid_from", "CAST(NULL AS STRING) AS valid_to",
+        )
+        changes = spark.range(10).selectExpr("id * 7 AS k", "'x' AS v")
+        plan = (
+            scd2_apply(hist, changes, "k", "2025-06-01")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
