@@ -875,3 +875,101 @@ def label_centroids(spark, sf_dir):
         .groupBy("label", F.col("i").cast("int").alias("dim"))
         .agg(F.round(F.avg("x"), 6).alias("centroid_val"))
     )
+
+
+@register(
+    "sq8_knn_rerank",
+    oracle=f"""
+WITH {_E_CTE},
+s AS (
+    SELECT 127.0 / max(list_max(list_transform(emb, x -> abs(x)))) AS scale FROM e
+),
+z AS (
+    SELECT vec_id,
+           list_transform(emb, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS qemb
+    FROM e, s
+),
+cand AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(list_dot_product(q.qemb, c.qemb) AS BIGINT) AS qdot
+    FROM z q JOIN z c ON c.vec_id >= 3
+    WHERE q.vec_id < 3
+),
+shortlist AS (
+    SELECT query_id, neighbor_id, qdot,
+           row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id ASC) AS arank
+    FROM cand
+),
+rerank AS (
+    SELECT sl.query_id, sl.neighbor_id, sl.qdot,
+           {_cos_sql('qe.emb', 'ce.emb')} AS cos_sim
+    FROM shortlist sl
+    JOIN e qe ON qe.vec_id = sl.query_id
+    JOIN e ce ON ce.vec_id = sl.neighbor_id
+    WHERE sl.arank <= 20
+)
+SELECT query_id, neighbor_id, qdot, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+FROM rerank
+QUALIFY rank <= 5
+""",
+    tags=("similarity", "ann", "quantization", "topk"),
+)
+def sq8_knn_rerank(spark, sf_dir):
+    """Scalar-quantized (int8-style) ANN with exact rerank — the
+    memory-bound 100 TB search path. One corpus pass derives the global
+    symmetric scale (127/max|x|, a broadcast scalar); every vector is
+    quantized to 64 small ints (4x smaller than float32, 8x smaller than
+    the double compute form); candidate generation ranks by the INTEGER
+    quantized dot product (exact integer math — bit-identical on any
+    engine, no float-ordering hazard); only the top-20 shortlist per
+    query is then reranked with exact float cosine, and top-5 returned.
+    At scale the float vectors are fetched for |shortlist| rows only —
+    the scan that matters touches just the quantized corpus. Quantize
+    uses floor(x*scale+0.5), not round(), so Spark/DuckDB can never
+    disagree on ties (see memory: round-half divergence)."""
+    e = _emb(spark, sf_dir)
+    mx = e.select(
+        (F.lit(127.0) / F.max(F.array_max(F.transform("emb", F.abs)))).alias("scale")
+    )
+    z = e.crossJoin(F.broadcast(mx)).select(
+        "vec_id",
+        F.transform("emb", lambda x: F.floor(x * F.col("scale") + F.lit(0.5))).alias("qemb"),
+    )
+    q = z.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("qemb").alias("q_qemb")
+    )
+    c = z.filter(F.col("vec_id") >= 3)
+    idot = F.aggregate(
+        F.zip_with(F.col("q_qemb"), F.col("qemb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cand = c.crossJoin(F.broadcast(q)).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), idot.cast("long").alias("qdot")
+    )
+    aw = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc("neighbor_id"))
+    shortlist = (
+        cand.withColumn("arank", F.row_number().over(aw)).filter(F.col("arank") <= 20)
+    )
+    # Rerank: float vectors fetched ONLY for shortlist rows — broadcast
+    # the tiny shortlist into the corpus scan, then attach query floats.
+    qe = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_fl")
+    )
+    rr = (
+        e.join(F.broadcast(shortlist), e.vec_id == shortlist.neighbor_id)
+        .join(F.broadcast(qe), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "qdot",
+            F.round(cosine(F.col("q_fl"), F.col("emb")), 6).alias("cos_sim"),
+        )
+    )
+    rw = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        rr.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "qdot", "cos_sim", "rank")
+    )

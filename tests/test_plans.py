@@ -213,3 +213,14 @@ def test_hash_split_no_shuffle_before_agg(spark):
     plan = plan_of(spark, "hash_split_counts")
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_sq8_rerank_broadcasts_shortlist_with_partial_topk(spark):
+    """Quantized-ANN scale claims: the rerank fetches float vectors via
+    BroadcastHashJoin (shortlist side broadcast into the corpus scan),
+    both rankings apply a partial WindowGroupLimit before any shuffle,
+    and the corpus is never sort-merge-joined."""
+    plan = plan_of(spark, "sq8_knn_rerank")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan
