@@ -57,13 +57,25 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 def events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``events`` with ``ts`` as a real TimestampType (microsecond).
 
-    The file stores TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as
-    epoch-nanos, which we floor-divide to micros — bit-identical to
-    DuckDB's ``ts::TIMESTAMP`` truncation, so oracle comparisons on
-    formatted timestamps match exactly.
+    Schema-adaptive: the driver has shipped ``events.parquet`` with two
+    physical encodings across rounds, and this loader normalizes both to
+    the same logical column so every downstream query is agnostic:
+
+    - TIMESTAMP(NANOS): with ``spark.sql.legacy.parquet.nanosAsLong``
+      the column arrives as epoch-nanos BIGINT, which we floor-divide
+      to micros — bit-identical to DuckDB's ``ts::TIMESTAMP``
+      truncation;
+    - TIMESTAMP(MICROS) without UTC adjustment: Spark reads
+      TIMESTAMP_NTZ; cast to session-time TimestampType (the session is
+      pinned to UTC in ensure_session_confs) renders identically to
+      DuckDB's naive TIMESTAMP.
     """
     from pyspark.sql import functions as F
 
     e = table(spark, sf_dir, "events")
-    return e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(e.dtypes).get("ts", "")
+    if ts_type in ("bigint", "long"):
+        return e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type != "timestamp":
+        return e.withColumn("ts", F.col("ts").cast("timestamp"))
+    return e
