@@ -10,7 +10,10 @@ Scale shape — deliberately NOT one full-outer join: a full-outer
 shuffles the ENTIRE base table full-width. Instead:
 
 1. updates: ``base LEFT JOIN broadcast(changes)`` — the base never
-   shuffles; matched rows pick the changed values via coalesce.
+   shuffles; matched rows pick the changed values via coalesce. The
+   broadcast hint is size-aware (``maybe_broadcast``): a changes batch
+   above ``broadcast_max_rows`` skips the hint so AQE picks a shuffled
+   hash join instead of hitting the 8 GB broadcast wall.
 2. inserts: ``changes LEFT ANTI join base-keys`` — shuffles only the
    narrow key projection of base plus the (small) changes batch.
 
@@ -23,8 +26,34 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# Above this many change rows the broadcast hint is withheld: Spark's
+# broadcast has an 8 GB hard wall and materializes the whole relation on
+# the driver + every executor, so a large backfill batch must go through
+# a shuffled hash join (AQE picks it) instead.
+DEFAULT_BROADCAST_MAX_ROWS = 1_000_000
 
-def merge_upsert(base: DataFrame, changes: DataFrame, key: str) -> DataFrame:
+
+def maybe_broadcast(changes: DataFrame, max_rows: int | None) -> DataFrame:
+    """Broadcast ``changes`` only when it is provably small.
+
+    The probe is ``limit(max_rows + 1).count()`` — bounded work no
+    matter how large the batch is (the scan short-circuits after
+    max_rows+1 rows), unlike a full ``count()`` which would pay a pass
+    over a 100 TB backfill just to decide a join strategy.
+    ``max_rows=None`` force-broadcasts (caller asserts smallness)."""
+    if max_rows is None:
+        return F.broadcast(changes)
+    if changes.limit(max_rows + 1).count() <= max_rows:
+        return F.broadcast(changes)
+    return changes
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    broadcast_max_rows: int | None = DEFAULT_BROADCAST_MAX_ROWS,
+) -> DataFrame:
     """Upsert ``changes`` into ``base`` on ``key`` (both sides share a
     schema; ``changes`` must have at most one row per key). Returns the
     merged relation plus a ``_merge_action`` column
@@ -34,9 +63,9 @@ def merge_upsert(base: DataFrame, changes: DataFrame, key: str) -> DataFrame:
     if changes.columns != cols:
         raise ValueError(f"schema mismatch: {changes.columns} vs {cols}")
     b = base.alias("b")
-    c = changes.alias("c")
+    c = maybe_broadcast(changes, broadcast_max_rows).alias("c")
 
-    updated = b.join(F.broadcast(c), F.col(f"b.{key}") == F.col(f"c.{key}"), "left").select(
+    updated = b.join(c, F.col(f"b.{key}") == F.col(f"c.{key}"), "left").select(
         *[F.coalesce(F.col(f"c.{x}"), F.col(f"b.{x}")).alias(x) for x in cols],
         F.when(F.col(f"c.{key}").isNotNull(), "update")
         .otherwise("keep")

@@ -6,15 +6,20 @@ needs HISTORY: when an attribute changes, the current row is closed
 half of the mutation surface next to ``operators.merge`` — MERGE for
 facts, SCD2 for dimensions.
 
-Scale shape mirrors merge_upsert: the changes batch is broadcast; the
-history table is never shuffled — closing rows is a broadcast left
-join + conditional column rewrite, opening rows is a union of the
-(small) changes. Shuffled bytes O(|changes|), not O(|history|).
+Scale shape mirrors merge_upsert: the changes batch is broadcast when
+provably small (``merge.maybe_broadcast`` — a large backfill batch
+falls back to a shuffled join rather than the 8 GB broadcast wall);
+the history table is never shuffled in the broadcast case — closing
+rows is a broadcast left join + conditional column rewrite, opening
+rows is a union of the (small) changes. Shuffled bytes O(|changes|),
+not O(|history|).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+from .merge import DEFAULT_BROADCAST_MAX_ROWS, maybe_broadcast
 
 
 def scd2_apply(
@@ -24,6 +29,7 @@ def scd2_apply(
     effective: str,
     from_col: str = "valid_from",
     to_col: str = "valid_to",
+    broadcast_max_rows: int | None = DEFAULT_BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """Apply a changes batch to an SCD2 history table.
 
@@ -37,10 +43,12 @@ def scd2_apply(
     dim_cols = [c for c in hist.columns if c not in (from_col, to_col)]
     if sorted(changes.columns) != sorted(dim_cols):
         raise ValueError(f"changes must carry {dim_cols}, got {changes.columns}")
-    ckeys = changes.select(F.col(key).alias("_ck"))
+    ckeys = maybe_broadcast(
+        changes.select(F.col(key).alias("_ck")), broadcast_max_rows
+    )
     closing = F.col(to_col).isNull() & F.col("_ck").isNotNull()
     closed = (
-        hist.join(F.broadcast(ckeys), hist[key] == F.col("_ck"), "left")
+        hist.join(ckeys, hist[key] == F.col("_ck"), "left")
         .withColumn(to_col, F.when(closing, F.lit(effective)).otherwise(F.col(to_col)))
         .drop("_ck")
     )

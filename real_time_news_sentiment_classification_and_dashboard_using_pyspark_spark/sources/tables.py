@@ -73,9 +73,25 @@ def events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     e = table(spark, sf_dir, "events")
+    # DataFrame.dtypes renders LongType as "bigint" (never "long")
     ts_type = dict(e.dtypes).get("ts", "")
-    if ts_type in ("bigint", "long"):
+    if ts_type == "bigint":
         return e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    if ts_type != "timestamp":
+    if ts_type == "timestamp_ntz":
+        # the NTZ->timestamp cast is only DuckDB-identical when the
+        # session renders in UTC; ensure_session_confs swallows conf
+        # failures, so verify here rather than silently shifting
+        tz = spark.conf.get("spark.sql.session.timeZone", "")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+            raise RuntimeError(
+                f"events.ts is TIMESTAMP_NTZ but session timeZone is {tz!r}; "
+                "casting would shift values — set spark.sql.session.timeZone=UTC"
+            )
         return e.withColumn("ts", F.col("ts").cast("timestamp"))
+    if ts_type != "timestamp":
+        raise TypeError(
+            f"events.ts has unexpected dtype {ts_type!r}; expected bigint "
+            "(nanos-as-long), timestamp_ntz, or timestamp — refusing a blind "
+            "cast that could silently produce NULLs"
+        )
     return e

@@ -363,6 +363,53 @@ class TestMergeUpsert:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan or "LeftAnti" in plan
 
+    def test_large_changes_batch_skips_broadcast(self, spark):
+        """Size-aware broadcast: a changes batch above the threshold must
+        NOT carry the broadcast hint — at 100 TB a backfill batch would
+        blow the 8 GB broadcast wall, so the plan has to fall back to a
+        shuffled join on the key."""
+        from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.operators.merge import (
+            merge_upsert,
+        )
+
+        base = spark.range(1000).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+        changes = spark.range(500).selectExpr("id * 2 AS k", "'x' AS v")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = (
+                merge_upsert(base, changes, "k", broadcast_max_rows=100)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "BroadcastHashJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+    def test_small_changes_batch_still_broadcasts(self, spark):
+        """Below the threshold the hint stays even with auto-broadcast
+        disabled — the probe, not Spark's size estimate, decides."""
+        from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.operators.merge import (
+            merge_upsert,
+        )
+
+        base = spark.range(1000).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+        changes = spark.range(10).selectExpr("id * 7 AS k", "'x' AS v")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = (
+                merge_upsert(base, changes, "k", broadcast_max_rows=100)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "BroadcastHashJoin" in plan
+
 
 class TestScd2Apply:
     def test_close_open_passthrough(self, spark):
@@ -426,3 +473,28 @@ class TestScd2Apply:
         )
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+    def test_large_changes_batch_skips_broadcast(self, spark):
+        """scd2 twin of the merge size-aware test: an over-threshold
+        changes batch must reach the close join without a broadcast hint."""
+        from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.operators.scd import (
+            scd2_apply,
+        )
+
+        hist = spark.range(1000).selectExpr(
+            "id AS k", "CAST(id AS STRING) AS v",
+            "'2020-01-01' AS valid_from", "CAST(NULL AS STRING) AS valid_to",
+        )
+        changes = spark.range(500).selectExpr("id * 2 AS k", "'x' AS v")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = (
+                scd2_apply(hist, changes, "k", "2025-06-01", broadcast_max_rows=100)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "BroadcastHashJoin" not in plan
