@@ -73,9 +73,16 @@ def _model_path(sf_dir: str) -> str:
     import os
 
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # default registry dir is TRACKED (repo-root/models, committed):
+    # the fitted artifact is deterministic (fixed fixture corpus, L-BFGS
+    # over a fixed dataset), so shipping it means a fresh checkout pays
+    # model LOAD (~1s) instead of a full refit (~9s) on first query —
+    # exactly the train-once contract a model registry gives you at
+    # scale. The old default (cwd/spark-warehouse) was gitignored, so
+    # every fresh checkout silently retrained.
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     base = os.environ.get(
-        "SPARK_GRAFT_MODEL_DIR",
-        os.path.join(os.getcwd(), "spark-warehouse", "models"),
+        "SPARK_GRAFT_MODEL_DIR", os.path.join(repo_root, "models")
     )
     return os.path.join(base, f"sentiment_lr_{tag}")
 
