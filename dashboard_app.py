@@ -27,8 +27,13 @@ from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.c
     pie_svg,
 )
 from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.serving import (  # noqa: E402
+    REFRESH_DEFAULT_S,
+    REFRESH_MAX_S,
+    REFRESH_MIN_S,
     dashboard_metrics,
     raw_sample,
+    refresh_cache_bucket,
+    refresh_interval,
 )
 
 
@@ -37,18 +42,37 @@ def _spark():
     return get_spark("dashboard")
 
 
-@st.cache_data(ttl=10)  # same 10 s freshness contract as the reference
-def _metrics(scored_path: str, top_k: int) -> dict:
+# cache key includes the refresh bucket: metrics recompute exactly once
+# per user-chosen interval (the bucket ticks over), Streamlit reruns in
+# between hit the cache — the engine-side twin of the reference's
+# TTL-by-sleep contract
+@st.cache_data
+def _metrics(scored_path: str, top_k: int, bucket: int) -> dict:
     scored = _spark().read.parquet(scored_path)
     return dashboard_metrics(scored, top_k=top_k)
 
 
 def main() -> None:  # pragma: no cover - interactive
+    import time
+
     st.set_page_config(page_title="News Sentiment", layout="wide")
     st.title("Real-Time News Sentiment")
     scored_path = st.sidebar.text_input("scored parquet dir", "streaming_output/scored")
     top_k = st.sidebar.slider("headlines", 5, 50, 20)
-    m = _metrics(scored_path, top_k)
+    # reference parity: auto-refresh toggle + 5-60 s interval slider
+    # (streamlit_app.py:51-57); the same clamped value drives the metrics
+    # cache bucket below and the rerun sleep at the bottom
+    auto_refresh = st.sidebar.checkbox("Auto-refresh", value=True)
+    interval = refresh_interval(
+        st.sidebar.slider(
+            "Refresh interval (seconds)",
+            REFRESH_MIN_S,
+            REFRESH_MAX_S,
+            REFRESH_DEFAULT_S,
+            step=5,
+        )
+    )
+    m = _metrics(scored_path, top_k, refresh_cache_bucket(interval, time.time()))
 
     c1, c2, c3, c4 = st.columns(4)
     c1.metric("Total articles", m["total_articles"])
@@ -71,6 +95,13 @@ def main() -> None:  # pragma: no cover - interactive
     with st.expander("Show raw data"):
         n = st.slider("rows", 50, 1000, 200)
         st.dataframe(_raw(scored_path, n))
+
+    # reference parity: the rerun loop (streamlit_app.py:362-364) — the
+    # page re-executes after the chosen interval; Spark work is bounded
+    # by the cache bucket, so a fast slider never hammers the engine
+    if auto_refresh:
+        time.sleep(interval)
+        st.rerun()
 
 
 @st.cache_data(ttl=10)

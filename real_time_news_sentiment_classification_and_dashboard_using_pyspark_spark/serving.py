@@ -18,6 +18,29 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 
+# Auto-refresh contract (reference parity: streamlit_app.py:51-57 slider
+# + :362-364 sleep/rerun loop): the renderer picks an interval on the
+# reference's 5-60 s range; the SAME value drives both the metrics-cache
+# TTL bucket and the rerun sleep, so data freshness and page refresh
+# can't drift apart.
+REFRESH_MIN_S, REFRESH_MAX_S, REFRESH_DEFAULT_S = 5, 60, 10
+
+
+def refresh_interval(seconds: int | None = None) -> int:
+    """Clamp a requested auto-refresh interval to the reference's slider
+    range; ``None`` means the reference's 10 s default."""
+    if seconds is None:
+        return REFRESH_DEFAULT_S
+    return max(REFRESH_MIN_S, min(REFRESH_MAX_S, int(seconds)))
+
+
+def refresh_cache_bucket(interval_s: int, now_s: float) -> int:
+    """Monotone bucket id that changes every ``interval_s`` seconds —
+    the cache key a renderer adds to its metrics call so cached metrics
+    expire exactly on the user-chosen cadence."""
+    return int(now_s // max(1, interval_s))
+
+
 def dedup_latest(scored: DataFrame, key: str = "title", ts_col: str = "fetched_at") -> DataFrame:
     """Read-time dedup, deterministic rendering of the dashboard's
     drop_duplicates(keep='first') (E1: streamlit_app.py:147): keep the

@@ -88,3 +88,29 @@ def test_dedup_latest_keeps_most_recent(spark):
     deduped = dedup_latest(scored)
     got = {r["title"]: r["id"] for r in deduped.collect()}
     assert got == {"dup title": "i2", "other": "i3"}
+
+
+def test_refresh_interval_clamps_to_reference_slider_range():
+    """The auto-refresh knob (reference streamlit_app.py:51-57): values
+    clamp to the 5-60 s slider range, None means the 10 s default."""
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.serving import (
+        refresh_interval,
+    )
+
+    assert refresh_interval(None) == 10
+    assert refresh_interval(30) == 30
+    assert refresh_interval(1) == 5
+    assert refresh_interval(9999) == 60
+
+
+def test_refresh_cache_bucket_ticks_on_interval():
+    """The interval flows through to cache expiry: the bucket id is
+    stable within an interval and advances across it."""
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.serving import (
+        refresh_cache_bucket,
+    )
+
+    assert refresh_cache_bucket(10, 100.0) == refresh_cache_bucket(10, 109.9)
+    assert refresh_cache_bucket(10, 110.0) == refresh_cache_bucket(10, 100.0) + 1
+    # a different slider setting re-buckets immediately
+    assert refresh_cache_bucket(5, 109.9) != refresh_cache_bucket(10, 109.9)
