@@ -31,9 +31,18 @@ from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.p
 )
 
 
-def bench_streaming(spark, sf_dir: str) -> tuple[float, int]:
+def bench_streaming(
+    spark, sf_dir: str, replicate: int = 5, runs: int = 3
+) -> tuple[float, int, list[float]]:
     """Time the streaming pipeline draining the documents table rendered
-    as article NDJSON batches; returns (seconds, n_articles)."""
+    as article NDJSON, replicated ``replicate``x so the fixed ~2 s query
+    startup (checkpoint init, file listing, sink commit) is amortized
+    over real per-row work instead of dominating a short drain. The
+    drain runs ``runs`` times against fresh checkpoints; the reported
+    number is the MEDIAN run — single-run streaming numbers on this DAG
+    swing +-40% (r3 postmortem), medians don't.
+
+    Returns (median_seconds, n_articles_per_drain, all_run_seconds)."""
     from pyspark.sql import functions as F
 
     from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.sources.tables import (
@@ -46,10 +55,15 @@ def bench_streaming(spark, sf_dir: str) -> tuple[float, int]:
     tmp = tempfile.mkdtemp(prefix="bench_stream_")
     try:
         docs = table(spark, sf_dir, "documents")
-        n = docs.count()
+        n = docs.count() * replicate
         (
-            docs.select(
-                F.col("doc_id").cast("string").alias("id"),
+            docs.crossJoin(
+                spark.range(replicate).select(F.col("id").alias("rep"))
+            )
+            .select(
+                F.concat_ws("_", F.col("doc_id").cast("string"), F.col("rep")).alias(
+                    "id"
+                ),
                 F.lit("title").alias("title"),
                 F.col("text").alias("description"),
                 F.lit(None).cast("string").alias("url"),
@@ -57,20 +71,23 @@ def bench_streaming(spark, sf_dir: str) -> tuple[float, int]:
                 F.col("lang"),
                 F.lit("2025-11-22T13:52:36.569054").alias("fetched_at"),
             )
-            .repartition(8)
+            .repartition(32)
             .write.mode("overwrite")
             .json(f"{tmp}/input")
         )
-        t0 = time.time()
-        q = start_pipeline(
-            spark,
-            f"{tmp}/input",
-            f"{tmp}/out",
-            f"{tmp}/ckpt",
-            available_now=True,
-        )
-        q.awaitTermination(600)
-        return time.time() - t0, n
+        secs: list[float] = []
+        for i in range(runs):
+            t0 = time.time()
+            q = start_pipeline(
+                spark,
+                f"{tmp}/input",
+                f"{tmp}/out{i}",
+                f"{tmp}/ckpt{i}",
+                available_now=True,
+            )
+            q.awaitTermination(600)
+            secs.append(round(time.time() - t0, 3))
+        return sorted(secs)[len(secs) // 2], n, secs
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -84,17 +101,28 @@ def main() -> None:
     # JVM/codegen warmup outside timing
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    timings: dict[str, float] = {}
-    for name, q in REGISTRY.items():
+    def run_once(q) -> float:
         # cold per query: without this, plan-keyed cache hits make each
         # number depend on which cache-sharing sibling ran earlier, and
         # round-over-round deltas stop being attributable
         clear_caches(spark)
         t0 = time.time()
         q.fn(spark, sf_dir).foreach(lambda _: None)  # full materialization
-        timings[name] = round(time.time() - t0, 3)
+        return time.time() - t0
 
-    stream_sec, n_articles = bench_streaming(spark, sf_dir)
+    # single-run numbers on the heavy tail swing up to 1.7x between
+    # identical cold runs (r3 postmortem); entries over this threshold
+    # are re-run twice more and the MEDIAN is reported
+    heavy_rerun_threshold_s = 2.0
+
+    timings: dict[str, float] = {}
+    for name, q in REGISTRY.items():
+        t = run_once(q)
+        if t > heavy_rerun_threshold_s:
+            t = sorted([t, run_once(q), run_once(q)])[1]
+        timings[name] = round(t, 3)
+
+    stream_sec, n_articles, stream_runs = bench_streaming(spark, sf_dir)
     timings["streaming_pipeline"] = round(stream_sec, 3)
 
     total = round(sum(timings.values()), 3)
@@ -107,6 +135,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "streaming_articles_per_sec": round(n_articles / stream_sec, 1),
+                "streaming_articles_per_drain": n_articles,
+                "streaming_run_secs": stream_runs,
                 "n_queries": len(timings),
             }
         )

@@ -973,3 +973,166 @@ def sq8_knn_rerank(spark, sf_dir):
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "qdot", "cos_sim", "rank")
     )
+
+
+@register(
+    "ivf_recall_eval",
+    oracle=f"""
+WITH {_E_CTE},
+cent AS (SELECT vec_id AS centroid_id, emb AS cemb FROM e WHERE vec_id < 8),
+assign AS (
+    SELECT v.vec_id, v.emb, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_cos_sql('v.emb', 'c.cemb')} DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM e v CROSS JOIN cent c
+),
+cells AS (SELECT vec_id, emb, centroid_id AS cell FROM assign WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 5),
+truth AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_cos_sql('q.qemb', 'v.emb')} DESC,
+                                           v.vec_id ASC) AS rnk
+        FROM q CROSS JOIN e v WHERE v.vec_id <> q.query_id
+    ) WHERE rnk <= 5
+),
+qcell AS (
+    SELECT q.query_id, q.qemb, c.centroid_id AS cell,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_cos_sql('q.qemb', 'c.cemb')} DESC,
+                                       c.centroid_id ASC) AS cell_rank
+    FROM q CROSS JOIN cent c
+),
+probes AS (SELECT unnest([1, 2, 4]) AS nprobe),
+retrieved AS (
+    SELECT nprobe, query_id, neighbor_id FROM (
+        SELECT p.nprobe, qc.query_id, v.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY p.nprobe, qc.query_id
+                                  ORDER BY {_cos_sql('qc.qemb', 'v.emb')} DESC,
+                                           v.vec_id ASC) AS rnk
+        FROM probes p
+        JOIN qcell qc ON qc.cell_rank <= p.nprobe
+        JOIN cells v ON v.cell = qc.cell AND v.vec_id <> qc.query_id
+    ) WHERE rnk <= 5
+),
+scored AS (
+    SELECT p.nprobe, t.query_id, t.neighbor_id,
+           CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+    FROM probes p
+    CROSS JOIN truth t
+    LEFT JOIN retrieved r
+      ON r.nprobe = p.nprobe AND r.query_id = t.query_id
+     AND r.neighbor_id = t.neighbor_id
+)
+SELECT CAST(nprobe AS INTEGER) AS nprobe,
+       CAST(count(*) AS BIGINT) AS n_true,
+       CAST(sum(hit) AS BIGINT) AS n_hit,
+       round(sum(hit) / CAST(count(*) AS DOUBLE), 4) AS recall
+FROM scored GROUP BY nprobe
+""",
+    tags=("similarity", "ann", "ivf", "evaluation"),
+)
+def ivf_recall_eval(spark, sf_dir):
+    """SELF-EVALUATING IVF: recall@5 of the coarse-quantized probe path
+    against the exact brute-force top-5 ground truth, swept over
+    nprobe in {1, 2, 4} — the recall contract ``lsh_recall_eval`` gives
+    the hyperplane family, now for the cell-probing family
+    (``ivf_topk_probe`` runs nprobe=1; this query quantifies exactly
+    what that choice costs and what each extra probed cell buys).
+
+    Plan: assignment and query-cell ranking are the same broadcast
+    centroid cross joins as ivf_topk_probe (8 centroids — the broadcast
+    side is constant-size at any corpus scale); the probe join is keyed
+    on the cell id so candidate work scales with probed-cell occupancy,
+    never corpus^2; ground truth is broadcast(5 queries) x corpus scan,
+    linear in N. Every ranking is rounded to 6dp with deterministic
+    tiebreaks, so both engines retrieve the identical sets and the
+    recall numbers are bit-comparable."""
+    e = _emb_n(spark, sf_dir)
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("emb").alias("cemb"),
+        F.col("norm").alias("cnorm"),
+    )
+    # cell assignment on narrow rows (ivf_topk_probe rationale: no
+    # 64-double array through the window exchange), vectors re-attached
+    # by id join
+    assign = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "centroid_id",
+        _sim(F.col("emb"), F.col("norm"), F.col("cemb"), F.col("cnorm")).alias("cos_sim"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("centroid_id"))
+    cell_of = (
+        assign.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("centroid_id").alias("cell"))
+    )
+    cells = e.join(cell_of, "vec_id").select("vec_id", "emb", "norm", "cell").cache()
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("norm").alias("qnorm"),
+    )
+    # exact ground truth: broadcast(5 queries) x corpus scan, top-5/query
+    tw = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    truth = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _sim(F.col("qemb"), F.col("qnorm"), F.col("emb"), F.col("norm")).alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(tw))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    # rank every cell per query; nprobe sweep takes the top-n cells
+    cw = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("centroid_id"))
+    qcell = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "qemb",
+            "qnorm",
+            "centroid_id",
+            _sim(F.col("qemb"), F.col("qnorm"), F.col("cemb"), F.col("cnorm")).alias("cos_sim"),
+        )
+        .withColumn("cell_rank", F.row_number().over(cw))
+        .select("query_id", "qemb", "qnorm", F.col("centroid_id").alias("cell"), "cell_rank")
+    )
+    probes = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(4))).alias("nprobe")
+    )
+    probe_cells = qcell.crossJoin(F.broadcast(probes)).filter(
+        F.col("cell_rank") <= F.col("nprobe")
+    )
+    rw = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    retrieved = (
+        cells.join(probe_cells, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "nprobe",
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _sim(F.col("qemb"), F.col("qnorm"), F.col("emb"), F.col("norm")).alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(rw))
+        .filter(F.col("rnk") <= 5)
+        .select("nprobe", "query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    scored = (
+        truth.crossJoin(F.broadcast(probes))
+        .join(retrieved, ["nprobe", "query_id", "neighbor_id"], "left")
+        .select("nprobe", F.coalesce(F.col("hit"), F.lit(0)).alias("hit"))
+    )
+    return scored.groupBy(F.col("nprobe").cast("int").alias("nprobe")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true"),
+        F.sum("hit").cast("bigint").alias("n_hit"),
+        F.round(F.sum("hit") / F.count(F.lit(1)).cast("double"), 4).alias("recall"),
+    )
