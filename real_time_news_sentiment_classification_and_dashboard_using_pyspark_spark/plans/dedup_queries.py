@@ -720,3 +720,120 @@ def near_dup_clusters_exact(spark, sf_dir):
 
     pairs = _block_grid_pairs(spark, sf_dir, threshold=0.4).select("vec_a", "vec_b")
     return _cluster_sizes(pairs)
+
+
+def _lang_vocab_sql() -> str:
+    mins = ",\n           ".join(
+        f"min(({a} * h32 + {b}) % {_P}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    match = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(16)
+    )
+    return f"""
+WITH tok AS (
+    SELECT DISTINCT d.lang, u.token
+    FROM (SELECT lang, {TOKS} AS ts FROM documents) d, unnest(d.ts) AS u(token)
+),
+h AS (
+    SELECT lang, token,
+           ('0x' || substr(md5(token), 25, 8))::BIGINT AS h32
+    FROM tok
+),
+sigs AS (
+    SELECT lang,
+           {mins}
+    FROM h GROUP BY lang
+),
+est AS (
+    SELECT a.lang AS lang_a, b.lang AS lang_b,
+           round(({match}) / 16.0, 4) AS est_jaccard
+    FROM sigs a JOIN sigs b ON a.lang < b.lang
+),
+sizes AS (SELECT lang, count(*) AS sz FROM tok GROUP BY lang),
+inter AS (
+    SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS i
+    FROM tok a JOIN tok b ON a.token = b.token AND a.lang < b.lang
+    GROUP BY 1, 2
+)
+SELECT e.lang_a, e.lang_b, e.est_jaccard,
+       round(i.i / CAST(sa.sz + sb.sz - i.i AS DOUBLE), 4) AS exact_jaccard
+FROM est e
+JOIN inter i ON i.lang_a = e.lang_a AND i.lang_b = e.lang_b
+JOIN sizes sa ON sa.lang = e.lang_a
+JOIN sizes sb ON sb.lang = e.lang_b
+"""
+
+
+@register(
+    "lang_vocab_minhash_sim",
+    oracle=_lang_vocab_sql(),
+    tags=("dedup", "minhash", "sketch", "evaluation"),
+)
+def lang_vocab_minhash_sim(spark, sf_dir):
+    """MERGEABLE-SKETCH set similarity: per-language vocabulary overlap
+    estimated from 16-hash MinHash signatures, next to the exact
+    token-set Jaccard as its own accuracy check (matching-min fraction
+    is an unbiased Jaccard estimator; with 16 hashes the stderr is
+    ~sqrt(J(1-J)/16) ~ 0.12 — the query SHOWS that envelope holding).
+
+    Why this matters at 100 TB: ``min`` is associative/commutative, so
+    the signature is a partial aggregate — every partition sketches its
+    own slice and the combiner min-merges, meaning cross-corpus set
+    similarity costs one narrow pass + a |groups|-row shuffle, while
+    the exact answer needs the full token-level equi-join this query
+    runs alongside (affordable only because the corpus is small). Same
+    md5-derived hash family as the pair-level MinHash (integer-exact on
+    both engines)."""
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select("lang", F.explode(F.expr(SPARK_TOKS)).alias("token"))
+        .distinct()
+    )
+    h = toks.withColumn(
+        "h32", F.conv(F.substring(F.md5("token"), 25, 8), 16, 10).cast("bigint")
+    )
+    min_aggs = [
+        F.min((F.lit(a) * F.col("h32") + F.lit(b)) % _P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    sigs = h.groupBy("lang").agg(*min_aggs)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    match = sum(
+        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
+        for i in range(16)
+    )
+    est = a.join(
+        F.broadcast(b), F.col("a.lang") < F.col("b.lang")
+    ).select(
+        F.col("a.lang").alias("lang_a"),
+        F.col("b.lang").alias("lang_b"),
+        F.round(match / 16.0, 4).alias("est_jaccard"),
+    )
+    sizes = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("sz"))
+    tx, ty = toks.alias("x"), toks.alias("y")
+    inter = (
+        tx.join(
+            ty,
+            (F.col("x.token") == F.col("y.token"))
+            & (F.col("x.lang") < F.col("y.lang")),
+        )
+        .groupBy(F.col("x.lang").alias("lang_a"), F.col("y.lang").alias("lang_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("lang").alias("lang_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("lang").alias("lang_b"), F.col("sz").alias("sz_b"))
+    return (
+        est.join(inter, ["lang_a", "lang_b"])
+        .join(F.broadcast(sa), "lang_a")
+        .join(F.broadcast(sb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "est_jaccard",
+            F.round(
+                F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i")).cast("double"),
+                4,
+            ).alias("exact_jaccard"),
+        )
+    )

@@ -2621,3 +2621,155 @@ def customer_scd2_batch(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
     )
+
+
+@register(
+    "cheapest_supplier_per_part",
+    oracle="""
+WITH cost AS (
+    SELECT l_partkey, l_suppkey,
+           round(min(l_extendedprice * (1 - l_discount)), 2) AS min_cost
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+best AS (
+    SELECT l_partkey, l_suppkey, min_cost,
+           row_number() OVER (PARTITION BY l_partkey
+                              ORDER BY min_cost ASC, l_suppkey ASC) AS rn
+    FROM cost
+)
+SELECT p.p_partkey, p.p_name, s.s_name, b.min_cost
+FROM best b
+JOIN part p ON p.p_partkey = b.l_partkey
+JOIN supplier s ON s.s_suppkey = b.l_suppkey
+WHERE b.rn = 1 AND p.p_size <= 3
+""",
+    tags=("join", "window", "argmin", "tpch-q2"),
+)
+def cheapest_supplier_per_part(spark, sf_dir):
+    """TPC-H Q2 shape: the cheapest supplier for each (small) part —
+    the argmin-per-group pattern. Q2's correlated MIN subquery over
+    partsupp is rendered as a keyed (part, supplier) aggregate followed
+    by a row_number argmin, which is how Catalyst decorrelates it
+    anyway; dimension lookups (part, supplier) broadcast. The argmin
+    ranks on the CENT-ROUNDED cost with a supplier-key tiebreak, so
+    both engines pick the identical row even if two offers differ only
+    past 2dp. One lineitem shuffle on the composite key; the size
+    filter prunes the part probe side before the join."""
+    l = table(spark, sf_dir, "lineitem")
+    cost = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.min(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "min_cost"
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy(F.asc("min_cost"), F.asc("l_suppkey"))
+    best = cost.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 3)
+        .select("p_partkey", "p_name")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        best.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_name", "s_name", "min_cost")
+    )
+
+
+@register(
+    "nation_value_concentration",
+    oracle="""
+WITH val AS (
+    SELECT s.s_nationkey,
+           sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS cents
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY s.s_nationkey
+),
+tot AS (SELECT sum(cents) AS t FROM val)
+SELECT n.n_name, round(val.cents / 100.0, 2) AS value
+FROM val
+JOIN nation n ON n.n_nationkey = val.s_nationkey
+CROSS JOIN tot
+WHERE val.cents * 20 > tot.t
+""",
+    tags=("join", "scalar-subquery", "having", "tpch-q11"),
+)
+def nation_value_concentration(spark, sf_dir):
+    """TPC-H Q11 shape: nations whose supplied value exceeds a fraction
+    (5%) of the GLOBAL total — a keyed aggregate HAVING-filtered against
+    a scalar subquery over itself. The per-nation aggregate is computed
+    once; its single-row total is broadcast back as a cross-join filter
+    (same shape as top_supplier_revenue). Determinism: values are
+    summed as integer CENTS (the product is cent-rounded per row, which
+    is engine-identical; integer sums are order-independent), and the
+    5% threshold compares cents*20 > total — pure integer arithmetic,
+    so no float-sum ordering difference can flip a borderline nation."""
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "bigint"
+    )
+    val = (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    tot = val.agg(F.sum("cents").alias("t"))
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("cents") * 20 > F.col("t"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", F.round(F.col("cents") / 100.0, 2).alias("value"))
+    )
+
+
+@register(
+    "supplier_diversity_by_brand",
+    oracle="""
+WITH eligible AS (
+    SELECT DISTINCT l.l_partkey, l.l_suppkey
+    FROM lineitem l
+    WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+)
+SELECT p.p_brand,
+       CAST(count(DISTINCT e.l_suppkey) AS BIGINT) AS supplier_cnt,
+       CAST(count(DISTINCT e.l_partkey) AS BIGINT) AS part_cnt
+FROM eligible e JOIN part p ON p.p_partkey = e.l_partkey
+WHERE p.p_type <> 'PROMO' AND p.p_size <= 25
+GROUP BY p.p_brand
+""",
+    tags=("join", "anti", "count-distinct", "tpch-q16"),
+)
+def supplier_diversity_by_brand(spark, sf_dir):
+    """TPC-H Q16 shape: how many distinct suppliers (and parts) serve
+    each brand, excluding a supplier blacklist — NOT IN rendered as a
+    broadcast anti join (s_suppkey is non-null, so the semantics are
+    identical and the nullable-NOT-IN trap never arises), dimension
+    filters pushed into the part scan, and a multi-distinct aggregate
+    (Spark plans it with one Expand — both distincts share a single
+    shuffle). The DISTINCT (part, supplier) projection dedups lineitem
+    BEFORE the brand join, so the join and Expand see |partsupp|-sized
+    input, not |lineitem|-sized."""
+    bad = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    l = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    eligible = l.join(
+        F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+    ).distinct()
+    p = (
+        table(spark, sf_dir, "part")
+        .filter((F.col("p_type") != "PROMO") & (F.col("p_size") <= 25))
+        .select("p_partkey", "p_brand")
+    )
+    return (
+        eligible.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"),
+            F.countDistinct("l_partkey").cast("bigint").alias("part_cnt"),
+        )
+    )
