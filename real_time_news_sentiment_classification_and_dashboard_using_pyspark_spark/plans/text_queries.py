@@ -1249,3 +1249,89 @@ def source_mixture_rebalance(spark, sf_dir):
             "CAST((cnt * least(1000, (1000 * (total div n_sources)) div cnt)) div 1000 AS BIGINT)"
         ).alias("expected_kept"),
     )
+
+
+# Sequence-chunking parameters: window 32 tokens, stride 24 (8-token
+# overlap) — small enough that the fixture corpus (~25-60 tokens/doc)
+# genuinely multi-chunks, which is what the operator exists to do.
+CHUNK_W, CHUNK_S = 32, 24
+
+
+@register(
+    "doc_chunk_stats",
+    oracle=f"""
+WITH d AS (SELECT lang, len({TOKS_SQL}) AS T FROM documents),
+n AS (
+    SELECT lang, T,
+           CASE WHEN T = 0 THEN 0
+                WHEN T <= {CHUNK_W} THEN 1
+                ELSE 1 + (T - {CHUNK_W} + {CHUNK_S} - 1) // {CHUNK_S}
+           END AS n_chunk
+    FROM d
+),
+chunks AS (
+    SELECT lang, least({CHUNK_W}, T - i * {CHUNK_S}) AS chunk_tokens
+    FROM n, unnest(range(0, n_chunk)) AS u(i)
+),
+docagg AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(n_chunk) AS BIGINT) AS max_chunks_per_doc
+    FROM n GROUP BY lang
+),
+chunkagg AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_chunks,
+           round(avg(chunk_tokens), 4) AS avg_chunk_tokens
+    FROM chunks GROUP BY lang
+)
+SELECT da.lang, da.n_docs, ca.n_chunks, ca.avg_chunk_tokens, da.max_chunks_per_doc
+FROM docagg da JOIN chunkagg ca ON ca.lang = da.lang
+""",
+    tags=("text", "chunking", "training-prep"),
+)
+def doc_chunk_stats(spark, sf_dir):
+    """SEQUENCE CHUNKING — the training-prep operator that splits each
+    document into overlapping fixed-width token windows (window 32,
+    stride 24), then audits the result per language: docs, chunks,
+    mean chunk fill, worst-case chunks per doc. The trailing partial
+    chunk is emitted (standard pretraining practice; packing it is
+    ``sequence_packing_stats``'s job).
+
+    Plan: chunk boundaries are pure integer arithmetic on the per-doc
+    token count — chunks materialize as an exploded in-array transform
+    (narrow map, same zero-shuffle pattern as the shingle build), and
+    the only shuffles carry |langs| rows. Chunk count = 1 +
+    ceil((T-W)/S) rendered as integer division on both engines, so the
+    oracle comparison is exact end-to-end."""
+    d = table(spark, sf_dir, "documents").select(
+        "lang", F.size(tokens("text")).alias("T")
+    )
+    n = d.withColumn(
+        "n_chunk",
+        F.when(F.col("T") == 0, F.lit(0))
+        .when(F.col("T") <= CHUNK_W, F.lit(1))
+        .otherwise(
+            F.lit(1)
+            + F.expr(f"(T - {CHUNK_W} + {CHUNK_S} - 1) div {CHUNK_S}").cast("int")
+        ),
+    )
+    # sequence(0, -1) would descend — guard the zero-chunk case
+    chunks = n.select(
+        "lang",
+        F.explode(
+            F.expr(
+                f"transform(if(n_chunk = 0, array(), sequence(0, n_chunk - 1)), "
+                f"i -> least({CHUNK_W}, T - i * {CHUNK_S}))"
+            )
+        ).alias("chunk_tokens"),
+    )
+    docagg = n.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.max("n_chunk").cast("bigint").alias("max_chunks_per_doc"),
+    )
+    chunkagg = chunks.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.round(F.avg("chunk_tokens"), 4).alias("avg_chunk_tokens"),
+    )
+    return docagg.join(chunkagg, "lang").select(
+        "lang", "n_docs", "n_chunks", "avg_chunk_tokens", "max_chunks_per_doc"
+    )

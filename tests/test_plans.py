@@ -224,3 +224,41 @@ def test_sq8_rerank_broadcasts_shortlist_with_partial_topk(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "WindowGroupLimit" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["cheapest_supplier_per_part", "supplier_diversity_by_brand"]
+)
+def test_round4_tpch_shapes_broadcast_no_nlj(spark, name):
+    """Q2/Q16: dimension lookups and the supplier blacklist broadcast;
+    no sort-merge, no nested-loop on the fact path."""
+    plan = plan_of(spark, name)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_nation_value_concentration_single_fact_pass(spark):
+    """Q11: one lineitem aggregate feeds both the per-nation values and
+    the broadcast scalar total — the HAVING filter is a 1-row broadcast
+    NLJ, never a second fact scan shuffle."""
+    plan = plan_of(spark, "nation_value_concentration")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_doc_chunk_stats_narrow_chunking(spark):
+    """Chunks materialize as an in-array transform + explode (narrow),
+    so the plan's only Exchanges carry |langs|-row aggregates — no
+    shuffle proportional to chunk count, no Python nodes."""
+    plan = plan_of(spark, "doc_chunk_stats")
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
+
+
+def test_lang_vocab_minhash_signature_is_partial_agg(spark):
+    """The 16-min signature is a hash aggregate (partial+final around
+    one exchange over |langs| groups) — the mergeable-sketch shape."""
+    plan = plan_of(spark, "lang_vocab_minhash_sim")
+    assert "HashAggregate" in plan
+    assert "NestedLoop" not in plan or "BroadcastNestedLoopJoin" in plan
