@@ -313,6 +313,61 @@ class TestStopShinglePrefilter:
         }
         assert got == {(0, 1): 1.0}
 
+    def test_prefix_filter_matches_bruteforce_random(self, spark):
+        """The prefix filter is LOSSLESS for J >= t: on a randomized
+        dense corpus (tiny shingle alphabet forces heavy sharing, so the
+        prefix join actually prunes), the result must equal the python
+        all-pairs brute force — same pair set, same Jaccard values."""
+        import random
+
+        from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans.dedup_queries import (
+            _jaccard_pairs_from_shingles,
+        )
+
+        rng = random.Random(42)
+        alphabet = [f"sh{i}" for i in range(10)]
+        sets: dict[int, set] = {}
+        rows = []
+        for doc in range(40):
+            sets[doc] = set(rng.sample(alphabet, rng.randint(1, 6)))
+            rows += [(doc, s) for s in sets[doc]]
+        sh = spark.createDataFrame(rows, "doc_id bigint, shingle string")
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in _jaccard_pairs_from_shingles(sh, cutoff=1000).collect()
+        }
+        expect = {}
+        docs = sorted(sets)
+        for i, a in enumerate(docs):
+            for b in docs[i + 1 :]:
+                inter = len(sets[a] & sets[b])
+                if inter:
+                    j = inter / (len(sets[a]) + len(sets[b]) - inter)
+                    if round(j, 4) >= 0.5:
+                        expect[(a, b)] = j
+        assert set(got) == set(expect)
+        for k, v in expect.items():
+            assert abs(got[k] - v) < 5e-5
+
+    def test_prefix_bound_exact_threshold_pair(self, spark):
+        """A pair at EXACTLY J = t (2 shared of 3+3 shingles -> 0.5)
+        sits on the prefix bound's boundary — the bound guarantees a
+        shared shingle within each doc's first |X|-ceil(t|X|)+1 = 2
+        shingles, so the pair must be found whatever the md5 order."""
+        from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans.dedup_queries import (
+            _jaccard_pairs_from_shingles,
+        )
+
+        rows = [(0, s) for s in ("p p p", "q q q", "r r r")] + [
+            (1, s) for s in ("p p p", "q q q", "s s s")
+        ]
+        sh = spark.createDataFrame(rows, "doc_id bigint, shingle string")
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in _jaccard_pairs_from_shingles(sh, cutoff=100).collect()
+        }
+        assert got == {(0, 1): 0.5}
+
 
 class TestMergeUpsert:
     def test_update_insert_keep(self, spark):
