@@ -2628,16 +2628,17 @@ def customer_scd2_batch(spark, sf_dir):
     oracle="""
 WITH cost AS (
     SELECT l_partkey, l_suppkey,
-           round(min(l_extendedprice * (1 - l_discount)), 2) AS min_cost
+           min(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS min_cost_i
     FROM lineitem GROUP BY l_partkey, l_suppkey
 ),
 best AS (
-    SELECT l_partkey, l_suppkey, min_cost,
+    SELECT l_partkey, l_suppkey, min_cost_i,
            row_number() OVER (PARTITION BY l_partkey
-                              ORDER BY min_cost ASC, l_suppkey ASC) AS rn
+                              ORDER BY min_cost_i ASC, l_suppkey ASC) AS rn
     FROM cost
 )
-SELECT p.p_partkey, p.p_name, s.s_name, b.min_cost
+SELECT p.p_partkey, p.p_name, s.s_name, b.min_cost_i / 10000.0 AS min_cost
 FROM best b
 JOIN part p ON p.p_partkey = b.l_partkey
 JOIN supplier s ON s.s_suppkey = b.l_suppkey
@@ -2650,18 +2651,25 @@ def cheapest_supplier_per_part(spark, sf_dir):
     the argmin-per-group pattern. Q2's correlated MIN subquery over
     partsupp is rendered as a keyed (part, supplier) aggregate followed
     by a row_number argmin, which is how Catalyst decorrelates it
-    anyway; dimension lookups (part, supplier) broadcast. The argmin
-    ranks on the CENT-ROUNDED cost with a supplier-key tiebreak, so
-    both engines pick the identical row even if two offers differ only
-    past 2dp. One lineitem shuffle on the composite key; the size
+    anyway; dimension lookups (part, supplier) broadcast.
+
+    Determinism: price and discount are both clean 2dp decimals, so the
+    cost is computed in integer TEN-THOUSANDTHS (cents x discount-pct —
+    each factor rounds from a value within 1e-9 of an integer, never at
+    .5), the argmin ranks on that BIGINT with a supplier tiebreak, and
+    the output divides the integer by 10000.0 (identical IEEE division
+    on both engines). round(product, 2) was measurably NOT portable:
+    a half-cent cost (1675.785) rounded .78 on Spark and .79 on DuckDB
+    at sf0.1. One lineitem shuffle on the composite key; the size
     filter prunes the part probe side before the join."""
     l = table(spark, sf_dir, "lineitem")
-    cost = l.groupBy("l_partkey", "l_suppkey").agg(
-        F.round(F.min(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "min_cost"
-        )
+    cost_i = F.round(F.col("l_extendedprice") * 100).cast("bigint") * F.round(
+        (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    cost = l.groupBy("l_partkey", "l_suppkey").agg(F.min(cost_i).alias("min_cost_i"))
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.asc("min_cost_i"), F.asc("l_suppkey")
     )
-    w = Window.partitionBy("l_partkey").orderBy(F.asc("min_cost"), F.asc("l_suppkey"))
     best = cost.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     p = (
         table(spark, sf_dir, "part")
@@ -2672,7 +2680,12 @@ def cheapest_supplier_per_part(spark, sf_dir):
     return (
         best.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("p_partkey", "p_name", "s_name", "min_cost")
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            (F.col("min_cost_i") / 10000.0).alias("min_cost"),
+        )
     )
 
 
