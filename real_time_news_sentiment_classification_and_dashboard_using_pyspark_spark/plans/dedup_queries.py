@@ -263,13 +263,20 @@ def _jaccard_pairs_from_shingles(
         .select("doc_id", "sh_arr", "pre_arr", "sz")
         .cache()
     )
-    pre = kd.select("doc_id", F.explode("pre_arr").alias("shingle"))
+    pre = kd.select("doc_id", "sz", F.explode("pre_arr").alias("shingle"))
     x, y = pre.alias("x"), pre.alias("y")
+    # size-compatibility bound: J <= min(sz)/max(sz), so J >= t requires
+    # min(sz) >= t*max(sz) — prunes incompatible-size pairs BEFORE the
+    # distinct (lossless; the 1e-9 slack keeps float t conservative)
+    size_ok = (F.col("x.sz") >= F.lit(threshold) * F.col("y.sz") - 1e-9) & (
+        F.col("y.sz") >= F.lit(threshold) * F.col("x.sz") - 1e-9
+    )
     cand = (
         x.join(
             y,
             (F.col("x.shingle") == F.col("y.shingle"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            & size_ok,
         )
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
