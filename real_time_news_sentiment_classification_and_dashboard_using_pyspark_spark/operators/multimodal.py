@@ -138,3 +138,191 @@ def multimodal_features(spark, sf_dir):
         F.round(F.avg("payload_bytes"), 4).alias("avg_bytes"),
         F.sum("first_byte").cast("bigint").alias("sum_first_byte"),
     )
+
+
+# --- resize (image-shape) ------------------------------------------------
+
+RESIZE_TARGET = 64  # output "pixels" per payload
+
+RESIZED_SCHEMA = (
+    "doc_id bigint, source string, resized binary, resized_bytes int, "
+    "resized_checksum bigint"
+)
+
+
+def _resize_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB nearest-neighbor 'resize': the payload is treated as a 1-D
+    pixel row and sampled at RESIZE_TARGET evenly-spaced positions
+    (index i*len//T — downsamples long payloads, repeats samples for
+    short ones, exactly like nearest-neighbor image scaling in 1-D).
+    Deterministic and SQL-reproducible, so the query stays
+    oracle-checkable; a real deployment swaps this for PIL's
+    Image.resize while every Spark-side contract (binary in, binary
+    out, Arrow batches, partition parallelism) stays identical."""
+    import numpy as np
+
+    idx_frac = np.arange(RESIZE_TARGET, dtype=np.int64)
+    for pdf in batches:
+        out_bytes, out_len, out_sum = [], [], []
+        for v in pdf["payload"]:
+            if len(v) == 0:
+                out_bytes.append(b"")
+                out_len.append(0)
+                out_sum.append(0)
+                continue
+            arr = np.frombuffer(v, dtype=np.uint8)
+            resized = arr[(idx_frac * len(v)) // RESIZE_TARGET]
+            out_bytes.append(resized.tobytes())
+            out_len.append(int(resized.size))
+            out_sum.append(int(resized.astype(np.int64).sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "source": pdf["source"],
+                "resized": out_bytes,
+                "resized_bytes": pd.Series(out_len, dtype="int32"),
+                "resized_checksum": pd.Series(out_sum, dtype="int64"),
+            }
+        )
+
+
+def resize_payloads(
+    spark: SparkSession, sf_dir: str, min_parallelism: int | None = None
+) -> DataFrame:
+    """Arrow-batched 1-D nearest-neighbor resize over the binary column
+    (same repartition guard as extract_features)."""
+    pt = payload_table(spark, sf_dir)
+    target = min_parallelism or spark.sparkContext.defaultParallelism
+    if pt.rdd.getNumPartitions() < target:
+        pt = pt.repartition(target)
+    return pt.mapInPandas(_resize_kernel, RESIZED_SCHEMA)
+
+
+@register(
+    "multimodal_resize_stats",
+    oracle=f"""
+WITH p AS (
+    SELECT source, octet_length(encode(text)) AS len, hex(encode(text)) AS hx
+    FROM documents
+),
+sampled AS (
+    SELECT source, len,
+           CASE WHEN len = 0 THEN 0
+                ELSE (SELECT sum(('0x' || substr(p.hx, ((i * p.len) // {RESIZE_TARGET}) * 2 + 1, 2))::BIGINT)
+                      FROM unnest(range(0, {RESIZE_TARGET})) AS u(i))
+           END AS checksum,
+           CASE WHEN len = 0 THEN 0 ELSE {RESIZE_TARGET} END AS resized_bytes
+    FROM p
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_payloads,
+       CAST(sum(resized_bytes) AS BIGINT) AS total_resized_bytes,
+       CAST(sum(checksum) AS BIGINT) AS sum_checksum
+FROM sampled GROUP BY source
+""",
+    tags=("multimodal", "pandas-udf", "resize"),
+)
+def multimodal_resize_stats(spark, sf_dir):
+    """RESIZE through the multimodal path, audited per source: every
+    payload is nearest-neighbor-sampled to a fixed 64-byte 'thumbnail'
+    inside the Arrow kernel, and the audit (total output bytes +
+    checksum of sampled bytes) is oracle-recomputed position-by-position
+    in SQL — proving the kernel touches exactly the bytes it claims.
+    Scale shape: narrow mapInPandas (no shuffle before the ~20-group
+    agg); output blobs are fixed-size, so the resized column is
+    O(docs * 64) regardless of input payload sizes — the property that
+    makes thumbnail columns joinable downstream."""
+    r = resize_payloads(spark, sf_dir)
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_payloads"),
+        F.sum("resized_bytes").cast("bigint").alias("total_resized_bytes"),
+        F.sum("resized_checksum").cast("bigint").alias("sum_checksum"),
+    )
+
+
+# --- frame sampling (video-shape) ----------------------------------------
+
+FRAME_BYTES = 16   # bytes per 'frame' in the fake container
+FRAME_STRIDE = 4   # keep every 4th frame
+
+
+def _frame_sample_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB frame sampler: the payload is a fake fixed-frame-size video
+    container (FRAME_BYTES bytes per frame, partial tail frame dropped);
+    every FRAME_STRIDE-th frame is kept and summarized by its leading
+    byte (a stand-in for a per-frame embedding). Deterministic —
+    replaceable by an ffmpeg keyframe extractor with the same Spark
+    contract."""
+    import numpy as np
+
+    for pdf in batches:
+        n_frames, n_sampled, sig = [], [], []
+        for v in pdf["payload"]:
+            nf = len(v) // FRAME_BYTES
+            if nf == 0:
+                n_frames.append(0)
+                n_sampled.append(0)
+                sig.append(0)
+                continue
+            arr = np.frombuffer(v[: nf * FRAME_BYTES], dtype=np.uint8)
+            firsts = arr[:: FRAME_BYTES][::FRAME_STRIDE]
+            n_frames.append(nf)
+            n_sampled.append(int(firsts.size))
+            sig.append(int(firsts.astype(np.int64).sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "source": pdf["source"],
+                "n_frames": pd.Series(n_frames, dtype="int32"),
+                "n_sampled": pd.Series(n_sampled, dtype="int32"),
+                "frame_signature": pd.Series(sig, dtype="int64"),
+            }
+        )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+WITH p AS (
+    SELECT source, octet_length(encode(text)) // {FRAME_BYTES} AS n_frames,
+           hex(encode(text)) AS hx
+    FROM documents
+),
+s AS (
+    SELECT source, n_frames,
+           CASE WHEN n_frames = 0 THEN 0 ELSE (n_frames + {FRAME_STRIDE} - 1) // {FRAME_STRIDE} END AS n_sampled,
+           CASE WHEN n_frames = 0 THEN 0
+                ELSE (SELECT sum(('0x' || substr(p.hx, f * {FRAME_BYTES} * 2 + 1, 2))::BIGINT)
+                      FROM unnest(range(0, p.n_frames)) AS u(f) WHERE f % {FRAME_STRIDE} = 0)
+           END AS signature
+    FROM p
+)
+SELECT source,
+       CAST(sum(n_frames) AS BIGINT) AS total_frames,
+       CAST(sum(n_sampled) AS BIGINT) AS total_sampled,
+       CAST(sum(signature) AS BIGINT) AS sum_signature
+FROM s GROUP BY source
+""",
+    tags=("multimodal", "pandas-udf", "frame-sample"),
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """FRAME SAMPLING through the multimodal path: payloads are read as
+    fixed-frame containers (16-byte frames, partial tail dropped), every
+    4th frame kept, each kept frame summarized by its leading byte; the
+    per-source audit (frames seen / frames kept / signature sum) is
+    recomputed byte-position-for-byte-position by the SQL oracle. The
+    sampled-frame count is ceil(frames/stride) — integer math on both
+    engines. Same narrow Arrow shape as the other multimodal kernels."""
+    pt = payload_table(spark, sf_dir)
+    target = spark.sparkContext.defaultParallelism
+    if pt.rdd.getNumPartitions() < target:
+        pt = pt.repartition(target)
+    f = pt.mapInPandas(
+        _frame_sample_kernel,
+        "doc_id bigint, source string, n_frames int, n_sampled int, frame_signature bigint",
+    )
+    return f.groupBy("source").agg(
+        F.sum("n_frames").cast("bigint").alias("total_frames"),
+        F.sum("n_sampled").cast("bigint").alias("total_sampled"),
+        F.sum("frame_signature").cast("bigint").alias("sum_signature"),
+    )

@@ -68,6 +68,65 @@ class TestMultimodal:
         schema = dict(payload_table(spark, SF).dtypes)
         assert schema["payload"] == "binary"
 
+    def test_resize_kernel_matches_python_reference(self, spark):
+        """The Arrow resize kernel must agree with a per-row python
+        rendering of the same nearest-neighbor formula, including the
+        short-payload (upsample) and empty-payload edges."""
+        from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.operators.multimodal import (
+            RESIZE_TARGET,
+            resize_payloads,
+        )
+
+        got = {r["doc_id"]: r for r in resize_payloads(spark, SF).collect()}
+        payloads = {
+            r["doc_id"]: bytes(r["payload"])
+            for r in payload_table(spark, SF).collect()
+        }
+        assert set(got) == set(payloads)
+        for doc_id, v in payloads.items():
+            if not v:
+                assert got[doc_id]["resized_bytes"] == 0
+                continue
+            ref = bytes(v[(i * len(v)) // RESIZE_TARGET] for i in range(RESIZE_TARGET))
+            assert bytes(got[doc_id]["resized"]) == ref
+            assert got[doc_id]["resized_checksum"] == sum(ref)
+
+    def test_frame_sample_counts(self, spark):
+        """ceil(frames/stride) sampled frames; partial tail frame
+        dropped; signature = sum of sampled frames' leading bytes."""
+        from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.operators.multimodal import (
+            FRAME_BYTES,
+            FRAME_STRIDE,
+        )
+        from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans import (
+            REGISTRY,
+        )
+
+        rows = {
+            r["source"]: r
+            for r in REGISTRY["multimodal_frame_sample"].fn(spark, SF).collect()
+        }
+        payloads = [
+            (r["source"], bytes(r["payload"]))
+            for r in payload_table(spark, SF).collect()
+        ]
+        from collections import defaultdict
+
+        frames = defaultdict(int)
+        sampled = defaultdict(int)
+        sig = defaultdict(int)
+        for src, v in payloads:
+            nf = len(v) // FRAME_BYTES
+            frames[src] += nf
+            if nf:
+                keep = range(0, nf, FRAME_STRIDE)
+                sampled[src] += len(keep)
+                sig[src] += sum(v[f * FRAME_BYTES] for f in keep)
+        for src, r in rows.items():
+            assert r["total_frames"] == frames[src]
+            assert r["total_sampled"] == sampled[src]
+            assert r["sum_signature"] == sig[src]
+
 
 class TestDedupGeometry:
     def test_minhash_finds_planted_near_dups(self, spark):
