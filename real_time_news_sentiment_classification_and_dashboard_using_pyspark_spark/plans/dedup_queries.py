@@ -844,3 +844,93 @@ def lang_vocab_minhash_sim(spark, sf_dir):
             ).alias("exact_jaccard"),
         )
     )
+
+
+def _keep_representatives_oracle() -> str:
+    from .similarity_queries import _BANDED_BUCKETS_CTE
+
+    return f"""
+WITH RECURSIVE {_BANDED_BUCKETS_CTE},
+en AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+lab AS (SELECT vec_id, label FROM embeddings),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM (SELECT en.vec_id, bk.t, bk.bucket FROM en JOIN bbuckets bk USING (vec_id)) a
+    JOIN (SELECT en.vec_id, bk.t, bk.bucket FROM en JOIN bbuckets bk USING (vec_id)) b
+      ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+pairs AS (
+    SELECT c.vec_a, c.vec_b
+    FROM cand c JOIN en x ON c.vec_a = x.vec_id JOIN en y ON c.vec_b = y.vec_id
+    WHERE round(list_dot_product(x.emb, y.emb) / (x.nrm * y.nrm), 6) >= 0.4
+),
+edges AS (
+    SELECT vec_a AS s, vec_b AS d FROM pairs
+    UNION ALL
+    SELECT vec_b AS s, vec_a AS d FROM pairs
+),
+reach(v, r) AS (
+    SELECT DISTINCT s AS v, s AS r FROM edges
+    UNION
+    SELECT edges.d AS v, reach.r FROM reach JOIN edges ON edges.s = reach.v
+),
+comp AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v),
+marked AS (
+    SELECT lab.label,
+           CASE WHEN comp.v IS NOT NULL AND comp.v <> comp.cluster_id THEN 1 ELSE 0 END AS removed
+    FROM lab LEFT JOIN comp ON comp.v = lab.vec_id
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(1 - removed) AS BIGINT) AS n_kept,
+       CAST(sum(removed) AS BIGINT) AS n_removed
+FROM marked GROUP BY label
+"""
+
+
+@register(
+    "near_dup_keep_representatives",
+    oracle=_keep_representatives_oracle(),
+    tags=("dedup", "clusters", "iterative", "lsh", "materialization"),
+)
+def near_dup_keep_representatives(spark, sf_dir):
+    """The MATERIALIZATION step the cluster query feeds: keep exactly
+    one representative (the min vec_id) per near-duplicate cluster,
+    drop the rest, pass singletons through — i.e. the corpus a training
+    run actually reads after transitive dedup, audited per label.
+
+    Composition: banded-LSH candidate edges + exact cosine verify at
+    the 0.4 radius (shared with ``near_dup_clusters``) -> connected
+    components -> LEFT anti-style mark join back onto the corpus
+    (vectors with no near-dup pair never enter the component table and
+    are kept as-is). Scale: the mark join is keyed on vec_id and the
+    component table is bounded by vertices-with-edges, not the corpus;
+    everything else inherits the cluster query's collision-bounded
+    shape. cluster_id = min member, so "representative" is
+    deterministic on both engines."""
+    from ..operators.graph import connected_components
+    from .similarity_queries import _banded_pairs_base
+
+    pairs = (
+        _banded_pairs_base(spark, sf_dir)
+        .filter(F.col("cos_sim") >= 0.4)
+        .select("vec_a", "vec_b")
+    )
+    labels = connected_components(pairs, src="vec_a", dst="vec_b")
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    marked = e.join(
+        labels.withColumnRenamed("v", "vec_id"), "vec_id", "left"
+    ).select(
+        "label",
+        F.when(
+            F.col("lbl").isNotNull() & (F.col("vec_id") != F.col("lbl")), 1
+        )
+        .otherwise(0)
+        .alias("removed"),
+    )
+    return marked.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum(1 - F.col("removed")).cast("bigint").alias("n_kept"),
+        F.sum("removed").cast("bigint").alias("n_removed"),
+    )
+
