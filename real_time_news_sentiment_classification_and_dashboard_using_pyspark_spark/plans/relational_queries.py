@@ -2786,3 +2786,55 @@ def supplier_diversity_by_brand(spark, sf_dir):
             F.countDistinct("l_partkey").cast("bigint").alias("part_cnt"),
         )
     )
+
+
+@register(
+    "debounced_event_counts",
+    oracle="""
+WITH RECURSIVE ordered AS (
+    SELECT user_id, ts, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+),
+kept(user_id, ts, rn) AS (
+    SELECT user_id, ts, rn FROM ordered WHERE rn = 1
+    UNION ALL
+    SELECT o.user_id, o.ts, o.rn
+    FROM kept k JOIN ordered o
+      ON o.user_id = k.user_id
+     AND o.rn = (SELECT min(o2.rn) FROM ordered o2
+                 WHERE o2.user_id = k.user_id AND o2.ts > k.ts + INTERVAL 2 HOUR)
+),
+counts AS (SELECT user_id, count(*) AS n_kept FROM kept GROUP BY user_id),
+totals AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+SELECT t.user_id, CAST(t.n_events AS BIGINT) AS n_events, CAST(c.n_kept AS BIGINT) AS n_kept
+FROM totals t JOIN counts c ON c.user_id = t.user_id
+""",
+    tags=("dedup", "debounce", "pandas-udf", "streaming-parity", "iterative"),
+)
+def debounced_event_counts(spark, sf_dir):
+    """Chained 2-hour debounce per user — the batch rendering of
+    streaming ``dropDuplicatesWithinWatermark`` state semantics (keep a
+    row only when strictly more than 2h past the last KEPT row of its
+    key; the clock restarts on kept rows only). Not window-expressible:
+    survival of row N depends on which earlier rows survived, so the
+    operator is an ordered per-key scan (``operators.debounce``,
+    applyInPandas — per-group state is ONE timestamp, the only shuffle
+    is the key exchange, exactly the streaming state store's
+    partitioning). The oracle is a recursive CTE hopping from each kept
+    row to the next row beyond the threshold — an independent rendering
+    of the same chain."""
+    from ..operators.debounce import debounce
+    from ..sources.tables import events_with_ts
+
+    e = events_with_ts(spark, sf_dir).select("event_id", "user_id", "ts")
+    kept = debounce(
+        e, key_cols=["user_id"], ts_col="ts", threshold_seconds=7200.0,
+        tiebreak_col="event_id",
+    )
+    totals = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    counts = kept.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept")
+    )
+    return totals.join(counts, "user_id").select("user_id", "n_events", "n_kept")

@@ -612,3 +612,68 @@ class TestScd2Apply:
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         assert "BroadcastHashJoin" not in plan
+
+
+class TestDebounce:
+    def test_chained_suppression_not_session_gap(self, spark):
+        """Events at 0 / 1.5h / 3h with a 2h threshold: debounce keeps
+        {0, 3h} (clock restarts on KEPT rows), while a session-gap
+        rendering would keep only {0} — this case is the proof the
+        operator is not window/session-expressible."""
+        from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.operators.debounce import (
+            debounce,
+        )
+
+        rows = [
+            (1, 7, "2025-01-01 00:00:00"),
+            (2, 7, "2025-01-01 01:30:00"),
+            (3, 7, "2025-01-01 03:00:00"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id bigint, user_id bigint, ts string"
+        ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts")
+        kept = debounce(
+            df, key_cols=["user_id"], ts_col="ts", threshold_seconds=7200.0,
+            tiebreak_col="event_id",
+        )
+        assert sorted(r["event_id"] for r in kept.collect()) == [1, 3]
+
+    def test_exact_threshold_is_strict(self, spark):
+        """A row exactly AT threshold distance is still suppressed
+        (strict >), matching the oracle's ts > last + INTERVAL."""
+        from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.operators.debounce import (
+            debounce,
+        )
+
+        rows = [
+            (1, 7, "2025-01-01 00:00:00"),
+            (2, 7, "2025-01-01 02:00:00"),   # exactly 2h -> dropped
+            (3, 7, "2025-01-01 02:00:01"),   # 2h1s after e1 -> kept
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id bigint, user_id bigint, ts string"
+        ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts")
+        kept = debounce(
+            df, key_cols=["user_id"], ts_col="ts", threshold_seconds=7200.0,
+            tiebreak_col="event_id",
+        )
+        assert sorted(r["event_id"] for r in kept.collect()) == [1, 3]
+
+    def test_timestamp_ties_deterministic(self, spark):
+        """Identical timestamps: the lower tiebreak id is the kept one."""
+        from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.operators.debounce import (
+            debounce,
+        )
+
+        rows = [
+            (9, 7, "2025-01-01 00:00:00"),
+            (2, 7, "2025-01-01 00:00:00"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id bigint, user_id bigint, ts string"
+        ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts")
+        kept = debounce(
+            df, key_cols=["user_id"], ts_col="ts", threshold_seconds=7200.0,
+            tiebreak_col="event_id",
+        )
+        assert [r["event_id"] for r in kept.collect()] == [2]
