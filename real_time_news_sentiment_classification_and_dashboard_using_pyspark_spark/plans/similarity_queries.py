@@ -1136,3 +1136,46 @@ def ivf_recall_eval(spark, sf_dir):
         F.sum("hit").cast("bigint").alias("n_hit"),
         F.round(F.sum("hit") / F.count(F.lit(1)).cast("double"), 4).alias("recall"),
     )
+
+
+@register(
+    "embedding_dimension_profile",
+    oracle=f"""
+WITH {_E_CTE},
+pos AS (SELECT vec_id, i, emb[i + 1] AS x FROM e, range(64) t(i))
+SELECT CAST(i AS INTEGER) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(x), 4) AS avg_val,
+       round(min(x), 4) AS min_val,
+       round(max(x), 4) AS max_val,
+       round(sqrt(avg(x * x)), 4) AS rms,
+       round(sum(CASE WHEN x = 0 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4)
+           AS frac_zero
+FROM pos GROUP BY i
+""",
+    tags=("similarity", "profile", "agg"),
+)
+def embedding_dimension_profile(spark, sf_dir):
+    """Per-DIMENSION health profile of the embedding column: mean, range,
+    RMS energy, and dead-unit fraction for each of the 64 coordinates —
+    the sanity sweep an embedding pipeline runs to catch collapsed or
+    exploding dimensions before they poison similarity search
+    (a dim with rms ~0 is dead; one with rms >> others dominates every
+    cosine). posexplode is a narrow map; the single shuffle carries 64
+    groups with partial aggregation, so the profile costs one pass at
+    any corpus size. Aggregates are rounded to 4dp (house float-sum
+    convention; the integer counts are exact)."""
+    e = _emb(spark, sf_dir)
+    pos = e.select(F.posexplode("emb").alias("dim", "x"))
+    return pos.groupBy(F.col("dim").cast("int").alias("dim")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg("x"), 4).alias("avg_val"),
+        F.round(F.min("x"), 4).alias("min_val"),
+        F.round(F.max("x"), 4).alias("max_val"),
+        F.round(F.sqrt(F.avg(F.col("x") * F.col("x"))), 4).alias("rms"),
+        F.round(
+            F.sum(F.when(F.col("x") == 0, 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("frac_zero"),
+    )
