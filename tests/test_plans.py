@@ -262,3 +262,26 @@ def test_lang_vocab_minhash_signature_is_partial_agg(spark):
     plan = plan_of(spark, "lang_vocab_minhash_sim")
     assert "HashAggregate" in plan
     assert "NestedLoop" not in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_debounce_single_key_exchange(spark):
+    """The debounce scan is one applyInPandas group exchange on the key
+    — no extra shuffles, mirroring the streaming state store layout."""
+    plan = plan_of(spark, "debounced_event_counts")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_ngram_jaccard_no_cartesian(spark):
+    """Prefix filtering must stay an equi-join family: any cartesian or
+    nested-loop here means the candidate join degenerated."""
+    plan = plan_of(spark, "ngram_jaccard_pairs")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_dimension_profile_single_pass(spark):
+    """posexplode + one 64-group aggregate: at most the agg exchange (+
+    AQE read) — no joins, no Python."""
+    plan = plan_of(spark, "embedding_dimension_profile")
+    assert "Join" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
