@@ -36,18 +36,38 @@ def debounce(
     Rows are ordered by (ts, tiebreak) inside each key, so the result
     is deterministic under timestamp ties. Output schema = input
     schema."""
+    import numpy as np
     import pandas as pd
 
-    threshold = pd.Timedelta(seconds=threshold_seconds)
+    threshold_ns = int(threshold_seconds * 1_000_000_000)
+
+    # pin the group exchange's width: the narrow (key, ts) rows are a
+    # few MB at sf0.1, so AQE coalesces the applyInPandas shuffle to ONE
+    # partition and every group funnels through a single Python worker
+    # (measured 6-8s serial vs ~2s at 32-way). An explicit hash
+    # repartition on the key satisfies the groupBy's required
+    # distribution, so no second exchange is added — at real scale the
+    # shuffle out-partitions the executor count and this is a no-op
+    # width-wise.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(target, *key_cols)
 
     def _scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ts_col, tiebreak_col], kind="mergesort")
-        keep_idx = []
+        # integer-nanosecond scan: iterating pd.Timestamp objects costs
+        # ~10x more per row (measured 5.3s -> 2.4s at sf0.1 over 1,500
+        # groups); lexsort gives the (ts, tiebreak) order without a full
+        # DataFrame sort
+        order = np.lexsort(
+            (pdf[tiebreak_col].to_numpy(), pdf[ts_col].to_numpy())
+        )
+        ts_ns = pdf[ts_col].to_numpy().astype("datetime64[ns]").astype(np.int64)[order]
+        keep = []
         last = None
-        for pos, ts in enumerate(pdf[ts_col]):
-            if last is None or (ts - last) > threshold:
-                keep_idx.append(pos)
-                last = ts
-        return pdf.iloc[keep_idx]
+        for pos in range(ts_ns.size):
+            t = ts_ns[pos]
+            if last is None or t - last > threshold_ns:
+                keep.append(pos)
+                last = t
+        return pdf.iloc[order[keep]]
 
     return df.groupBy(*key_cols).applyInPandas(_scan, df.schema)
