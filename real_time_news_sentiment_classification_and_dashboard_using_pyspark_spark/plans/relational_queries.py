@@ -1477,6 +1477,13 @@ def user_value_trend_pandas(spark, sf_dir):
              "slope": [round(slope, 6) if slope is not None else None]}
         )
 
+    # pin the group-exchange width (debounce rationale: AQE coalesces
+    # the few-MB shuffle to 1 partition and serializes every group
+    # through one Python worker; the explicit key repartition satisfies
+    # the required distribution, so no second exchange appears)
+    base = base.repartition(
+        spark.sparkContext.defaultParallelism, "user_id"
+    )
     return base.groupBy("user_id").applyInPandas(
         ols, "user_id bigint, n_events bigint, slope double"
     )

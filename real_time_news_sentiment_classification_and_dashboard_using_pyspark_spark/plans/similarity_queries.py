@@ -296,8 +296,16 @@ def _block_grid_pairs(spark, sf_dir, threshold: float) -> DataFrame:
             .crossJoin(spark.range(n_blocks).select(F.col("id").cast("int").alias("bj")))
             .filter(F.col("bi") <= F.col("bj"))
         )
-        return e.join(F.broadcast(grid), e.blk == grid[role]).select(
-            "bi", "bj", "vec_id", "embedding"
+        return (
+            e.join(F.broadcast(grid), e.blk == grid[role])
+            .select("bi", "bj", "vec_id", "embedding")
+            # pin the cogroup exchange's width: the expanded rows are
+            # small enough that AQE would coalesce the shuffle to one
+            # partition and run all B*(B+1)/2 block matmuls serially
+            # through a single Python worker (debounce rationale)
+            .repartition(
+                spark.sparkContext.defaultParallelism, "bi", "bj"
+            )
         )
 
     left = _side("bi")
