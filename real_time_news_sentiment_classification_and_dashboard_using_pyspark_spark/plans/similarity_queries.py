@@ -846,6 +846,12 @@ def _banded_pairs_base(spark, sf_dir) -> DataFrame:
             {"vec_a": ids[ai], "vec_b": ids[bj], "cos_sim": sims[ai, bj]}
         )
 
+    # NOTE on exchange width: unlike debounce/grouped-OLS, this input is
+    # tiny by construction (|vectors| x T narrow rows) and each bucket's
+    # matmul is trivial, so AQE's coalesce-to-one costs less than 32-way
+    # task overhead (measured 1.75s coalesced vs 2.36s pinned at sf0.1)
+    # — no width pin here. At a corpus where the buckets carry real
+    # work, the shuffle is big enough that AQE stops coalescing it.
     return (
         side.groupBy("t", "bucket")
         .applyInPandas(_pair_kernel, "vec_a bigint, vec_b bigint, cos_sim double")
