@@ -2845,3 +2845,86 @@ def debounced_event_counts(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_kept")
     )
     return totals.join(counts, "user_id").select("user_id", "n_events", "n_kept")
+
+
+@register(
+    "nation_year_profit",
+    oracle="""
+WITH li AS (
+    SELECT l_orderkey, l_suppkey, l_partkey,
+           CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(round((1 - l_discount) * 100) AS BIGINT) AS revenue_tenk,
+           CAST(round(l_quantity) AS BIGINT) AS qty
+    FROM lineitem
+),
+cost AS (
+    SELECT p_partkey,
+           (CAST(round(p_retailprice * 100) AS BIGINT) * 6) // 10 AS supplycost_cents
+    FROM part
+),
+profit AS (
+    SELECT s.s_nationkey, year(o.o_orderdate) AS o_year,
+           li.revenue_tenk - cost.supplycost_cents * li.qty * 100 AS profit_tenk
+    FROM li
+    JOIN orders o ON o.o_orderkey = li.l_orderkey
+    JOIN supplier s ON s.s_suppkey = li.l_suppkey
+    JOIN cost ON cost.p_partkey = li.l_partkey
+)
+SELECT n.n_name AS nation, CAST(o_year AS INTEGER) AS o_year,
+       sum(profit_tenk) / 10000.0 AS profit
+FROM profit JOIN nation n ON n.n_nationkey = profit.s_nationkey
+GROUP BY n.n_name, o_year
+""",
+    tags=("join", "fact-fact", "agg", "tpch-q9"),
+)
+def nation_year_profit(spark, sf_dir):
+    """TPC-H Q9 shape: supplier-nation profit by order year — the query
+    whose plan MUST route one fact-fact join (lineitem x orders for the
+    order date) plus three dimension lookups. The dimensions (supplier,
+    part-cost, nation) broadcast; the fact-fact join shuffles on
+    orderkey and is exactly the join the bucketed handoff
+    (tests/test_scale_infra.py) removes at 100 TB. Supply cost is the
+    deterministic stand-in 60% of retail price (the dataset carries no
+    partsupp table). Determinism: revenue in integer ten-thousandths
+    (cents x discount-pct), cost in cents x qty x 100 — integer sums
+    are order-independent, and the output divides by 10000.0 (identical
+    IEEE division on both engines), never rounds."""
+    l = table(spark, sf_dir, "lineitem")
+    li = l.select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_partkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * F.round((1 - F.col("l_discount")) * 100).cast("bigint")
+        ).alias("revenue_tenk"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("qty"),
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cost = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.expr("(cast(round(p_retailprice * 100) as bigint) * 6) div 10").alias(
+            "supplycost_cents"
+        ),
+    )
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cost), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("o_year").cast("int").alias("o_year"),
+            (
+                F.col("revenue_tenk")
+                - F.col("supplycost_cents") * F.col("qty") * 100
+            ).alias("profit_tenk"),
+        )
+    )
+    return profit.groupBy("nation", "o_year").agg(
+        (F.sum("profit_tenk") / 10000.0).alias("profit")
+    )
