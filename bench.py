@@ -75,6 +75,17 @@ def bench_streaming(
             .write.mode("overwrite")
             .json(f"{tmp}/input")
         )
+        # one UNTIMED warm drain: the first streaming query of a session
+        # pays stream-side codegen + state-store + sink-commit warmup the
+        # timed runs should not (r4 artifact: first drain 10.78s vs 6.8s
+        # steady — a 57% outlier the median hid but the spread showed)
+        start_pipeline(
+            spark,
+            f"{tmp}/input",
+            f"{tmp}/out_warm",
+            f"{tmp}/ckpt_warm",
+            available_now=True,
+        ).awaitTermination(600)
         secs: list[float] = []
         for i in range(runs):
             t0 = time.time()
@@ -98,8 +109,19 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup outside timing
+    # Warmup outside timing: JVM/codegen, then the Python-worker pool +
+    # Arrow path. Without the second step the first heavy query of the
+    # session eats worker spin-up (r4: judge measured 16.7s first run vs
+    # 4.4s steady on whichever query happened to run first).
     spark.range(1000).selectExpr("sum(id)").collect()
+    (
+        spark.range(256)
+        .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        .mapInPandas(lambda it: it, schema="id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     def run_once(q) -> float:
         # cold per query: without this, plan-keyed cache hits make each
@@ -107,7 +129,10 @@ def main() -> None:
         # round-over-round deltas stop being attributable
         clear_caches(spark)
         t0 = time.time()
-        q.fn(spark, sf_dir).foreach(lambda _: None)  # full materialization
+        # noop-format write = full materialization JVM-side; the former
+        # .foreach(lambda _: None) shipped every result row through
+        # Python workers and billed the harness cost to the query
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
     # single-run numbers on the heavy tail swing up to 1.7x between

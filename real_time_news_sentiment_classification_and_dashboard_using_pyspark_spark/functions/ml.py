@@ -69,22 +69,32 @@ _MODEL_MEMO: dict[str, PipelineModel] = {}
 
 
 def _model_path(sf_dir: str) -> str:
-    import hashlib
     import os
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    from ..sources.tables import data_fingerprint
+
+    # Key = corpus label + CONTENT fingerprint of the training table:
+    # path-independent (any checkout of the repo resolves the committed
+    # artifact — the old md5-of-abspath key only resolved on the machine
+    # that wrote it) and staleness-proof (a regenerated fixture corpus
+    # changes the fingerprint, forcing a refit instead of silently
+    # loading a model trained on the old bytes).
+    label = os.path.basename(os.path.abspath(sf_dir).rstrip(os.sep))
+    fp = data_fingerprint(os.path.join(sf_dir, "documents.parquet"))
     # default registry dir is TRACKED (repo-root/models, committed):
     # the fitted artifact is deterministic (fixed fixture corpus, L-BFGS
     # over a fixed dataset), so shipping it means a fresh checkout pays
     # model LOAD (~1s) instead of a full refit (~9s) on first query —
     # exactly the train-once contract a model registry gives you at
     # scale. The old default (cwd/spark-warehouse) was gitignored, so
-    # every fresh checkout silently retrained.
+    # every fresh checkout silently retrained. .gitignore whitelists the
+    # expected fixture tags only, so stray per-corpus dirs written by
+    # ephemeral test fixtures never show up in git status.
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     base = os.environ.get(
         "SPARK_GRAFT_MODEL_DIR", os.path.join(repo_root, "models")
     )
-    return os.path.join(base, f"sentiment_lr_{tag}")
+    return os.path.join(base, f"sentiment_lr_{label}_{fp}")
 
 
 def train_on_documents(
@@ -95,10 +105,14 @@ def train_on_documents(
     Train-once semantics — the production contract for a model in a
     query path: the fitted PipelineModel is memoized per corpus in the
     session and persisted to the model registry dir
-    (``$SPARK_GRAFT_MODEL_DIR``, default ``spark-warehouse/models``),
-    so repeated queries and fresh processes pay model LOAD + inference,
-    never a refit. Training happens at most once per corpus — exactly
-    like fitting on a sample at 100 TB and broadcasting the artifact."""
+    (``$SPARK_GRAFT_MODEL_DIR``, default: the tracked repo-root
+    ``models/`` directory, whose fixture artifacts are committed), so
+    repeated queries and fresh processes pay model LOAD + inference,
+    never a refit. The artifact key embeds a content fingerprint of the
+    training corpus (see ``_model_path``), so a changed corpus refits
+    rather than loading stale weights. Training happens at most once
+    per corpus — exactly like fitting on a sample at 100 TB and
+    broadcasting the artifact."""
     import os
 
     key = os.path.abspath(sf_dir)

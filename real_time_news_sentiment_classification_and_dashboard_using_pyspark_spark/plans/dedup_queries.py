@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..sources.tables import table
+from ..sources.tables import table, widen_scan
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -77,8 +77,13 @@ def _corpus(spark, sf_dir) -> DataFrame:
     dominant scan cost, measured 5.9s -> 3.5s at sf0.1). The twin is a
     SLICE of the original's token array — never a join-then-retokenize
     round trip. (Identical to the oracle's retokenized twin:
-    re-cleaning space-joined clean tokens is the identity.)"""
-    d = table(spark, sf_dir, "documents").select(
+    re-cleaning space-joined clean tokens is the identity.)
+
+    The scan is WIDENED first (``widen_scan``): the whole dedup family
+    is regex/array CPU over this corpus, and a small parquet file is one
+    input split — unwidened, every signature build in the family ran as
+    a single task."""
+    d = widen_scan(table(spark, sf_dir, "documents")).select(
         "doc_id", F.expr(SPARK_TOKS).alias("toks")
     )
     return d.select(
@@ -96,30 +101,37 @@ def _corpus(spark, sf_dir) -> DataFrame:
     ).select("s.doc_id", "s.toks")
 
 
-def _shingles(spark, sf_dir) -> DataFrame:
-    """(doc_id, shingle, h32): distinct 3-token shingles + 32-bit md5 hash.
+def _shingle_arrays(spark, sf_dir) -> DataFrame:
+    """(doc_id, sh_arr): per-doc DISTINCT 3-token shingle array — the
+    dedup family's shared build, ONE narrow map over the widened scan.
 
-    ZERO-SHUFFLE build: shingles are assembled per document inside the
-    token array (``transform`` over an index ``sequence``), de-duplicated
-    per document with ``array_distinct`` (the required set semantics are
+    Shingles are assembled per document inside the token array
+    (``transform`` over an index ``sequence``), de-duplicated per
+    document with ``array_distinct`` (the required set semantics are
     per-doc, so a global ``distinct()`` exchange over every shingle row
-    is pure waste), then exploded to rows. The whole table is a narrow
-    map over the documents scan — at 100 TB it pipelines straight into
-    whichever keyed shuffle the consumer needs, instead of paying its
-    own corpus-wide exchange first. (Previous rendering: zip-of-shifted-
-    slices + global distinct — one full shuffle of every shingle row.)"""
+    is pure waste). One row per doc: a consumer that needs per-doc set
+    state caches THIS (bounded by doc count), never the exploded rows."""
     c = _corpus(spark, sf_dir)
+    return c.select(
+        "doc_id",
+        # sequence(1, 0) would yield a DESCENDING [1, 0] — guard the
+        # under-3-token case to an empty array explicitly
+        F.expr(
+            "array_distinct(if(size(toks) < 3, array(), "
+            "transform(sequence(1, size(toks) - 2), "
+            "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))))"
+        ).alias("sh_arr"),
+    )
+
+
+def _shingles(spark, sf_dir) -> DataFrame:
+    """(doc_id, shingle, h32): distinct 3-token shingles + 32-bit md5
+    hash — the exploded-row view of ``_shingle_arrays``, still a pure
+    narrow map over the scan: at 100 TB it pipelines straight into
+    whichever keyed shuffle the consumer needs, instead of paying its
+    own corpus-wide exchange first."""
     return (
-        c.select(
-            "doc_id",
-            # sequence(1, 0) would yield a DESCENDING [1, 0] — guard the
-            # under-3-token case to an empty array explicitly
-            F.expr(
-                "array_distinct(if(size(toks) < 3, array(), "
-                "transform(sequence(1, size(toks) - 2), "
-                "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))))"
-            ).alias("sh_arr"),
-        )
+        _shingle_arrays(spark, sf_dir)
         .select("doc_id", F.explode("sh_arr").alias("shingle"))
         .withColumn("h32", F.conv(F.substring(F.md5("shingle"), 25, 8), 16, 10).cast("bigint"))
     )
@@ -203,8 +215,8 @@ SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5
 """
 
 
-def _jaccard_pairs_from_shingles(
-    sh: DataFrame, cutoff: int = STOP_SHINGLE_DF, threshold: float = 0.5
+def _jaccard_pairs_from_arrays(
+    arr: DataFrame, cutoff: int = STOP_SHINGLE_DF, threshold: float = 0.5
 ) -> DataFrame:
     """Exact Jaccard >= threshold over a (doc_id, shingle) DataFrame via
     PREFIX FILTERING (the PPJoin family's candidate bound): under any
@@ -228,31 +240,52 @@ def _jaccard_pairs_from_shingles(
     candidate count, the stop list bounds the worst single key.
 
     Plan economics (this corpus is small enough that per-stage overhead
-    rivals data volume, so the rendering is shuffle-minimal): the global
-    order is md5(shingle) — computable INSIDE the per-doc array, so
-    prefix selection is array_sort + slice in one groupBy(doc_id) pass
-    instead of a df-lookup join + window sort (2 exchanges saved). The
-    verify joins carry per-doc shingle arrays (state bounded by doc
+    rivals data volume, so the rendering is shuffle-minimal): the input
+    is the PER-DOC ARRAY form (``_shingle_arrays``), cached once — one
+    row per doc, never the exploded shingle rows. The stop list is
+    collected into a single-row array (bounded: at most
+    n_shingles/cutoff entries by definition of a df > cutoff cut) and
+    removed map-side with ``array_except`` via a one-row broadcast
+    cross join — no anti-join shuffle and, because the global order is
+    md5(shingle) (computable INSIDE the array), no groupBy(doc_id)
+    regroup either: sort + prefix-slice happen in the same narrow map.
+    The verify joins carry the per-doc arrays (state bounded by doc
     length); they are left unhinted so AQE broadcasts the array table
     when it is small and shuffles it when it is not — the scale-correct
-    choice either way."""
-    stop = (
+    choice either way.
+
+    Soundness at the rounding boundary: the output filter matches the
+    oracle's DISPLAY form — ``round(J, 4) >= t`` — which admits pairs
+    with true J in [t - 5e-5, t). All pruning (prefix length and the
+    size-compatibility bound) therefore uses the RELAXED threshold
+    t - 5e-5, so no pair the rounded filter would accept can be pruned
+    from the candidate set."""
+    prune_t = threshold - 5e-5
+    arr = arr.cache()
+    sh = arr.select("doc_id", F.explode("sh_arr").alias("shingle"))
+    # single row holding ALL stop shingles (possibly empty) — a global
+    # agg always yields exactly one row, so the cross join below is a
+    # one-row broadcast NLJ
+    stop_row = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > cutoff)
-        .select("shingle")
+        .agg(F.collect_list("shingle").alias("stop_arr"))
     )
-    kept = sh.join(F.broadcast(stop), "shingle", "left_anti")
-    # one pass per doc: md5-ordered kept-shingle array, its size, and the
-    # prefix slice. "md5 || ' ' || shingle" sorts by hash (ties broken by
-    # the shingle itself); substring(34) strips the 32-hex-char key + space.
-    pre_len = f"cast(sz - ceil({threshold} * sz) + 1 as int)"
+    # one narrow pass per doc: drop stop shingles, md5-order, size,
+    # prefix slice. "md5 || ' ' || shingle" sorts by hash (ties broken
+    # by the shingle itself); substring(34) strips the 32-hex key+space.
+    pre_len = f"cast(sz - ceil({prune_t} * sz) + 1 as int)"
     kd = (
-        kept.groupBy("doc_id")
-        .agg(
+        arr.crossJoin(F.broadcast(stop_row))
+        .withColumn(
+            "karr",
             F.array_sort(
-                F.collect_set(F.expr("concat(md5(shingle), ' ', shingle)"))
-            ).alias("karr")
+                F.expr(
+                    "transform(array_except(sh_arr, stop_arr), "
+                    "x -> concat(md5(x), ' ', x))"
+                )
+            ),
         )
         .withColumn("sz", F.size("karr"))
         .withColumn(
@@ -268,8 +301,8 @@ def _jaccard_pairs_from_shingles(
     # size-compatibility bound: J <= min(sz)/max(sz), so J >= t requires
     # min(sz) >= t*max(sz) — prunes incompatible-size pairs BEFORE the
     # distinct (lossless; the 1e-9 slack keeps float t conservative)
-    size_ok = (F.col("x.sz") >= F.lit(threshold) * F.col("y.sz") - 1e-9) & (
-        F.col("y.sz") >= F.lit(threshold) * F.col("x.sz") - 1e-9
+    size_ok = (F.col("x.sz") >= F.lit(prune_t) * F.col("y.sz") - 1e-9) & (
+        F.col("y.sz") >= F.lit(prune_t) * F.col("x.sz") - 1e-9
     )
     cand = (
         x.join(
@@ -308,6 +341,18 @@ def _jaccard_pairs_from_shingles(
     return jac.filter(F.col("jaccard") >= F.lit(threshold))
 
 
+def _jaccard_pairs_from_shingles(
+    sh: DataFrame, cutoff: int = STOP_SHINGLE_DF, threshold: float = 0.5
+) -> DataFrame:
+    """Row-form adapter over ``_jaccard_pairs_from_arrays`` for callers
+    holding exploded (doc_id, shingle) rows: one groupBy(doc_id)
+    collect_set builds the per-doc set arrays, then the array kernel
+    runs unchanged. The registered query never pays this regroup — it
+    starts from ``_shingle_arrays`` directly."""
+    arr = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh_arr"))
+    return _jaccard_pairs_from_arrays(arr, cutoff=cutoff, threshold=threshold)
+
+
 @register(
     "ngram_jaccard_pairs",
     oracle=SHINGLES_SQL + ",\n" + _JACCARD_BODY,
@@ -323,11 +368,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
     collisions — super-linearly fewer than the all-co-shingle-pairs
     expansion — while the result stays bit-identical to the naive form,
     which is exactly what the oracle CTE computes."""
-    # prune h32 BEFORE caching: the Jaccard path never reads it, and a
-    # cache materializes every column it is handed (no pruning later)
-    return _jaccard_pairs_from_shingles(
-        _shingles(spark, sf_dir).select("doc_id", "shingle").cache()
-    )
+    return _jaccard_pairs_from_arrays(_shingle_arrays(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

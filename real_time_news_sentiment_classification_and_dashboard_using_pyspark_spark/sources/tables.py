@@ -50,6 +50,59 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def data_fingerprint(*paths: str) -> str:
+    """Path-independent content fingerprint of parquet files/dirs: md5
+    over each file's basename, size, and raw bytes (12 hex chars).
+
+    Used to key DERIVED artifacts — fitted models, materialized shingle
+    tables — so (a) the same corpus resolves the same artifact from any
+    checkout path (the old md5-of-abspath key only resolved on the
+    machine that wrote it), and (b) a regenerated fixture corpus can
+    never silently resolve a stale artifact: new bytes => new key =>
+    rebuild. Fixture tables are sub-MB, so hashing bytes is microseconds
+    — at real scale you'd fingerprint the table snapshot id instead."""
+    import hashlib
+    import os
+
+    h = hashlib.md5()
+    for p in paths:
+        if os.path.isdir(p):
+            files = sorted(
+                os.path.join(root, n)
+                for root, _, names in os.walk(p)
+                for n in names
+            )
+        else:
+            files = [p]
+        for f in files:
+            h.update(os.path.basename(f).encode())
+            h.update(str(os.path.getsize(f)).encode())
+            with open(f, "rb") as fh:
+                for chunk in iter(lambda: fh.read(1 << 20), b""):
+                    h.update(chunk)
+    return h.hexdigest()[:12]
+
+
+def widen_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a NARROW scan up to the session's default
+    parallelism — for CPU-heavy per-row map work (regex tokenize,
+    shingle assembly, hash signatures) over a small input.
+
+    A sub-128MB parquet file arrives as ONE input split, so every
+    downstream narrow expression runs on a single core: at sf0.1 the
+    dedup family's tokenize+shingle build was a 9-11s single-task stage
+    on local[32]; 32-wide it is sub-second. The repartition fires ONLY
+    when the scan is narrower than the session width — at real scale a
+    big input already yields >= parallelism splits and this is the
+    identity, so it never inserts an exchange where the data is large
+    enough for the scan to parallelize itself.
+    """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
 
