@@ -109,19 +109,43 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warmup outside timing: JVM/codegen, then the Python-worker pool +
-    # Arrow path. Without the second step the first heavy query of the
-    # session eats worker spin-up (r4: judge measured 16.7s first run vs
-    # 4.4s steady on whichever query happened to run first).
+    # Warmup outside timing — the first query of a session otherwise
+    # pays one-time machinery costs the steady state never sees (r4:
+    # judge measured 16.7s first run vs 4.4s steady on whichever query
+    # happened to run first). Three warm passes:
+    # 1. JVM + codegen
     spark.range(1000).selectExpr("sum(id)").collect()
+    # 2. Python worker pool + Arrow path, one worker per core
+    width = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     (
         spark.range(256)
-        .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        .repartition(width)
         .mapInPandas(lambda it: it, schema="id long")
         .write.format("noop")
         .mode("overwrite")
         .save()
     )
+    # 3. shuffle + broadcast-join + parquet-write machinery (exchange
+    #    threads, compression codecs, output committer) — measured ~4s
+    #    landing on the session's first shuffling query when skipped
+    from pyspark.sql import functions as F  # noqa: N812
+
+    warm_dir = tempfile.mkdtemp(prefix="bench_warm_")
+    try:
+        (
+            spark.range(10000)
+            .repartition(width)
+            .groupBy((F.col("id") % 7).alias("k"))
+            .count()
+            .join(F.broadcast(spark.range(7).withColumnRenamed("id", "k")), "k")
+            .write.mode("overwrite")
+            .parquet(f"{warm_dir}/p")
+        )
+        spark.read.parquet(f"{warm_dir}/p").write.format("noop").mode(
+            "overwrite"
+        ).save()
+    finally:
+        shutil.rmtree(warm_dir, ignore_errors=True)
 
     def run_once(q) -> float:
         # cold per query: without this, plan-keyed cache hits make each
