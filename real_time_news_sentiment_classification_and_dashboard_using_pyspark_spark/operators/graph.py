@@ -88,6 +88,7 @@ def connected_components(
     dst: str = "d",
     max_rounds: int = 25,
     checkpoint_dir: str | None = None,
+    small_cutoff: int = _EDGES_PER_PART,
 ) -> DataFrame:
     """Min-label connected components over an UNDIRECTED edge list
     (pass each edge once in either direction). Returns ``(v, lbl)``
@@ -100,6 +101,16 @@ def connected_components(
     ``DataFrame.checkpoint``) so an executor loss mid-iteration replays
     from the checkpoint instead of recomputing the whole pair-producing
     lineage; default falls back to executor-local ``localCheckpoint``.
+
+    ``small_cutoff``: an edge set at or below this many edges (the same
+    bound as a contraction partition) takes the SMALL-GRAPH FAST PATH —
+    one global union-find task, zero iteration. A verified near-dup
+    edge set is routinely tiny even when the corpus is huge (463 edges
+    at the driver's sf0.1 corpus), and the generic loop's per-round
+    driver jobs (persist + count per round) cost more than the entire
+    union-find; when the edges DO fit one partition, a single in-memory
+    union-find is also the optimal distributed plan, not a shortcut.
+    Tests pass ``small_cutoff=0`` to force the iterative path.
     """
     spark = edges.sparkSession
     if checkpoint_dir is not None:
@@ -110,21 +121,31 @@ def connected_components(
 
     vtype = edges.schema[src].dataType.simpleString()
 
+    # ONE materialization of the (possibly expensive) edge producer —
+    # the vertex set, the filtered edge set, and every contraction round
+    # read the truncated lineage instead of re-running the producer.
+    e_all = _persist(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
     # Every vertex (both endpoints — covers self-loops and both edge
-    # orientations) starts labeled by itself.
-    labels = (
-        edges.select(F.explode(F.array(F.col(src), F.col(dst))).alias("v"))
-        .distinct()
-        .withColumn("lbl", F.col("v"))
-    )
-    labels = _persist(labels)
-
-    e = _persist(
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
-            F.col(src) != F.col(dst)
-        )
-    )
+    # orientations) belongs to the output.
+    verts = e_all.select(F.explode(F.array("a", "b")).alias("v")).distinct()
+    e = e_all.filter(F.col("a") != F.col("b"))
     n_edges = e.count()
+
+    if n_edges == 0:
+        return verts.withColumn("lbl", F.col("v"))
+
+    if n_edges <= small_cutoff:
+        # fast path: the whole edge set fits one contraction partition,
+        # so a single union-find task IS the final answer — stars map
+        # every non-root vertex to its component min; roots and
+        # self-loop-only vertices keep their own id via the left join.
+        stars = e.coalesce(1).mapInPandas(_uf_partition, f"x {vtype}, r {vtype}")
+        m = stars.select(F.col("x").alias("v"), F.col("r"))
+        return verts.join(m, "v", "left").select(
+            "v", F.coalesce("r", "v").alias("lbl")
+        )
+
+    labels = _persist(verts.withColumn("lbl", F.col("v")))
 
     cached: list[DataFrame] = []
     try:

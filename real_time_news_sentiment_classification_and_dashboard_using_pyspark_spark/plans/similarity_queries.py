@@ -90,16 +90,21 @@ def cosine_knn_topk(spark, sf_dir):
     query side against the full scan, rank per query. Ranking is on
     (rounded sim DESC, neighbor_id) — a total order, so the top-5 set is
     engine-independent. Scale: O(Q*N) with zero shuffle on the N side
-    until the final per-query top-K (TakeOrdered per group)."""
-    e = _emb(spark, sf_dir)
+    until the final per-query top-K (TakeOrdered per group). Norms are
+    precomputed per row (one interpreted fold per pair, not three)."""
+    e = _emb_n(spark, sf_dir)
     q = e.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("norm").alias("qnorm"),
     )
     c = e.filter(F.col("vec_id") >= 3)
     j = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("qemb"), F.col("emb")), 6).alias("cos_sim"),
+        _sim(F.col("qemb"), F.col("qnorm"), F.col("emb"), F.col("norm")).alias(
+            "cos_sim"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -129,15 +134,23 @@ FROM j GROUP BY query_id
 def cosine_neighbor_counts(spark, sf_dir):
     """Similarity-threshold neighborhood counts for 10 query vectors —
     the radius-search primitive (count form is robust: no ranking ties
-    to worry about, only the 6dp-rounded threshold comparison)."""
-    e = _emb(spark, sf_dir)
+    to worry about, only the 6dp-rounded threshold comparison). Norms
+    precomputed per row: one interpreted fold per pair, not three."""
+    e = _emb_n(spark, sf_dir)
     q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("norm").alias("qnorm"),
     )
     j = (
         e.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.round(cosine(F.col("qemb"), F.col("emb")), 6).alias("cos_sim"))
+        .select(
+            "query_id",
+            _sim(F.col("qemb"), F.col("qnorm"), F.col("emb"), F.col("norm")).alias(
+                "cos_sim"
+            ),
+        )
     )
     return j.groupBy("query_id").agg(
         F.sum(F.when(F.col("cos_sim") >= 0.25, 1).otherwise(0)).cast("bigint").alias("n_neighbors"),
@@ -600,12 +613,19 @@ def filtered_vector_search(spark, sf_dir):
     joined on doc_id = vec_id). This is the retrieval shape real
     pipelines need — predicate + ANN together — and the reason a
     DataFrame-native vector path beats a bolt-on index: the filter is
-    just another join/pushdown, applied BEFORE any distance math."""
-    e = _emb(spark, sf_dir)
+    just another join/pushdown, applied BEFORE any distance math.
+
+    Perf: norms are precomputed once per row (``_emb_n``), so each pair
+    pays ONE interpreted fold (the cross dot) instead of three — same
+    float sequence as cosine(), 3x less CodegenFallback work (the r4
+    regression 0.99->1.82s was this query paying three folds per pair)."""
+    e = _emb_n(spark, sf_dir)
     en_docs = table(spark, sf_dir, "documents").filter(F.col("lang") == "en").select("doc_id")
-    cand = e.join(en_docs, e.vec_id == en_docs.doc_id).select("vec_id", "emb")
+    cand = e.join(en_docs, e.vec_id == en_docs.doc_id).select("vec_id", "emb", "norm")
     q = e.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("norm").alias("qnorm"),
     )
     j = (
         cand.crossJoin(F.broadcast(q))
@@ -613,7 +633,9 @@ def filtered_vector_search(spark, sf_dir):
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qemb"), F.col("emb")), 6).alias("cos_sim"),
+            _sim(F.col("qemb"), F.col("qnorm"), F.col("emb"), F.col("norm")).alias(
+                "cos_sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))

@@ -249,6 +249,10 @@ class TestConnectedComponents:
 
 # property-based: connected_components matches a union-find reference on
 # random edge lists (pointer halving must not change the fixpoint).
+# Parametrized over both execution paths: the small-graph fast path
+# (default cutoff) and the iterative contraction + pointer-halving loop
+# (small_cutoff=0 forces it even on tiny graphs).
+@pytest.mark.parametrize("small_cutoff", [4_000_000, 0])
 @settings(max_examples=10, deadline=None)
 @given(
     st.lists(
@@ -257,7 +261,7 @@ class TestConnectedComponents:
         max_size=25,
     )
 )
-def test_connected_components_matches_union_find(spark_global, edges):
+def test_connected_components_matches_union_find(spark_global, small_cutoff, edges):
     from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.operators.graph import (
         connected_components,
     )
@@ -282,7 +286,10 @@ def test_connected_components_matches_union_find(spark_global, edges):
     expected = {v: find(v) for v in parent}
 
     df = spark.createDataFrame(edges, "s bigint, d bigint")
-    got = {r["v"]: r["lbl"] for r in connected_components(df).collect()}
+    got = {
+        r["v"]: r["lbl"]
+        for r in connected_components(df, small_cutoff=small_cutoff).collect()
+    }
     assert got == expected
 
 
