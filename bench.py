@@ -161,8 +161,11 @@ def main() -> None:
 
     # single-run numbers on the heavy tail swing up to 1.7x between
     # identical cold runs (r3 postmortem); entries over this threshold
-    # are re-run twice more and the MEDIAN is reported
-    heavy_rerun_threshold_s = 2.0
+    # are re-run twice more and the MEDIAN is reported. 1.5s (was 2.0):
+    # r4's filtered_vector_search "regression" was a one-shot 1.82s
+    # reading (steady state 0.65s) that a median would have absorbed —
+    # sub-threshold singles were the last un-medianed noise source.
+    heavy_rerun_threshold_s = 1.5
 
     timings: dict[str, float] = {}
     for name, q in REGISTRY.items():

@@ -45,8 +45,10 @@ def _spark():
 # cache key includes the refresh bucket: metrics recompute exactly once
 # per user-chosen interval (the bucket ticks over), Streamlit reruns in
 # between hit the cache — the engine-side twin of the reference's
-# TTL-by-sleep contract
-@st.cache_data
+# TTL-by-sleep contract. max_entries bounds the cache: every elapsed
+# interval mints a new bucket key, so an unbounded cache grows forever
+# in a long-running dashboard process.
+@st.cache_data(max_entries=32)
 def _metrics(scored_path: str, top_k: int, bucket: int) -> dict:
     scored = _spark().read.parquet(scored_path)
     return dashboard_metrics(scored, top_k=top_k)

@@ -58,7 +58,14 @@ def merge_upsert(
     schema; ``changes`` must have at most one row per key). Returns the
     merged relation plus a ``_merge_action`` column
     (``update``/``insert``/``keep``) so callers can audit the batch —
-    drop it before writing."""
+    drop it before writing.
+
+    NOT a pure plan builder: the size-aware broadcast probe runs an
+    eager bounded action (``limit(N+1).count()``) at call time, and an
+    uncached ``changes`` lineage is then computed twice (probe + join)
+    — ``persist()`` an expensive changes plan before calling. Streaming
+    ``changes`` can't be counted: pass ``broadcast_max_rows=None``
+    (asserts the batch is broadcast-small) to keep the call lazy."""
     cols = base.columns
     if changes.columns != cols:
         raise ValueError(f"schema mismatch: {changes.columns} vs {cols}")

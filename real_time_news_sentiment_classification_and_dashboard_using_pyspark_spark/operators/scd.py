@@ -39,7 +39,13 @@ def scd2_apply(
     ``effective`` (an ISO date/timestamp string). Every current row
     whose key appears in ``changes`` is closed at ``effective``; each
     change opens as the new current row. Unchanged keys and already-
-    closed history pass through untouched."""
+    closed history pass through untouched.
+
+    Same eager-probe contract as ``merge_upsert``: the size-aware
+    broadcast check counts a bounded prefix of ``changes`` at call time
+    and an uncached changes lineage is computed twice; persist an
+    expensive plan first, and pass ``broadcast_max_rows=None`` for
+    streaming/force-broadcast callers."""
     dim_cols = [c for c in hist.columns if c not in (from_col, to_col)]
     if sorted(changes.columns) != sorted(dim_cols):
         raise ValueError(f"changes must carry {dim_cols}, got {changes.columns}")

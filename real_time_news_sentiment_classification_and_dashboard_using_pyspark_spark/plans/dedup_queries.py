@@ -379,7 +379,9 @@ def dedup_exact(spark, sf_dir):
 # golden is byte-identical to the unfiltered form.
 STOP_SHINGLE_DF = 20
 
-_JACCARD_BODY = f"""
+# CTE-only form (no final SELECT) so eval harnesses can compose the
+# exact-Jaccard pair set with other CTE families in one oracle.
+_JACCARD_CTES = f"""
 stop AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > {STOP_SHINGLE_DF}),
 kept AS (SELECT sh.* FROM sh WHERE shingle NOT IN (SELECT shingle FROM stop)),
 ksizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
@@ -394,9 +396,14 @@ jac AS (
     FROM inter i
     JOIN ksizes sa ON sa.doc_id = i.doc_a
     JOIN ksizes sb ON sb.doc_id = i.doc_b
-)
+)"""
+
+_JACCARD_BODY = (
+    _JACCARD_CTES
+    + """
 SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5
 """
+)
 
 
 def _jaccard_pairs_from_arrays(
@@ -691,19 +698,20 @@ def minhash_lsh_pairs(spark, sf_dir):
 # SimHash
 # ---------------------------------------------------------------------------
 
-def _simhash_sql() -> str:
+def _simhash_ctes(src: str = "sh") -> str:
+    """CTE block (votes -> sig -> blocked) shared by the pair query's
+    oracle and the recall-eval oracle; ``src`` names the (doc_id,
+    shingle, h32) relation the signature pass reads."""
     votes = ",\n           ".join(
         f"sum(CASE WHEN (h32 // {2 ** b}) % 2 = 1 THEN 1 ELSE -1 END) AS v{b}"
         for b in range(32)
     )
     sig = " + ".join(f"(CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(32))
-    return (
-        SHINGLES_SQL
-        + f""",
+    return f"""
 votes AS (
     SELECT doc_id,
            {votes}
-    FROM sh GROUP BY doc_id
+    FROM {src} GROUP BY doc_id
 ),
 sig AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes),
 blocked AS (
@@ -713,23 +721,30 @@ blocked AS (
       ON x.doc_id < y.doc_id
      AND (x.simhash // 65536 = y.simhash // 65536
           OR x.simhash % 65536 = y.simhash % 65536)
-)
+)"""
+
+
+def _simhash_sql() -> str:
+    return (
+        SHINGLES_SQL
+        + ","
+        + _simhash_ctes()
+        + """
 SELECT DISTINCT doc_a, doc_b, hamming FROM blocked WHERE hamming <= 8
 """
     )
 
 
-@register("simhash_pairs", oracle=_simhash_sql(), tags=("dedup", "simhash"))
-def simhash_pairs(spark, sf_dir):
-    """32-bit SimHash over 3-gram shingles with two-block LSH (high/low
-    16 bits) and Hamming<=8 verification. The signature is a single
-    groupBy(doc_id) with 32 conditional-sum aggregates — integer-exact on
-    both engines. Blocking on either half of the signature (pigeonhole:
-    hamming<=8 pairs usually agree on one half) keeps the pair join
-    keyed, never quadratic. The signature pass reads the materialized
-    store's compact (doc_id, h32) table (``dedup_shingle_build``) — the
-    shingle strings are never touched here."""
+def _simhash_pair_set(spark, sf_dir, doc_pred=None) -> DataFrame:
+    """The verified SimHash pair set (doc_a, doc_b, hamming<=8) — the
+    operator body of ``simhash_pairs``, shared with
+    ``simhash_recall_eval`` so the eval measures exactly the shipped
+    pair generator. ``doc_pred`` optionally restricts the corpus (a
+    Column predicate on doc_id) BEFORE signatures — sound because a
+    doc's signature depends only on its own shingles."""
     sh = _shingle_store(spark, sf_dir)["hashes"]
+    if doc_pred is not None:
+        sh = sh.filter(doc_pred)
     vote_aggs = [
         F.sum(
             F.when((F.col("h32").bitwiseAND(F.lit(2 ** b))) != 0, 1).otherwise(-1)
@@ -774,6 +789,122 @@ def simhash_pairs(spark, sf_dir):
     # would force a nested-loop plan — quadratic at scale).
     pairs = block_join("hi16").unionByName(block_join("lo16")).distinct()
     return pairs.filter(F.col("hamming") <= 8)
+
+
+@register("simhash_pairs", oracle=_simhash_sql(), tags=("dedup", "simhash"))
+def simhash_pairs(spark, sf_dir):
+    """32-bit SimHash over 3-gram shingles with two-block LSH (high/low
+    16 bits) and Hamming<=8 verification. The signature is a single
+    groupBy(doc_id) with 32 conditional-sum aggregates — integer-exact on
+    both engines. Blocking on either half of the signature (pigeonhole:
+    hamming<=8 pairs usually agree on one half) keeps the pair join
+    keyed, never quadratic. The signature pass reads the materialized
+    store's compact (doc_id, h32) table (``dedup_shingle_build``) — the
+    shingle strings are never touched here."""
+    return _simhash_pair_set(spark, sf_dir)
+
+
+# Deterministic PAIRS-PRESERVING sample for the recall eval: an eval
+# that embeds the exact pair producer runs on a sample at 100 TB by
+# construction, so the harness samples HERE too, honestly and visibly.
+# The corpus is originals (doc_id) + near-dup copies (doc_id + 1e6), so
+# sampling on the BASE id (doc_id % 1e6) keeps every original together
+# with its copy — near-dup pairs survive sampling intact; only the
+# corpus shrinks (to a quarter). The same predicate is applied AFTER stop-filtering on
+# both engines, so the full-corpus stop list / df-sort stay identical.
+_EVAL_SAMPLE_SQL = "(doc_id % 1000000) % 4 = 0"
+
+
+@register(
+    "simhash_recall_eval",
+    oracle=SHINGLES_SQL
+    + f""",
+stop AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > {STOP_SHINGLE_DF}),
+kept AS (
+    SELECT sh.* FROM sh
+    WHERE shingle NOT IN (SELECT shingle FROM stop) AND {_EVAL_SAMPLE_SQL}
+),
+ksizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+inter AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
+    FROM kept x JOIN kept y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+),
+jac AS (
+    SELECT i.doc_a, i.doc_b,
+           round(n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 4) AS jaccard
+    FROM inter i
+    JOIN ksizes sa ON sa.doc_id = i.doc_a
+    JOIN ksizes sb ON sb.doc_id = i.doc_b
+),
+ssh AS (SELECT * FROM sh WHERE {_EVAL_SAMPLE_SQL}),"""
+    + _simhash_ctes(src="ssh")
+    + """,
+ex AS (SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5),
+sim_pairs AS (SELECT DISTINCT doc_a, doc_b FROM blocked WHERE hamming <= 8),
+j AS (
+    SELECT CASE WHEN ex.jaccard >= 0.8 THEN 'high'
+                WHEN ex.jaccard >= 0.65 THEN 'mid'
+                ELSE 'low' END AS sim_band,
+           (sp.doc_a IS NOT NULL) AS hit
+    FROM ex LEFT JOIN sim_pairs sp
+      ON ex.doc_a = sp.doc_a AND ex.doc_b = sp.doc_b
+)
+SELECT sim_band,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_simhash,
+       round(sum(CASE WHEN hit THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS recall
+FROM j GROUP BY sim_band
+""",
+    tags=("dedup", "simhash", "evaluation"),
+)
+def simhash_recall_eval(spark, sf_dir):
+    """SELF-EVALUATING SIMHASH: recall of the shipped SimHash pair
+    generator (two-block LSH + hamming<=8) against the exact-Jaccard
+    ground truth (>=0.5, the family threshold), broken down by true
+    similarity band — the measured counterpart of the docstring's
+    pigeonhole argument, mirroring ``lsh_recall_eval``/``ivf_recall_eval``
+    so every approximate dedup path in the engine publishes its
+    recall/cost dial instead of asserting it. Expectation (and what the
+    data shows): recall rises with the band — higher Jaccard means more
+    shared shingles, which means more agreeing signature bits, so
+    hamming<=8 and half-signature blocking both fire more often.
+
+    Plan: ground truth is the prefix-filtered exact-Jaccard kernel,
+    the SimHash side the two-block equi-join — both read the
+    materialized shingle store, both restricted to the deterministic
+    pairs-preserving QUARTER-corpus sample (``_EVAL_SAMPLE_SQL``: base
+    ids = 0 mod 4, keeping each original with its near-dup copy) because an eval
+    that embeds the exact producer runs on a sample at 100 TB by
+    construction; the comparison is one keyed left join on the
+    (doc_a, doc_b) composite. Sampling after stop-filtering keeps the
+    full-corpus stop list and PPJoin df-order intact, so the exact
+    kernel's prefix bound stays sound (any consistent global order
+    over a subset is still consistent)."""
+    pred = (F.col("doc_id") % 1000000) % 4 == 0
+    exact = _jaccard_pairs_from_arrays(
+        _shingle_store(spark, sf_dir)["kept"].filter(pred), pre_filtered=True
+    )
+    sim = _simhash_pair_set(spark, sf_dir, doc_pred=pred).select(
+        "doc_a", "doc_b", F.lit(1).alias("hit")
+    )
+    j = exact.join(sim, ["doc_a", "doc_b"], "left")
+    band = (
+        F.when(F.col("jaccard") >= 0.8, "high")
+        .when(F.col("jaccard") >= 0.65, "mid")
+        .otherwise("low")
+    )
+    return (
+        j.select(band.alias("sim_band"), F.coalesce("hit", F.lit(0)).alias("hit"))
+        .groupBy("sim_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.sum("hit").cast("bigint").alias("n_simhash"),
+            F.round(
+                F.sum("hit") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("recall"),
+        )
+    )
 
 
 @register(

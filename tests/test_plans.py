@@ -285,3 +285,63 @@ def test_dimension_profile_single_pass(spark):
     plan = plan_of(spark, "embedding_dimension_profile")
     assert "Join" not in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Exhaustive exchange-width pins for Python-grouped kernels (VERDICT r4 #8):
+# AQE coalesces a small shuffle to ONE partition, which would silently
+# serialize every group through a single Python worker. Each kernel site
+# defeats that with an explicit repartition(defaultParallelism, ...) —
+# which compiles to an Exchange tagged REPARTITION_BY_NUM (exempt from
+# AQE coalescing) at the session width. This test enumerates EVERY
+# registered query whose plan contains a width-pinned Python stage and
+# asserts the pin survived: the expected count of REPARTITION_BY_NUM
+# exchanges at width >= defaultParallelism feeding its InPandas stages.
+#
+# Deliberately absent (unpinned by design, each documented at the site):
+# - lsh_banded_pairs / near_dup_clusters / near_dup_keep_representatives:
+#   the banded kernel's input is tiny by construction; AQE's coalesce
+#   measured FASTER than 32-way task overhead (similarity_queries.py).
+# - connected_components' union-find: round 1 contracts the producer's
+#   own partitioning; the small-graph fast path coalesces to ONE task
+#   on purpose (the whole edge set fits one partition — graph.py).
+# ---------------------------------------------------------------------------
+
+_PY_WIDTH_PINNED = {
+    "debounced_event_counts": 1,      # applyInPandas debounce scan
+    "user_value_trend_pandas": 1,     # grouped-OLS applyInPandas
+    "embedding_near_dup_pairs": 2,    # block-grid cogroup, both sides
+    # near_dup_clusters_exact also rides the block grid, but
+    # connected_components checkpoints the edge producer (lineage
+    # truncated), so its final plan can't show the pin — the shared
+    # _block_grid_pairs pin is asserted via the two entries around this
+    # comment instead.
+    "lsh_recall_eval": 2,             # exact side is the block grid
+    "simhash_recall_eval": 0,         # pure JVM: no Python stage at all
+    "multimodal_features": 1,         # mapInPandas repartition guard
+    "multimodal_resize_stats": 1,
+    "multimodal_frame_sample": 1,
+}
+
+
+@pytest.mark.parametrize("name,expected_pins", sorted(_PY_WIDTH_PINNED.items()))
+def test_python_group_exchange_width(spark, name, expected_pins):
+    plan = plan_of(spark, name)
+    width = spark.sparkContext.defaultParallelism
+    pins = re.findall(
+        r"(?:hashpartitioning|roundrobinpartitioning)\(([^)]*)\)(?:,\s*(\d+))?,?\s*"
+        r"\[?REPARTITION_BY_NUM",
+        plan,
+        re.IGNORECASE,
+    )
+    widths = []
+    for inner, outer in pins:
+        nums = re.findall(r"\b(\d+)\b", inner + " " + (outer or ""))
+        widths.append(int(nums[-1]))
+    ok = [w for w in widths if w >= width]
+    assert len(ok) >= expected_pins, (
+        f"{name}: expected >= {expected_pins} width-pinned exchanges at "
+        f">= {width}, plan has {widths}"
+    )
+    if expected_pins == 0:
+        assert "InPandas" not in plan, f"{name} grew a Python stage without a pin"
