@@ -141,9 +141,43 @@ def _shingles(spark, sf_dir) -> DataFrame:
 # materialized shingle store — the dedup suite's shared build step
 # ---------------------------------------------------------------------------
 
+# MinHash parameter family: 16 universal hashes (a*h + b) mod P.
+# a < 2^30 keeps a*h32 < 2^62 — no BIGINT overflow on either engine.
+# (Defined ahead of the store section: the build materializes the banded
+# signature index from the same constants the queries use.)
+_P = 2147483647
+_A_MOD = 1073741789
+MINHASH_PARAMS = [
+    ((1103515245 * (i + 1) + 12345) % _A_MOD + 1, (69069 * (i + 1) + 98765) % _P)
+    for i in range(16)
+]
+N_BANDS, BAND_ROWS = 4, 4
+
+
+def _minhash_bands_from_hashes(hashes: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) banded MinHash signatures from a (doc_id,
+    h32) relation: ONE groupBy(doc_id) computes all 16 signature mins as
+    parallel aggregates (min is a partial aggregate — map-side combine,
+    no 16x row blowup), then ``stack`` unpivots to N_BANDS rows/doc.
+    Shared by the store build (which persists the result as the LSH
+    index) and by incremental callers that signature a fresh delta."""
+    min_aggs = [
+        F.min((F.lit(a) * F.col("h32") + F.lit(b)) % _P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    sigs = hashes.groupBy("doc_id").agg(*min_aggs)
+    stack_args = ", ".join(
+        f"{b}, concat_ws('_', mh{4 * b}, mh{4 * b + 1}, mh{4 * b + 2}, mh{4 * b + 3})"
+        for b in range(N_BANDS)
+    )
+    return sigs.select(
+        "doc_id", F.expr(f"stack({N_BANDS}, {stack_args}) AS (band, sig)")
+    )
+
+
 # bump when the shingle/tokenize semantics change: the version is part
 # of the artifact key, so stale artifacts from older code never resolve
-_ARTIFACT_VERSION = 3
+_ARTIFACT_VERSION = 4
 
 
 def _artifact_path(sf_dir: str) -> str:
@@ -170,7 +204,7 @@ def build_shingle_artifact(spark, sf_dir: str, force: bool = False) -> str:
     (exact Jaccard, MinHash, SimHash) starts from the columnar artifact
     instead of re-paying the regex/array CPU per query.
 
-    Four tables under one keyed directory:
+    Five tables under one keyed directory:
     - ``arrays``: (doc_id, sh_arr) — per-doc distinct shingle arrays
       (full sets, doc order — set consumers are order-agnostic, so this
       is a pure narrow map + write, no sort join), for set verification
@@ -190,7 +224,13 @@ def build_shingle_artifact(spark, sf_dir: str, force: bool = False) -> str:
       (shingle strings never leave the array tables);
     - ``stop``:   (shingle)       — shingles with doc frequency above
       ``STOP_SHINGLE_DF`` (the family's boilerplate cut), cut from the
-      same df table the sort uses.
+      same df table the sort uses;
+    - ``bands``:  (doc_id, band, sig) — the banded MinHash signature
+      index (16 mins x 4 bands, ``_minhash_bands_from_hashes``). This
+      IS the persisted LSH index a 100 TB dedup service maintains: the
+      pair query reads it instead of re-aggregating signatures, and an
+      incremental batch (``incremental_near_dup``) signatures only its
+      DELTA and probes this table.
 
     Everything here is whole-stage-codegen: the (df, shingle) sort key
     is joined onto EXPLODED rows and ordered via
@@ -261,6 +301,14 @@ def build_shingle_artifact(spark, sf_dir: str, force: bool = False) -> str:
         .write.mode("overwrite")
         .parquet(os.path.join(tmp, "stop"))
     )
+    # the banded LSH index, from the just-written compact integer table
+    # (reading it back keeps this stage's lineage off the cached rows)
+    (
+        _minhash_bands_from_hashes(spark.read.parquet(os.path.join(tmp, "hashes")))
+        .repartition(width)
+        .write.mode("overwrite")
+        .parquet(os.path.join(tmp, "bands"))
+    )
     rows.unpersist()
     df_table.unpersist()
     open(os.path.join(tmp, "_DONE"), "w").close()
@@ -276,14 +324,15 @@ def build_shingle_artifact(spark, sf_dir: str, force: bool = False) -> str:
 def _shingle_store(spark, sf_dir: str) -> dict[str, DataFrame]:
     """Dict of the materialized artifact's tables — ``arrays`` (full
     per-doc sets), ``kept`` (stop-filtered, PPJoin df-sorted),
-    ``hashes`` (doc_id, h32), ``stop`` (shingle) — building the
-    artifact on miss (see ``build_shingle_artifact``)."""
+    ``hashes`` (doc_id, h32), ``stop`` (shingle), ``bands`` (the banded
+    MinHash LSH index) — building the artifact on miss (see
+    ``build_shingle_artifact``)."""
     import os
 
     path = build_shingle_artifact(spark, sf_dir)
     return {
         name: spark.read.parquet(os.path.join(path, name))
-        for name in ("arrays", "kept", "hashes", "stop")
+        for name in ("arrays", "kept", "hashes", "stop", "bands")
     }
 
 
@@ -319,17 +368,6 @@ def dedup_shingle_build(spark, sf_dir):
         F.countDistinct("shingle").cast("bigint").alias("n_distinct_shingles"),
     )
     return n_docs.crossJoin(stats)
-
-
-# MinHash parameter family: 16 universal hashes (a*h + b) mod P.
-# a < 2^30 keeps a*h32 < 2^62 — no BIGINT overflow on either engine.
-_P = 2147483647
-_A_MOD = 1073741789
-MINHASH_PARAMS = [
-    ((1103515245 * (i + 1) + 12345) % _A_MOD + 1, (69069 * (i + 1) + 98765) % _P)
-    for i in range(16)
-]
-N_BANDS, BAND_ROWS = 4, 4
 
 
 # ---------------------------------------------------------------------------
@@ -638,7 +676,10 @@ def ngram_jaccard_pairs(spark, sf_dir):
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _minhash_sql() -> str:
+def _minhash_sig_ctes() -> str:
+    """``sigs`` + ``bands`` CTE block (the SQL twin of
+    ``_minhash_bands_from_hashes``), shared by the pair oracle and the
+    incremental oracle."""
     mins = ",\n           ".join(
         f"min(({a} * h32 + {b}) % {_P}) AS mh{i}" for i, (a, b) in enumerate(MINHASH_PARAMS)
     )
@@ -650,9 +691,7 @@ def _minhash_sql() -> str:
         )
         for b in range(N_BANDS)
     )
-    return (
-        SHINGLES_SQL
-        + f""",
+    return f"""
 sigs AS (
     SELECT doc_id,
            {mins}
@@ -660,7 +699,15 @@ sigs AS (
 ),
 bands AS (
 {band_selects}
-),
+)"""
+
+
+def _minhash_sql() -> str:
+    return (
+        SHINGLES_SQL
+        + ","
+        + _minhash_sig_ctes()
+        + """,
 cand AS (
     SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
     FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
@@ -697,24 +744,14 @@ def minhash_lsh_pairs(spark, sf_dir):
     true collisions, not corpus^2.
 
     Inputs come from the materialized shingle store
-    (``dedup_shingle_build``): signature aggregates read the compact
-    (doc_id, h32) integer table; verification reads the per-doc array
-    table (array_intersect over candidate pairs only — no shingle-row
-    self-join), with set sizes taken map-side from the array length."""
+    (``dedup_shingle_build``): the banded signatures are read straight
+    from the store's persisted ``bands`` LSH index (the signature
+    aggregation is build cost, not query cost — the store IS the index);
+    verification reads the per-doc array table (array_intersect over
+    candidate pairs only — no shingle-row self-join), with set sizes
+    taken map-side from the array length."""
     store = _shingle_store(spark, sf_dir)
-    arrays, hashes = store["arrays"], store["hashes"]
-    min_aggs = [
-        F.min((F.lit(a) * F.col("h32") + F.lit(b)) % _P).alias(f"mh{i}")
-        for i, (a, b) in enumerate(MINHASH_PARAMS)
-    ]
-    sigs = hashes.groupBy("doc_id").agg(*min_aggs)
-    stack_args = ", ".join(
-        f"{b}, concat_ws('_', mh{4 * b}, mh{4 * b + 1}, mh{4 * b + 2}, mh{4 * b + 3})"
-        for b in range(N_BANDS)
-    )
-    bands = sigs.select(
-        "doc_id", F.expr(f"stack({N_BANDS}, {stack_args}) AS (band, sig)")
-    )
+    arrays, bands = store["arrays"], store["bands"]
     x, y = bands.alias("x"), bands.alias("y")
     cand = (
         x.join(
@@ -743,6 +780,100 @@ def minhash_lsh_pairs(spark, sf_dir):
         .select(
             "doc_a",
             "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= 0.5)
+
+
+@register(
+    "incremental_near_dup",
+    oracle=SHINGLES_SQL
+    + ","
+    + _minhash_sig_ctes()
+    + """,
+cand AS (
+    SELECT DISTINCT d.doc_id AS new_doc_id, c.doc_id AS dup_of
+    FROM bands d JOIN bands c ON d.band = c.band AND d.sig = c.sig
+    WHERE d.doc_id >= 1000000 AND c.doc_id < 1000000
+),
+inter AS (
+    SELECT cn.new_doc_id, cn.dup_of, count(*) AS n_inter
+    FROM cand cn
+    JOIN sh x ON x.doc_id = cn.new_doc_id
+    JOIN sh y ON y.doc_id = cn.dup_of AND y.shingle = x.shingle
+    GROUP BY 1, 2
+),
+jac AS (
+    SELECT i.new_doc_id, i.dup_of,
+           round(n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.new_doc_id
+    JOIN sizes sb ON sb.doc_id = i.dup_of
+)
+SELECT new_doc_id, dup_of, jaccard FROM jac WHERE jaccard >= 0.5
+""",
+    tags=("dedup", "minhash", "lsh", "incremental"),
+)
+def incremental_near_dup(spark, sf_dir):
+    """INCREMENTAL near-dup detection against a PERSISTED LSH index —
+    the production flow of a dedup service at 100 TB: yesterday's corpus
+    (original doc_ids < 1e6) is indexed once in the store's ``bands``
+    table; today's re-crawl batch (the mutated copies, doc_id >= 1e6)
+    pays signature aggregation for the DELTA ONLY and probes the stored
+    index with a (band, sig)-keyed equi-join. Work scales with
+    |delta| + collisions — the corpus is never re-signatured, never
+    re-shuffled beyond the index probe. Candidates are exact-verified
+    (array_intersect on the store's per-doc sets) at the family
+    threshold; output is (new_doc_id, dup_of, jaccard) — the rows a
+    crawler would drop before they ever reach the corpus.
+
+    Extends ``incremental_dedup`` (exact-hash anti-join vs corpus) to
+    NEAR duplicates; the sibling batch query ``minhash_lsh_pairs``
+    reads the same index for the full self-join form. Reference frame:
+    the reference dedups only within one in-memory frame
+    (streamlit_app.py:147); an index you can probe incrementally is
+    what that becomes at scale."""
+    store = _shingle_store(spark, sf_dir)
+    arrays, bands = store["arrays"], store["bands"]
+    corpus_idx = bands.filter(F.col("doc_id") < 1000000)
+    # the delta side signatures ONLY its own rows — at scale this is
+    # the whole cost of the incremental pass besides the index probe
+    delta = _minhash_bands_from_hashes(
+        store["hashes"].filter(F.col("doc_id") >= 1000000)
+    )
+    cand = (
+        delta.alias("d")
+        .join(
+            corpus_idx.alias("c"),
+            (F.col("d.band") == F.col("c.band")) & (F.col("d.sig") == F.col("c.sig")),
+        )
+        .select(
+            F.col("d.doc_id").alias("new_doc_id"), F.col("c.doc_id").alias("dup_of")
+        )
+        .distinct()
+    )
+    a = arrays.select(
+        F.col("doc_id").alias("new_doc_id"),
+        F.col("sh_arr").alias("arr_a"),
+        F.size("sh_arr").alias("sz_a"),
+    )
+    b = arrays.select(
+        F.col("doc_id").alias("dup_of"),
+        F.col("sh_arr").alias("arr_b"),
+        F.size("sh_arr").alias("sz_b"),
+    )
+    jac = (
+        cand.join(a, "new_doc_id")
+        .join(b, "dup_of")
+        .withColumn("n_inter", F.size(F.array_intersect("arr_a", "arr_b")))
+        .select(
+            "new_doc_id",
+            "dup_of",
             F.round(
                 F.col("n_inter")
                 / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),

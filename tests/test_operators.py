@@ -684,3 +684,42 @@ class TestDebounce:
             tiebreak_col="event_id",
         )
         assert [r["event_id"] for r in kept.collect()] == [2]
+
+
+# the two exact-Jaccard kernels (PPJoin prefix+verify vs co-shingle
+# count-aggregate) are interchangeable renderings of the same operator —
+# they must agree pair-for-pair on any stop-free input (both registered
+# consumers assume it: ngram_jaccard_pairs uses count, the recall eval's
+# ground truth uses prefix).
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=12),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_jaccard_kernels_agree(spark_global, docs):
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans.dedup_queries import (
+        _jaccard_pairs_by_count,
+        _jaccard_pairs_from_arrays,
+    )
+
+    spark = spark_global
+    rows = [(i, sorted({f"s{t}" for t in toks})) for i, toks in enumerate(docs)]
+    arr = spark.createDataFrame(rows, "doc_id bigint, sh_arr array<string>").filter(
+        F.size("sh_arr") > 0
+    )
+    by_count = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in _jaccard_pairs_by_count(arr, threshold=0.5).collect()
+    }
+    # cutoff above any possible df so the generic path's stop filter is a
+    # no-op and both kernels see identical sets
+    by_prefix = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in _jaccard_pairs_from_arrays(
+            arr, cutoff=1000, threshold=0.5
+        ).collect()
+    }
+    assert by_count == by_prefix
