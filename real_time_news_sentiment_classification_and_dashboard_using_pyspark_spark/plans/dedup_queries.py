@@ -177,7 +177,7 @@ def _minhash_bands_from_hashes(hashes: DataFrame) -> DataFrame:
 
 # bump when the shingle/tokenize semantics change: the version is part
 # of the artifact key, so stale artifacts from older code never resolve
-_ARTIFACT_VERSION = 4
+_ARTIFACT_VERSION = 5
 
 
 def _artifact_path(sf_dir: str) -> str:
@@ -204,7 +204,7 @@ def build_shingle_artifact(spark, sf_dir: str, force: bool = False) -> str:
     (exact Jaccard, MinHash, SimHash) starts from the columnar artifact
     instead of re-paying the regex/array CPU per query.
 
-    Five tables under one keyed directory:
+    Six tables under one keyed directory:
     - ``arrays``: (doc_id, sh_arr) — per-doc distinct shingle arrays
       (full sets, doc order — set consumers are order-agnostic, so this
       is a pure narrow map + write, no sort join), for set verification
@@ -230,7 +230,10 @@ def build_shingle_artifact(spark, sf_dir: str, force: bool = False) -> str:
       IS the persisted LSH index a 100 TB dedup service maintains: the
       pair query reads it instead of re-aggregating signatures, and an
       incremental batch (``incremental_near_dup``) signatures only its
-      DELTA and probes this table.
+      DELTA and probes this table;
+    - ``simsig``: (doc_id, simhash, hi16, lo16) — the 32-bit SimHash
+      signature index (``_simhash_sig_from_hashes``); ``simhash_pairs``
+      pays only the two-block joins at query time.
 
     Everything here is whole-stage-codegen: the (df, shingle) sort key
     is joined onto EXPLODED rows and ordered via
@@ -267,11 +270,27 @@ def build_shingle_artifact(spark, sf_dir: str, force: bool = False) -> str:
         .cache()
     )
     df_table = rows.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).cache()
+    hashes_df = rows.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 25, 8), 16, 10)
+        .cast("bigint")
+        .alias("h32"),
+    ).cache()
+    # Materialize the three shared caches SERIALLY (concurrent first
+    # touches would race to compute the same uncached plan twice), then
+    # land the four derived tables as CONCURRENT jobs: each write's
+    # stages are small and under-fill 32 cores, so overlapping them
+    # fills the idle slots — the same trick a multi-output 100 TB build
+    # uses, and safe because job submission is thread-safe and every
+    # input below is a materialized cache.
+    df_table.count()
+    hashes_df.count()
+
     # kept = inner join against the NON-stop df rows (stop removal by
     # join key, never a per-row array scrub), sorted ascending-df.
     # Docs whose kept set would be empty simply have no row here — they
     # cannot pair, and the audit counts read ``arrays``.
-    (
+    kept_df = (
         rows.join(df_table.filter(F.col("df") <= STOP_SHINGLE_DF), "shingle")
         .groupBy("doc_id")
         .agg(
@@ -281,36 +300,38 @@ def build_shingle_artifact(spark, sf_dir: str, force: bool = False) -> str:
         )
         .select("doc_id", F.col("karr.s").alias("sh_arr"))
         .repartition(width)
-        .write.mode("overwrite")
-        .parquet(os.path.join(tmp, "kept"))
     )
-    (
-        rows.select(
-            "doc_id",
-            F.conv(F.substring(F.md5("shingle"), 25, 8), 16, 10)
-            .cast("bigint")
-            .alias("h32"),
-        )
-        .write.mode("overwrite")
-        .parquet(os.path.join(tmp, "hashes"))
-    )
-    (
+    stop_df = (
         df_table.filter(F.col("df") > STOP_SHINGLE_DF)
         .select("shingle")
         .repartition(width)
-        .write.mode("overwrite")
-        .parquet(os.path.join(tmp, "stop"))
     )
-    # the banded LSH index, from the just-written compact integer table
-    # (reading it back keeps this stage's lineage off the cached rows)
-    (
-        _minhash_bands_from_hashes(spark.read.parquet(os.path.join(tmp, "hashes")))
-        .repartition(width)
-        .write.mode("overwrite")
-        .parquet(os.path.join(tmp, "bands"))
-    )
+    # the two signature indexes, aggregated from the cached integer table
+    bands_df = _minhash_bands_from_hashes(hashes_df).repartition(width)
+    simsig_df = _simhash_sig_from_hashes(hashes_df).repartition(width)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write(item):
+        name, df = item
+        df.write.mode("overwrite").parquet(os.path.join(tmp, name))
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        list(
+            pool.map(
+                _write,
+                [
+                    ("kept", kept_df),
+                    ("hashes", hashes_df),
+                    ("stop", stop_df),
+                    ("bands", bands_df),
+                    ("simsig", simsig_df),
+                ],
+            )
+        )
     rows.unpersist()
     df_table.unpersist()
+    hashes_df.unpersist()
     open(os.path.join(tmp, "_DONE"), "w").close()
     if force:
         shutil.rmtree(path, ignore_errors=True)
@@ -325,14 +346,14 @@ def _shingle_store(spark, sf_dir: str) -> dict[str, DataFrame]:
     """Dict of the materialized artifact's tables — ``arrays`` (full
     per-doc sets), ``kept`` (stop-filtered, PPJoin df-sorted),
     ``hashes`` (doc_id, h32), ``stop`` (shingle), ``bands`` (the banded
-    MinHash LSH index) — building the artifact on miss (see
-    ``build_shingle_artifact``)."""
+    MinHash LSH index), ``simsig`` (the SimHash signature index) —
+    building the artifact on miss (see ``build_shingle_artifact``)."""
     import os
 
     path = build_shingle_artifact(spark, sf_dir)
     return {
         name: spark.read.parquet(os.path.join(path, name))
-        for name in ("arrays", "kept", "hashes", "stop", "bands")
+        for name in ("arrays", "kept", "hashes", "stop", "bands", "simsig")
     }
 
 
@@ -925,16 +946,13 @@ SELECT DISTINCT doc_a, doc_b, hamming FROM blocked WHERE hamming <= 8
     )
 
 
-def _simhash_pair_set(spark, sf_dir, doc_pred=None) -> DataFrame:
-    """The verified SimHash pair set (doc_a, doc_b, hamming<=8) — the
-    operator body of ``simhash_pairs``, shared with
-    ``simhash_recall_eval`` so the eval measures exactly the shipped
-    pair generator. ``doc_pred`` optionally restricts the corpus (a
-    Column predicate on doc_id) BEFORE signatures — sound because a
-    doc's signature depends only on its own shingles."""
-    sh = _shingle_store(spark, sf_dir)["hashes"]
-    if doc_pred is not None:
-        sh = sh.filter(doc_pred)
+def _simhash_sig_from_hashes(sh: DataFrame) -> DataFrame:
+    """(doc_id, simhash, hi16, lo16) 32-bit SimHash signatures from a
+    (doc_id, h32) relation: one groupBy(doc_id) with 32 conditional-sum
+    vote aggregates (integer-exact on both engines), signature assembled
+    from vote signs, plus the two 16-bit block keys. Shared by the store
+    build (persisted as the ``simsig`` index) and by callers that
+    signature a restricted corpus."""
     vote_aggs = [
         F.sum(
             F.when((F.col("h32").bitwiseAND(F.lit(2 ** b))) != 0, 1).otherwise(-1)
@@ -946,22 +964,34 @@ def _simhash_pair_set(spark, sf_dir, doc_pred=None) -> DataFrame:
         f"(CASE WHEN v{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         for b in range(32)
     )
-    # One narrow row per doc; cached because the two-block union self-join
-    # reads it FOUR times (x/y sides x hi/lo blocks) — uncached, the
-    # 32-aggregate signature pass over exploded shingles runs 4x.
-    sig = (
-        votes.select(
-            "doc_id",
-            F.expr(sig_expr).cast("bigint").alias("simhash"),
-        )
-        .withColumns(
-            {
-                "hi16": F.expr("simhash div 65536"),
-                "lo16": F.col("simhash") % 65536,
-            }
-        )
-        .cache()
+    return votes.select(
+        "doc_id",
+        F.expr(sig_expr).cast("bigint").alias("simhash"),
+    ).withColumns(
+        {
+            "hi16": F.expr("simhash div 65536"),
+            "lo16": F.col("simhash") % 65536,
+        }
     )
+
+
+def _simhash_pair_set(spark, sf_dir, doc_pred=None) -> DataFrame:
+    """The verified SimHash pair set (doc_a, doc_b, hamming<=8) — the
+    operator body of ``simhash_pairs``, shared with
+    ``simhash_recall_eval`` so the eval measures exactly the shipped
+    pair generator. ``doc_pred`` optionally restricts the corpus (a
+    Column predicate on doc_id) BEFORE signatures — sound because a
+    doc's signature depends only on its own shingles; the unrestricted
+    path reads the store's persisted ``simsig`` index instead of
+    re-aggregating (signature work is build cost, like ``bands``)."""
+    store = _shingle_store(spark, sf_dir)
+    if doc_pred is None:
+        sig = store["simsig"].cache()
+    else:
+        # One narrow row per doc; cached because the two-block union
+        # self-join reads it FOUR times (x/y sides x hi/lo blocks) —
+        # uncached, the 32-aggregate signature pass runs 4x.
+        sig = _simhash_sig_from_hashes(store["hashes"].filter(doc_pred)).cache()
 
     def block_join(key):
         x, y = sig.alias("x"), sig.alias("y")
@@ -988,9 +1018,10 @@ def simhash_pairs(spark, sf_dir):
     groupBy(doc_id) with 32 conditional-sum aggregates — integer-exact on
     both engines. Blocking on either half of the signature (pigeonhole:
     hamming<=8 pairs usually agree on one half) keeps the pair join
-    keyed, never quadratic. The signature pass reads the materialized
-    store's compact (doc_id, h32) table (``dedup_shingle_build``) — the
-    shingle strings are never touched here."""
+    keyed, never quadratic. The signatures come straight from the
+    store's persisted ``simsig`` index (``dedup_shingle_build``) — the
+    32-aggregate pass is build cost, and shingle strings are never
+    touched here."""
     return _simhash_pair_set(spark, sf_dir)
 
 

@@ -159,6 +159,22 @@ class TestDedupGeometry:
         assert row["n_rows"] == 2 * row["n_unique"]
         assert row["n_duplicates_removed"] == row["n_unique"]
 
+    def test_incremental_probe_finds_planted_originals(self, spark):
+        """Every delta doc (re-crawl copy, id >= 1e6) is a planted
+        near-dup of its original; the incremental index probe must
+        recover the vast majority, and every match must carry a valid
+        verified jaccard."""
+        rows = REGISTRY["incremental_near_dup"].fn(spark, SF).collect()
+        planted = {
+            r["new_doc_id"]
+            for r in rows
+            if r["new_doc_id"] == r["dup_of"] + 1000000
+        }
+        assert len(planted) > 0.9 * 500
+        for r in rows:
+            assert r["new_doc_id"] >= 1000000 and r["dup_of"] < 1000000
+            assert 0.5 <= r["jaccard"] <= 1.0
+
 
 class TestSimilarity:
     def test_knn_self_similarity_excluded_and_sorted(self, spark):
