@@ -283,8 +283,28 @@ def build_shingle_artifact(spark, sf_dir: str, force: bool = False) -> str:
     # fills the idle slots — the same trick a multi-output 100 TB build
     # uses, and safe because job submission is thread-safe and every
     # input below is a materialized cache.
-    df_table.count()
-    hashes_df.count()
+    n_distinct_shingles = df_table.count()
+    n_shingle_rows = hashes_df.count()
+    # build MANIFEST: the corpus audit numbers fall out of the counts
+    # that just forced the caches (plus a metadata-only parquet rowcount
+    # for n_docs, which includes empty-shingle docs the explode drops) —
+    # persisting them costs nothing and saves every consumer an
+    # artifact re-scan. ``dedup_shingle_build`` reads this table.
+    n_docs = spark.read.parquet(os.path.join(tmp, "arrays")).count()
+    # spark.range + lit, NOT createDataFrame: the local-list conversion
+    # path costs seconds per call in this session (Python->JVM RDD
+    # machinery); a range(1) projection is pure JVM.
+    (
+        spark.range(1)
+        .select(
+            F.lit(n_docs).cast("bigint").alias("n_docs"),
+            F.lit(n_shingle_rows).cast("bigint").alias("n_shingle_rows"),
+            F.lit(n_distinct_shingles).cast("bigint").alias("n_distinct_shingles"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(tmp, "meta"))
+    )
 
     # kept = inner join against the NON-stop df rows (stop removal by
     # join key, never a per-row array scrub), sorted ascending-df.
@@ -371,8 +391,11 @@ def dedup_shingle_build(spark, sf_dir):
     """The dedup suite's EXPLICIT BUILD STEP, registered so its cost is
     a visible bench entry instead of being re-paid invisibly inside
     every family query: force-rebuilds the materialized shingle store
-    (tokenize -> per-doc shingle arrays -> h32 rows -> parquet) and
-    returns corpus-level audit counts off the freshly written artifact.
+    (tokenize -> per-doc shingle arrays -> h32 rows -> signature
+    indexes -> parquet) and returns the corpus audit counts from the
+    build MANIFEST the store writes alongside its tables (the numbers
+    fall out of the cache-forcing counts, so auditing costs no extra
+    artifact scan — the oracle recomputes them from the raw corpus).
     Downstream family members (``ngram_jaccard_pairs``,
     ``minhash_lsh_pairs``, ``simhash_pairs``) read the store via
     build-on-miss — in a bench run this entry always pays the full
@@ -381,14 +404,7 @@ def dedup_shingle_build(spark, sf_dir):
     import os
 
     path = build_shingle_artifact(spark, sf_dir, force=True)
-    arrays = spark.read.parquet(os.path.join(path, "arrays"))
-    n_docs = arrays.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-    sh = arrays.select(F.explode("sh_arr").alias("shingle"))
-    stats = sh.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_shingle_rows"),
-        F.countDistinct("shingle").cast("bigint").alias("n_distinct_shingles"),
-    )
-    return n_docs.crossJoin(stats)
+    return spark.read.parquet(os.path.join(path, "meta"))
 
 
 # ---------------------------------------------------------------------------
