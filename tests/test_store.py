@@ -1,0 +1,103 @@
+"""Materialized shingle-store machinery: build-on-miss, reuse,
+fingerprint keying, and manifest integrity (the artifact layer under
+the dedup family's oracle-checked queries)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def store_dir(tmp_path, monkeypatch):
+    d = str(tmp_path / "stores")
+    monkeypatch.setenv("SPARK_GRAFT_SHINGLE_DIR", d)
+    yield d
+
+
+class TestShingleStore:
+    def test_build_on_miss_and_reuse(self, spark, store_dir):
+        from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans.dedup_queries import (
+            _shingle_store,
+            build_shingle_artifact,
+        )
+
+        path = build_shingle_artifact(spark, SF)
+        assert path.startswith(store_dir)
+        assert os.path.exists(os.path.join(path, "_DONE"))
+        for t in ("arrays", "kept", "hashes", "stop", "bands", "simsig", "meta"):
+            assert os.path.isdir(os.path.join(path, t)), t
+
+        # second call must RESOLVE, not rebuild: the _DONE marker's
+        # mtime is the witness
+        marker = os.path.join(path, "_DONE")
+        before = os.path.getmtime(marker)
+        assert build_shingle_artifact(spark, SF) == path
+        assert os.path.getmtime(marker) == before
+
+        # force=True rebuilds in place under the same key
+        assert build_shingle_artifact(spark, SF, force=True) == path
+        store = _shingle_store(spark, SF)
+        assert set(store) == {"arrays", "kept", "hashes", "stop", "bands", "simsig"}
+
+    def test_manifest_matches_tables(self, spark, store_dir):
+        """The persisted audit numbers must equal what a consumer would
+        recount from the artifact tables (manifest is a cache of truth,
+        never a divergent copy)."""
+        from pyspark.sql import functions as F
+
+        from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans.dedup_queries import (
+            build_shingle_artifact,
+        )
+
+        path = build_shingle_artifact(spark, SF)
+        meta = spark.read.parquet(os.path.join(path, "meta")).head()
+        arrays = spark.read.parquet(os.path.join(path, "arrays"))
+        assert meta["n_docs"] == arrays.count()
+        sh = arrays.select(F.explode("sh_arr").alias("s"))
+        assert meta["n_shingle_rows"] == sh.count()
+        assert meta["n_distinct_shingles"] == sh.distinct().count()
+        # and the signature indexes cover exactly the shingled docs
+        bands = spark.read.parquet(os.path.join(path, "bands"))
+        simsig = spark.read.parquet(os.path.join(path, "simsig"))
+        n_sig_docs = simsig.select("doc_id").distinct().count()
+        assert bands.select("doc_id").distinct().count() == n_sig_docs
+        assert bands.count() == 4 * n_sig_docs  # N_BANDS rows per doc
+
+
+class TestDataFingerprint:
+    def test_path_independent_and_content_sensitive(self, tmp_path):
+        from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.sources.tables import (
+            data_fingerprint,
+        )
+
+        src = os.path.join(SF, "documents.parquet")
+        a = str(tmp_path / "a" / "documents.parquet")
+        b = str(tmp_path / "deeply" / "nested" / "documents.parquet")
+        for dst in (a, b):
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            if os.path.isdir(src):
+                shutil.copytree(src, dst)
+            else:
+                shutil.copy(src, dst)
+        # same bytes anywhere -> same key (the r4-advice fix: artifacts
+        # must resolve from any checkout path)
+        assert data_fingerprint(a) == data_fingerprint(b) == data_fingerprint(src)
+
+        # flip one byte -> different key (stale artifacts can't resolve)
+        victim = a
+        if os.path.isdir(a):
+            victim = next(
+                os.path.join(r, n)
+                for r, _, ns in os.walk(a)
+                for n in sorted(ns)
+                if not n.startswith(".")
+            )
+        blob = bytearray(open(victim, "rb").read())
+        blob[len(blob) // 2] ^= 0xFF
+        open(victim, "wb").write(bytes(blob))
+        assert data_fingerprint(a) != data_fingerprint(b)
