@@ -394,3 +394,61 @@ def test_stream_stream_join_with_watermarks(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r["imp_id"], r["click_at"]) for r in spark.sql("SELECT * FROM ss_join").collect()}
     assert got == {("i1", "10:20")}
+
+
+def test_streaming_near_dup_suppression_against_index(spark, tmp_path):
+    """Streaming twin of incremental_near_dup: each micro-batch pays
+    signatures for its own rows only and probes the PERSISTED banded
+    index; verified near-copies of indexed corpus docs are dropped
+    before the sink, novel articles pass. Exercises both batches of an
+    availableNow drain through foreachBatch."""
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.operators.stream_dedup import (
+        drop_near_dups,
+    )
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans.dedup_queries import (
+        _shingle_store,
+    )
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.sources.articles import (
+        stream_articles,
+    )
+
+    store = _shingle_store(spark, SF)
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(6)
+        .collect()
+    )
+    # near-copies: corpus text with the last 3 tokens dropped (the same
+    # geometry the corpus's planted twins use — jaccard well over 0.5);
+    # novel: out-of-vocabulary words that can't collide with anything
+    dup_arts = [
+        article(i, " ".join(r["text"].split()[:-3]))
+        for i, r in enumerate(docs)
+    ]
+    novel_arts = [
+        article(100 + i, f"qx{i} wz{i} vk{i} jq{i} zz{i} xx{i} yy{i} kk{i}")
+        for i in range(4)
+    ]
+    inp, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    write_batches(inp, [dup_arts[:3] + novel_arts[:2], dup_arts[3:] + novel_arts[2:]])
+
+    kept_ids = []
+
+    def sink(batch_df, batch_id):
+        kept = drop_near_dups(
+            batch_df, store, id_col="id", text_col="description"
+        )
+        kept_ids.extend(r["id"] for r in kept.select("id").collect())
+
+    q = (
+        stream_articles(spark, str(inp))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert sorted(kept_ids) == sorted(a["id"] for a in novel_arts)
