@@ -21,6 +21,7 @@ shuffles are keyed on band/prefix/shingle whose fan-out is bounded.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 from ..sources.tables import table, widen_scan
 from .registry import register
@@ -919,6 +920,113 @@ def incremental_near_dup(spark, sf_dir):
         )
     )
     return jac.filter(F.col("jaccard") >= 0.5)
+
+
+# Winnowing parameters: window of W consecutive shingle hashes; pairs
+# must share at least MIN_SHARED selected fingerprints to surface.
+_WINNOW_W = 4
+_WINNOW_MIN_SHARED = 5
+
+
+@register(
+    "winnowing_fingerprint_pairs",
+    oracle="WITH "
+    + CORPUS_SQL
+    + f""",
+tok AS (SELECT doc_id, {TOKS} AS t FROM corpus),
+psh AS (
+    SELECT doc_id, i - 1 AS pos,
+           ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 25, 8))::BIGINT AS h32
+    FROM tok, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)
+),
+wm AS (
+    SELECT doc_id, pos,
+           min(h32) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS fp,
+           count(*) OVER (PARTITION BY doc_id) AS n_sh
+    FROM psh
+),
+fps AS (SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= n_sh - {_WINNOW_W}),
+hot AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) > {STOP_SHINGLE_DF}),
+kept AS (SELECT * FROM fps WHERE fp NOT IN (SELECT fp FROM hot))
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {_WINNOW_MIN_SHARED}
+""",
+    tags=("dedup", "fingerprint", "winnowing"),
+)
+def winnowing_fingerprint_pairs(spark, sf_dir):
+    """ROLLING-HASH document fingerprinting (winnowing, Schleimer/
+    Wilkerson/Aiken): per doc, hash every POSITIONAL 3-token shingle,
+    slide a window of 4 consecutive hashes, select each window's
+    minimum — the distinct selected set is the doc's fingerprint sketch.
+    The guarantee the set-hash (``fingerprint_clusters``) and MinHash
+    families don't give: any shared token RUN of at least
+    w + k - 1 = 6 tokens forces at least one shared fingerprint, so
+    copied PASSAGES are detected even when whole-document similarity is
+    low — the plagiarism/attribution shape, complementary to
+    whole-doc Jaccard.
+
+    Plan: positional shingles (posexplode — duplicates kept, order
+    kept), one per-doc window min (doc-keyed sort, the window never
+    crosses docs), distinct sketch, hot-fingerprint cut at the family's
+    ``STOP_SHINGLE_DF`` (a boilerplate fingerprint in df docs would
+    cost df^2 join rows — same bound as the shingle stop list), then a
+    fingerprint-keyed self-join counted per pair. Work scales with
+    fingerprint collisions; the sketch is ~|shingles|/w per doc, so the
+    join input is w-fold smaller than the raw shingle table. Output:
+    pairs sharing >= 5 fingerprints with the shared count. Hash
+    positions are 0-based on both engines; only FULL windows select
+    (the standard winnowing definition), so both engines see the same
+    sketch."""
+    c = _corpus(spark, sf_dir)
+    sh = (
+        c.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "if(size(toks) < 3, array(), "
+                    "transform(sequence(1, size(toks) - 2), "
+                    "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))"
+                )
+            ).alias("pos", "shingle"),
+        )
+        .withColumn(
+            "h32",
+            F.conv(F.substring(F.md5("shingle"), 25, 8), 16, 10).cast("bigint"),
+        )
+        .select("doc_id", "pos", "h32")
+    )
+    wdoc = Window.partitionBy("doc_id")
+    wwin = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, _WINNOW_W - 1)
+    )
+    fps = (
+        sh.withColumn("n_sh", F.count(F.lit(1)).over(wdoc))
+        .withColumn("fp", F.min("h32").over(wwin))
+        .filter(F.col("pos") <= F.col("n_sh") - _WINNOW_W)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > STOP_SHINGLE_DF)
+        .select("fp")
+    )
+    kept = fps.join(F.broadcast(hot), "fp", "left_anti")
+    x, y = kept.alias("x"), kept.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.fp") == F.col("y.fp")) & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
+    )
 
 
 # ---------------------------------------------------------------------------
