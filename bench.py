@@ -79,13 +79,19 @@ def bench_streaming(
         # pays stream-side codegen + state-store + sink-commit warmup the
         # timed runs should not (r4 artifact: first drain 10.78s vs 6.8s
         # steady — a 57% outlier the median hid but the spread showed)
-        start_pipeline(
+        warm_q = start_pipeline(
             spark,
             f"{tmp}/input",
             f"{tmp}/out_warm",
             f"{tmp}/ckpt_warm",
             available_now=True,
-        ).awaitTermination(600)
+        )
+        if not warm_q.awaitTermination(600):
+            # a stalled warm drain must not keep running under the
+            # timed drains — stop it and fail loudly rather than
+            # publish numbers inflated by a concurrent query
+            warm_q.stop()
+            raise RuntimeError("warm streaming drain did not finish in 600s")
         secs: list[float] = []
         for i in range(runs):
             t0 = time.time()
@@ -96,7 +102,9 @@ def bench_streaming(
                 f"{tmp}/ckpt{i}",
                 available_now=True,
             )
-            q.awaitTermination(600)
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError(f"streaming drain {i} did not finish in 600s")
             secs.append(round(time.time() - t0, 3))
         return sorted(secs)[len(secs) // 2], n, secs
     finally:

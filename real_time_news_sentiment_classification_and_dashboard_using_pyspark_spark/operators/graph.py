@@ -43,6 +43,15 @@ _EDGES_PER_PART = 4_000_000
 # factor — pointer halving finishes such shapes in O(log d) rounds.
 _MIN_SHRINK = 0.7
 
+# Fast-path bound: below this many edges a SINGLE global union-find
+# task beats the iterative loop's per-round driver jobs. Deliberately
+# far below _EDGES_PER_PART: a one-partition union-find is *correct* up
+# to 4M edges, but funneling millions of edges through one Python task
+# serializes work 31 cores could share — the fast path is for the
+# verified-near-dup regime (hundreds to tens of thousands of edges)
+# where scheduling overhead, not union-find CPU, dominates.
+_SMALL_GRAPH_EDGES = 100_000
+
 
 def _uf_partition(batches):
     """Partition-local union-find; emits star edges (x, r) with r the
@@ -88,7 +97,7 @@ def connected_components(
     dst: str = "d",
     max_rounds: int = 25,
     checkpoint_dir: str | None = None,
-    small_cutoff: int = _EDGES_PER_PART,
+    small_cutoff: int = _SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """Min-label connected components over an UNDIRECTED edge list
     (pass each edge once in either direction). Returns ``(v, lbl)``
@@ -102,15 +111,17 @@ def connected_components(
     from the checkpoint instead of recomputing the whole pair-producing
     lineage; default falls back to executor-local ``localCheckpoint``.
 
-    ``small_cutoff``: an edge set at or below this many edges (the same
-    bound as a contraction partition) takes the SMALL-GRAPH FAST PATH —
-    one global union-find task, zero iteration. A verified near-dup
-    edge set is routinely tiny even when the corpus is huge (463 edges
-    at the driver's sf0.1 corpus), and the generic loop's per-round
-    driver jobs (persist + count per round) cost more than the entire
-    union-find; when the edges DO fit one partition, a single in-memory
-    union-find is also the optimal distributed plan, not a shortcut.
-    Tests pass ``small_cutoff=0`` to force the iterative path.
+    ``small_cutoff``: an edge set at or below this many edges takes the
+    SMALL-GRAPH FAST PATH — one global union-find task, zero iteration.
+    A verified near-dup edge set is routinely tiny even when the corpus
+    is huge (463 edges at the driver's sf0.1 corpus), and the generic
+    loop's per-round driver jobs (persist + count per round) cost more
+    than the entire union-find. The default (100k edges) is well below
+    what one partition could HOLD (_EDGES_PER_PART = 4M) on purpose: a
+    multi-million-edge single task would serialize CPU the contraction
+    loop happily spreads across the cluster — the fast path targets the
+    scheduling-overhead-dominated regime only. Tests pass
+    ``small_cutoff=0`` to force the iterative path.
     """
     spark = edges.sparkSession
     if checkpoint_dir is not None:

@@ -11,6 +11,15 @@ materialized shingle store's banded index (``dedup_queries.
 build_shingle_artifact``); candidates are exact-verified at the family
 threshold and matching rows are dropped before they reach the sink.
 
+Every definition that must agree with the persisted store bit-for-bit
+is IMPORTED from ``plans.dedup_queries``, never re-implemented:
+tokenize + shingle assembly (``shingle_arrays_of``), the 32-bit hash
+(``h32_expr``), banded signatures (``_minhash_bands_from_hashes``),
+and exact verification (``verify_jaccard_pairs``). A semantics change
+on the build side therefore changes the prober in the same commit, or
+the store's params-keyed path orphans the old artifact — either way
+the two sides cannot silently diverge.
+
 Work per batch: tokenize/shingle/signature over |batch| rows (narrow),
 one (band, sig)-keyed probe join into the index, one verify join over
 candidates, one anti join — nothing rescans or re-signatures the
@@ -22,30 +31,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# 3-token shingle assembly over an arbitrary text column — identical
-# semantics to the dedup family's corpus build (clean -> split ->
-# 3-gram -> distinct), parameterized by column name.
-_TOKS_TMPL = (
-    "filter(split(lower(regexp_replace({col}, '[^a-zA-Z\\\\s]', '')), ' '), "
-    "x -> x != '')"
+from ..plans.dedup_queries import (
+    _minhash_bands_from_hashes,
+    h32_expr,
+    shingle_arrays_of,
+    verify_jaccard_pairs,
 )
-
-
-def shingle_arrays_of(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """(doc_id, sh_arr): per-row distinct 3-token shingle arrays for an
-    arbitrary (id, text) relation — the generic form of the dedup
-    corpus build, one narrow map, no shuffle."""
-    toks = _TOKS_TMPL.format(col=text_col)
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.expr(
-            f"array_distinct(if(size({toks}) < 3, array(), "
-            f"transform(sequence(1, size({toks}) - 2), "
-            f"i -> concat_ws(' ', {toks}[i-1], {toks}[i], {toks}[i+1]))))"
-        ).alias("sh_arr"),
-    )
 
 
 def near_dup_matches(
@@ -58,15 +49,10 @@ def near_dup_matches(
     """(doc_id, dup_of, jaccard) for every batch row that is a verified
     near-duplicate of an indexed corpus doc. ``store`` is the dict from
     ``dedup_queries._shingle_store`` (needs ``bands`` + ``arrays``)."""
-    from ..plans.dedup_queries import _minhash_bands_from_hashes
-
     arr = shingle_arrays_of(batch_df, id_col, text_col)
-    hashes = arr.select(
-        "doc_id", F.explode("sh_arr").alias("shingle")
-    ).withColumn(
-        "h32",
-        F.conv(F.substring(F.md5("shingle"), 25, 8), 16, 10).cast("bigint"),
-    ).select("doc_id", "h32")
+    hashes = arr.select("doc_id", F.explode("sh_arr").alias("shingle")).select(
+        "doc_id", h32_expr("shingle").alias("h32")
+    )
     delta_bands = _minhash_bands_from_hashes(hashes)
     cand = (
         delta_bands.alias("d")
@@ -78,29 +64,9 @@ def near_dup_matches(
         .select(F.col("d.doc_id").alias("doc_id"), F.col("c.doc_id").alias("dup_of"))
         .distinct()
     )
-    a = arr.select(
-        "doc_id", F.col("sh_arr").alias("arr_a"), F.size("sh_arr").alias("sz_a")
+    return verify_jaccard_pairs(
+        cand, arr, store["arrays"], "doc_id", "dup_of", threshold
     )
-    b = store["arrays"].select(
-        F.col("doc_id").alias("dup_of"),
-        F.col("sh_arr").alias("arr_b"),
-        F.size("sh_arr").alias("sz_b"),
-    )
-    jac = (
-        cand.join(a, "doc_id")
-        .join(b, "dup_of")
-        .withColumn("n_inter", F.size(F.array_intersect("arr_a", "arr_b")))
-        .select(
-            "doc_id",
-            "dup_of",
-            F.round(
-                F.col("n_inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
-                4,
-            ).alias("jaccard"),
-        )
-    )
-    return jac.filter(F.col("jaccard") >= F.lit(threshold))
 
 
 def drop_near_dups(

@@ -34,9 +34,37 @@ TOKS = (
     "list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z\\s]', '', 'g')), ' '), "
     "x -> x <> '')"
 )
-SPARK_TOKS = (
-    "filter(split(lower(regexp_replace(text, '[^a-zA-Z\\\\s]', '')), ' '), x -> x != '')"
+
+
+def spark_toks(col: str = "text") -> str:
+    """Spark SQL expression string for the family's cleaned, non-empty
+    whitespace tokens over an arbitrary column — THE tokenize
+    definition; every shingle producer (corpus build, streaming delta)
+    must come through here so the persisted store and any prober agree
+    bit-for-bit."""
+    return (
+        f"filter(split(lower(regexp_replace({col}, '[^a-zA-Z\\\\s]', '')), ' '), "
+        "x -> x != '')"
+    )
+
+
+SPARK_TOKS = spark_toks("text")
+
+# Per-doc DISTINCT 3-token shingle set from a ``toks`` array column —
+# the single shingle-assembly definition (shared with the streaming
+# prober via ``shingle_arrays_of``).
+_SHINGLE_SET_EXPR = (
+    "array_distinct(if(size(toks) < 3, array(), "
+    "transform(sequence(1, size(toks) - 2), "
+    "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))))"
 )
+
+
+def h32_expr(col) -> "Column":
+    """32-bit integer hash of a shingle string (md5 substring) — the
+    family's ONE hash definition, identical to the oracle's
+    ``('0x' || substr(md5(s), 25, 8))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 25, 8), 16, 10).cast("bigint")
 
 # corpus: original docs + near-duplicate copies (last 5 tokens dropped)
 CORPUS_SQL = f"""
@@ -113,29 +141,28 @@ def _shingle_arrays(spark, sf_dir) -> DataFrame:
     is pure waste). One row per doc: a consumer that needs per-doc set
     state caches THIS (bounded by doc count), never the exploded rows."""
     c = _corpus(spark, sf_dir)
-    return c.select(
-        "doc_id",
-        # sequence(1, 0) would yield a DESCENDING [1, 0] — guard the
-        # under-3-token case to an empty array explicitly
-        F.expr(
-            "array_distinct(if(size(toks) < 3, array(), "
-            "transform(sequence(1, size(toks) - 2), "
-            "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))))"
-        ).alias("sh_arr"),
-    )
+    # sequence(1, 0) would yield a DESCENDING [1, 0] — the shared
+    # expression guards the under-3-token case to an empty array
+    return c.select("doc_id", F.expr(_SHINGLE_SET_EXPR).alias("sh_arr"))
 
 
-def _shingles(spark, sf_dir) -> DataFrame:
-    """(doc_id, shingle, h32): distinct 3-token shingles + 32-bit md5
-    hash — the exploded-row view of ``_shingle_arrays``, still a pure
-    narrow map over the scan: at 100 TB it pipelines straight into
-    whichever keyed shuffle the consumer needs, instead of paying its
-    own corpus-wide exchange first."""
-    return (
-        _shingle_arrays(spark, sf_dir)
-        .select("doc_id", F.explode("sh_arr").alias("shingle"))
-        .withColumn("h32", F.conv(F.substring(F.md5("shingle"), 25, 8), 16, 10).cast("bigint"))
+def shingle_arrays_of(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, sh_arr) for an ARBITRARY (id, text) relation — the
+    generic form of the corpus build, sharing the exact tokenize
+    (``spark_toks``) and shingle-assembly (``_SHINGLE_SET_EXPR``)
+    definitions, so an external prober (e.g. the streaming near-dup
+    operator) is bit-compatible with the persisted store by
+    construction. The single-element explode is a Generate barrier:
+    without it Catalyst inlines the tokenize regex subtree into every
+    lambda access inside the shingle transform — the O(tokens x 3)
+    re-evaluation PERF.md's first lesson documents."""
+    t = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array(F.expr(spark_toks(text_col)))).alias("toks"),
     )
+    return t.select("doc_id", F.expr(_SHINGLE_SET_EXPR).alias("sh_arr"))
 
 
 # ---------------------------------------------------------------------------
@@ -181,6 +208,29 @@ def _minhash_bands_from_hashes(hashes: DataFrame) -> DataFrame:
 _ARTIFACT_VERSION = 5
 
 
+def _params_fingerprint() -> str:
+    """8-hex fingerprint of every constant the artifact BAKES IN — the
+    stop cutoff, the MinHash parameter family, the banding layout, the
+    SimHash width, plus the hand-bumped semantics version. Keying the
+    path by VALUE means changing any build-defining constant
+    automatically orphans stale artifacts on every machine; the manual
+    version bump remains only for semantics changes the constants can't
+    see (tokenize/shingle expression edits)."""
+    import hashlib
+
+    blob = repr(
+        (
+            _ARTIFACT_VERSION,
+            STOP_SHINGLE_DF,
+            MINHASH_PARAMS,
+            N_BANDS,
+            BAND_ROWS,
+            32,  # SimHash signature width
+        )
+    ).encode()
+    return hashlib.md5(blob).hexdigest()[:8]
+
+
 def _artifact_path(sf_dir: str) -> str:
     import os
 
@@ -195,7 +245,7 @@ def _artifact_path(sf_dir: str) -> str:
         "SPARK_GRAFT_SHINGLE_DIR",
         os.path.join(root, "spark-warehouse", "dedup_shingles"),
     )
-    return os.path.join(base, f"v{_ARTIFACT_VERSION}_{label}_{fp}")
+    return os.path.join(base, f"p{_params_fingerprint()}_{label}_{fp}")
 
 
 def build_shingle_artifact(spark, sf_dir: str, force: bool = False) -> str:
@@ -262,6 +312,38 @@ def build_shingle_artifact(spark, sf_dir: str, force: bool = False) -> str:
     shutil.rmtree(tmp, ignore_errors=True)
     width = spark.sparkContext.defaultParallelism
     raw = _shingle_arrays(spark, sf_dir)
+    try:
+        _build_artifact_tables(spark, sf_dir, tmp, raw, width)
+    except BaseException:
+        # a failed write must not leak the pid-suffixed tmp tree — the
+        # next run gets a new pid and would never clean this one up
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    open(os.path.join(tmp, "_DONE"), "w").close()
+    if force:
+        shutil.rmtree(path, ignore_errors=True)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        # Only a concurrent builder WINNING the rename makes discarding
+        # our build safe; any other rename failure (partial rmtree of
+        # the old artifact, permissions, non-empty target without a
+        # completion marker) would silently serve stale/partial tables.
+        if not os.path.exists(os.path.join(path, "_DONE")):
+            raise RuntimeError(
+                f"shingle artifact rename to {path} failed and no complete "
+                "artifact exists there — refusing to serve a stale/partial "
+                "store"
+            )
+    return path
+
+
+def _build_artifact_tables(spark, sf_dir: str, tmp: str, raw, width: int) -> None:
+    """Write all seven artifact tables under ``tmp``; caches are
+    released on every path."""
+    import os
+
     # full arrays: a pure narrow map over the widened scan + write —
     # every corpus doc appears, empty-set docs included
     raw.write.mode("overwrite").parquet(os.path.join(tmp, "arrays"))
@@ -271,12 +353,18 @@ def build_shingle_artifact(spark, sf_dir: str, force: bool = False) -> str:
         .cache()
     )
     df_table = rows.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).cache()
-    hashes_df = rows.select(
-        "doc_id",
-        F.conv(F.substring(F.md5("shingle"), 25, 8), 16, 10)
-        .cast("bigint")
-        .alias("h32"),
-    ).cache()
+    hashes_df = rows.select("doc_id", h32_expr("shingle").alias("h32")).cache()
+    try:
+        _write_artifact_tables(spark, tmp, rows, df_table, hashes_df, width)
+    finally:
+        rows.unpersist()
+        df_table.unpersist()
+        hashes_df.unpersist()
+
+
+def _write_artifact_tables(spark, tmp, rows, df_table, hashes_df, width) -> None:
+    import os
+
     # Materialize the three shared caches SERIALLY (concurrent first
     # touches would race to compute the same uncached plan twice), then
     # land the four derived tables as CONCURRENT jobs: each write's
@@ -337,7 +425,7 @@ def build_shingle_artifact(spark, sf_dir: str, force: bool = False) -> str:
         name, df = item
         df.write.mode("overwrite").parquet(os.path.join(tmp, name))
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    with ThreadPoolExecutor(max_workers=5) as pool:
         list(
             pool.map(
                 _write,
@@ -350,17 +438,6 @@ def build_shingle_artifact(spark, sf_dir: str, force: bool = False) -> str:
                 ],
             )
         )
-    rows.unpersist()
-    df_table.unpersist()
-    hashes_df.unpersist()
-    open(os.path.join(tmp, "_DONE"), "w").close()
-    if force:
-        shutil.rmtree(path, ignore_errors=True)
-    try:
-        os.rename(tmp, path)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # concurrent builder won
-    return path
 
 
 def _shingle_store(spark, sf_dir: str) -> dict[str, DataFrame]:
@@ -714,6 +791,51 @@ def ngram_jaccard_pairs(spark, sf_dir):
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def verify_jaccard_pairs(
+    cand: DataFrame,
+    left_arrays: DataFrame,
+    right_arrays: DataFrame,
+    left_key: str,
+    right_key: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard verification of a candidate pair set — THE one
+    verify definition shared by every LSH-candidate consumer
+    (``minhash_lsh_pairs``, ``incremental_near_dup``, and the streaming
+    prober ``operators.stream_dedup``): join each side's per-doc
+    shingle arrays, ``array_intersect`` for n_inter with set sizes
+    taken map-side from array length, 4dp-rounded jaccard (the oracle's
+    display form) filtered at ``threshold``. ``cand`` carries
+    (left_key, right_key); the array relations carry (doc_id, sh_arr).
+    One definition means a change to the rounding or threshold
+    semantics cannot silently diverge between the three call sites."""
+    a = left_arrays.select(
+        F.col("doc_id").alias(left_key),
+        F.col("sh_arr").alias("arr_a"),
+        F.size("sh_arr").alias("sz_a"),
+    )
+    b = right_arrays.select(
+        F.col("doc_id").alias(right_key),
+        F.col("sh_arr").alias("arr_b"),
+        F.size("sh_arr").alias("sz_b"),
+    )
+    jac = (
+        cand.join(a, left_key)
+        .join(b, right_key)
+        .withColumn("n_inter", F.size(F.array_intersect("arr_a", "arr_b")))
+        .select(
+            left_key,
+            right_key,
+            F.round(
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= F.lit(threshold))
+
+
 def _minhash_sig_ctes() -> str:
     """``sigs`` + ``bands`` CTE block (the SQL twin of
     ``_minhash_bands_from_hashes``), shared by the pair oracle and the
@@ -789,7 +911,7 @@ def minhash_lsh_pairs(spark, sf_dir):
     candidate pairs only — no shingle-row self-join), with set sizes
     taken map-side from the array length."""
     store = _shingle_store(spark, sf_dir)
-    arrays, bands = store["arrays"], store["bands"]
+    bands = store["bands"]
     x, y = bands.alias("x"), bands.alias("y")
     cand = (
         x.join(
@@ -801,31 +923,9 @@ def minhash_lsh_pairs(spark, sf_dir):
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    a = arrays.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("sh_arr").alias("arr_a"),
-        F.size("sh_arr").alias("sz_a"),
+    return verify_jaccard_pairs(
+        cand, store["arrays"], store["arrays"], "doc_a", "doc_b"
     )
-    b = arrays.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("sh_arr").alias("arr_b"),
-        F.size("sh_arr").alias("sz_b"),
-    )
-    jac = (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .withColumn("n_inter", F.size(F.array_intersect("arr_a", "arr_b")))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("n_inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
-                4,
-            ).alias("jaccard"),
-        )
-    )
-    return jac.filter(F.col("jaccard") >= 0.5)
 
 
 @register(
@@ -895,31 +995,7 @@ def incremental_near_dup(spark, sf_dir):
         )
         .distinct()
     )
-    a = arrays.select(
-        F.col("doc_id").alias("new_doc_id"),
-        F.col("sh_arr").alias("arr_a"),
-        F.size("sh_arr").alias("sz_a"),
-    )
-    b = arrays.select(
-        F.col("doc_id").alias("dup_of"),
-        F.col("sh_arr").alias("arr_b"),
-        F.size("sh_arr").alias("sz_b"),
-    )
-    jac = (
-        cand.join(a, "new_doc_id")
-        .join(b, "dup_of")
-        .withColumn("n_inter", F.size(F.array_intersect("arr_a", "arr_b")))
-        .select(
-            "new_doc_id",
-            "dup_of",
-            F.round(
-                F.col("n_inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
-                4,
-            ).alias("jaccard"),
-        )
-    )
-    return jac.filter(F.col("jaccard") >= 0.5)
+    return verify_jaccard_pairs(cand, arrays, arrays, "new_doc_id", "dup_of")
 
 
 # Winnowing parameters: window of W consecutive shingle hashes; pairs
@@ -991,10 +1067,7 @@ def winnowing_fingerprint_pairs(spark, sf_dir):
                 )
             ).alias("pos", "shingle"),
         )
-        .withColumn(
-            "h32",
-            F.conv(F.substring(F.md5("shingle"), 25, 8), 16, 10).cast("bigint"),
-        )
+        .withColumn("h32", h32_expr("shingle"))
         .select("doc_id", "pos", "h32")
     )
     wdoc = Window.partitionBy("doc_id")
@@ -1519,7 +1592,7 @@ def lang_vocab_minhash_sim(spark, sf_dir):
         .distinct()
     )
     h = toks.withColumn(
-        "h32", F.conv(F.substring(F.md5("token"), 25, 8), 16, 10).cast("bigint")
+        "h32", h32_expr("token")
     )
     min_aggs = [
         F.min((F.lit(a) * F.col("h32") + F.lit(b)) % _P).alias(f"mh{i}")
