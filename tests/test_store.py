@@ -69,6 +69,30 @@ class TestShingleStore:
         assert bands.count() == 4 * n_sig_docs  # N_BANDS rows per doc
 
 
+class TestArtifactKeying:
+    def test_params_change_orphans_artifact(self, monkeypatch):
+        """The artifact path must change when any build-defining
+        constant changes — a machine holding an artifact built under old
+        constants must rebuild, never resolve stale tables."""
+        from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans import (
+            dedup_queries as dq,
+        )
+
+        before = dq._artifact_path(SF)
+        monkeypatch.setattr(dq, "STOP_SHINGLE_DF", dq.STOP_SHINGLE_DF + 1)
+        changed_stop = dq._artifact_path(SF)
+        assert changed_stop != before
+        monkeypatch.setattr(dq, "N_BANDS", dq.N_BANDS + 1)
+        assert dq._artifact_path(SF) != changed_stop
+
+    def test_same_params_same_path(self):
+        from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans import (
+            dedup_queries as dq,
+        )
+
+        assert dq._artifact_path(SF) == dq._artifact_path(SF)
+
+
 class TestDataFingerprint:
     def test_path_independent_and_content_sensitive(self, tmp_path):
         from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.sources.tables import (
