@@ -645,7 +645,9 @@ def _jaccard_pairs_from_arrays(
         .select("doc_id", "sh_arr", "pre_arr", "sz")
         .cache()
     )
-    pre = kd.select("doc_id", "sz", F.explode("pre_arr").alias("shingle"))
+    pre = kd.select(
+        "doc_id", "sz", F.posexplode("pre_arr").alias("pos", "shingle")
+    )
     x, y = pre.alias("x"), pre.alias("y")
     # size-compatibility bound: J <= min(sz)/max(sz), so J >= t requires
     # min(sz) >= t*max(sz) — prunes incompatible-size pairs BEFORE the
@@ -653,12 +655,32 @@ def _jaccard_pairs_from_arrays(
     size_ok = (F.col("x.sz") >= F.lit(prune_t) * F.col("y.sz") - 1e-9) & (
         F.col("y.sz") >= F.lit(prune_t) * F.col("x.sz") - 1e-9
     )
+    # POSITIONAL bound (the second P in PPJoin): J >= t requires
+    # |A∩B| >= t/(1+t) * (|A|+|B|). For the EARLIEST common token of a
+    # true pair — matched at 0-based positions px, py — no common token
+    # precedes it on either side (a common u < w would sit before w in
+    # BOTH sorted arrays and inside BOTH prefixes, contradicting
+    # earliest), so the overlap fits in the suffixes from the match on:
+    # |A∩B| <= min(szx - px, szy - py). Filtering each join ROW by that
+    # bound is lossless: the earliest-common-token row of every true
+    # pair passes, and distinct() keeps a pair if ANY row survives.
+    # Rows where the matched token is NOT the earliest may undercount
+    # the overlap and be dropped — that only removes duplicates of a
+    # pair the earliest row already emits.
+    ovl_min = F.lit(prune_t / (1.0 + prune_t)) * (F.col("x.sz") + F.col("y.sz"))
+    pos_ok = (
+        F.least(
+            F.col("x.sz") - F.col("x.pos"), F.col("y.sz") - F.col("y.pos")
+        ).cast("double")
+        >= ovl_min - 1e-9
+    )
     cand = (
         x.join(
             y,
             (F.col("x.shingle") == F.col("y.shingle"))
             & (F.col("x.doc_id") < F.col("y.doc_id"))
-            & size_ok,
+            & size_ok
+            & pos_ok,
         )
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
