@@ -1194,6 +1194,15 @@ def _simhash_sig_from_hashes(sh: DataFrame) -> DataFrame:
     )
 
 
+# One-slot holder for the doc_pred signature cache: each new restricted
+# pair set evicts the previous one, so repeated calls in one session
+# (simhash_pairs + simhash_recall_eval + ad-hoc corpora) hold at most
+# ONE cached signature DataFrame instead of accumulating until an
+# external clear_caches. Unpersisting a still-referenced frame is safe —
+# Spark just recomputes it.
+_SIMHASH_SIG_CACHE_SLOT: list = []
+
+
 def _simhash_pair_set(spark, sf_dir, doc_pred=None) -> DataFrame:
     """The verified SimHash pair set (doc_a, doc_b, hamming<=8) — the
     operator body of ``simhash_pairs``, shared with
@@ -1205,12 +1214,18 @@ def _simhash_pair_set(spark, sf_dir, doc_pred=None) -> DataFrame:
     re-aggregating (signature work is build cost, like ``bands``)."""
     store = _shingle_store(spark, sf_dir)
     if doc_pred is None:
-        sig = store["simsig"].cache()
+        # Persisted narrow parquet index: the 4 self-join reads are
+        # cheap columnar re-scans — no session cache entry needed.
+        sig = store["simsig"]
     else:
         # One narrow row per doc; cached because the two-block union
         # self-join reads it FOUR times (x/y sides x hi/lo blocks) —
-        # uncached, the 32-aggregate signature pass runs 4x.
+        # uncached, the 32-aggregate signature pass runs 4x. Evict the
+        # previous restricted cache so calls don't accumulate entries.
+        while _SIMHASH_SIG_CACHE_SLOT:
+            _SIMHASH_SIG_CACHE_SLOT.pop().unpersist()
         sig = _simhash_sig_from_hashes(store["hashes"].filter(doc_pred)).cache()
+        _SIMHASH_SIG_CACHE_SLOT.append(sig)
 
     def block_join(key):
         x, y = sig.alias("x"), sig.alias("y")

@@ -974,26 +974,38 @@ def fixed_class_counts(spark, sf_dir):
     oracle="""
 SELECT n.n_name,
        count(*) AS n_suppliers,
-       array_to_string(list(s.s_name ORDER BY s.s_name), ',') AS roster
+       array_to_string((list(s.s_name ORDER BY s.s_name))[1:8], ',') AS roster
 FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
 GROUP BY n.n_name
 """,
     tags=("agg", "array"),
 )
 def nation_supplier_roster(spark, sf_dir):
-    """Array aggregation with deterministic ordering: collect_list is
-    unordered in a distributed engine, so the roster is sorted before
-    joining to a string — the reproducible rendering of 'gather the
-    group members'. At scale beware unbounded group size; cap with
-    slice() when the roster is display-bound."""
+    """Array aggregation with deterministic ordering AND a bounded
+    payload (r5 verdict #5): collect_list is unordered in a distributed
+    engine, so the roster is sorted; and because the roster is
+    display-bound it is capped to the first 8 names PER GROUP *before*
+    the aggregate — row_number over (nation, s_name) marks the top-8,
+    and collect_list only ever sees those (nulls are skipped), so the
+    aggregation buffer is O(8) per group however hot the key. A
+    slice() after collect_list would bound the output row but still
+    buffer every member; this shape bounds the buffer itself. The full
+    population stays visible via n_suppliers."""
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
+    w = Window.partitionBy("s_nationkey").orderBy("s_name")
+    ranked = s.withColumn("rn", F.row_number().over(w))
     return (
-        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        ranked.join(F.broadcast(n), ranked.s_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_suppliers"),
-            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("roster"),
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("rn") <= 8, F.col("s_name")))
+                ),
+                ",",
+            ).alias("roster"),
         )
     )
 

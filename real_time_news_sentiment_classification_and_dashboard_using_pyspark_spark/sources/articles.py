@@ -66,22 +66,40 @@ def stream_articles(spark: SparkSession, input_dir: str) -> DataFrame:
     )
 
 
-def read_articles_mixed(spark: SparkSession, path: str) -> DataFrame:
+# Above this many dirty files, read_articles_mixed abandons the
+# driver-side path list and re-parses the dirty set fully distributed.
+DIRTY_COLLECT_CAP = 1000
+
+
+def read_articles_mixed(
+    spark: SparkSession, path: str, dirty_collect_cap: int = DIRTY_COLLECT_CAP
+) -> DataFrame:
     """Mixed-format directory scan (A12): per file, NDJSON if every line
-    parses, else whole-file (multiLine) JSON — object or array — else
-    skip the file. Reference: streamlit_app.py:101-109 (pd.read_json
+    parses, else whole-file JSON — object or array — else skip the
+    file. Reference: streamlit_app.py:101-109 (pd.read_json
     lines=True, fallback json.load, ``except: continue``).
 
     Spark-first shape: ONE permissive NDJSON scan classifies every file
     (corrupt-line count per input_file_name); clean files keep their
     rows from that same scan via a broadcast SEMI-JOIN against the
     clean-file aggregate — never an ``isin(file_list)`` literal, whose
-    expression tree and driver memory grow with the file count. The
-    only driver-side list is the DIRTY files (re-read in a second
-    multiLine DROPMALFORMED scan — a file-source re-scan needs its path
-    list, exactly like any directory listing, and dirty files are the
-    rare exception by construction). Two scans total regardless of file
-    count; clean-path work is fully distributed."""
+    expression tree and driver memory grow with the file count.
+
+    The dirty files need a second parse as whole-file JSON. Two shapes,
+    both bounded on the driver:
+
+    - dirty count <= ``dirty_collect_cap`` (the by-construction common
+      case — dirty files are the exception): collect the short path
+      list and re-read with a multiLine DROPMALFORMED scan, which only
+      touches those files.
+    - dirty count above the cap (dirty-majority directory): NO path
+      collect. A ``wholetext`` scan of the directory is semi-joined to
+      the dirty-file aggregate and parsed with ``from_json`` against
+      ``array<article>`` — Spark's JacksonParser accepts a bare object
+      as a 1-element array and yields NULL for unparseable text, so
+      filter-null + explode reproduces object/array-or-skip semantics
+      entirely on executors. Driver memory stays O(1) in the file
+      count."""
     schema_c = StructType(ARTICLE_SCHEMA.fields + [StructField("_corrupt_record", StringType(), True)])
     raw = (
         spark.read.schema(schema_c)
@@ -102,14 +120,38 @@ def read_articles_mixed(spark: SparkSession, path: str) -> DataFrame:
     out = raw.join(F.broadcast(clean_files), "_file", "left_semi").drop(
         "_corrupt_record", "_file"
     )
-    dirty = [r["_file"] for r in per_file.filter(F.col("bad") > 0).collect()]
-    if dirty:
+    dirty_files = per_file.filter(F.col("bad") > 0).select("_file")
+    # Bounded probe: limit(cap+1).count() never materializes more than
+    # cap+1 rows driver-side, whatever the dirty population is.
+    n_dirty = dirty_files.limit(dirty_collect_cap + 1).count()
+    if 0 < n_dirty <= dirty_collect_cap:
+        dirty = [r["_file"] for r in dirty_files.collect()]
         out = out.unionByName(
             spark.read.schema(ARTICLE_SCHEMA)
             .option("multiLine", True)
             .option("mode", "DROPMALFORMED")
             .json(dirty)
         )
+    elif n_dirty > dirty_collect_cap:
+        from pyspark.sql.types import ArrayType
+
+        whole = (
+            # NB: must be the .text() kwarg — DataFrameReader.text()
+            # overwrites a prior .option("wholetext", ...) with its default
+            spark.read.text(path, wholetext=True)
+            .withColumn("_file", F.input_file_name())
+            # dirty-majority ⇒ the dirty set is large; no broadcast
+            # hint — AQE picks the strategy from runtime stats
+            .join(dirty_files, "_file", "left_semi")
+        )
+        parsed = (
+            whole.select(F.from_json("value", ArrayType(ARTICLE_SCHEMA)).alias("recs"))
+            .filter(F.col("recs").isNotNull())
+            .select(F.explode("recs").alias("r"))
+            .filter(F.col("r").isNotNull())
+            .select("r.*")
+        )
+        out = out.unionByName(parsed)
     return out
 
 

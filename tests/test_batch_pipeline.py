@@ -140,6 +140,40 @@ def test_mixed_dir_scales_to_many_files(spark, tmp_path):
     assert " IN (" not in plan and "isin" not in plan
 
 
+def test_mixed_dir_dirty_majority_stays_distributed(spark, tmp_path):
+    """A12 dirty-majority hardening (r5 verdict #4): when the dirty
+    count exceeds the collect cap, NO path list reaches the driver —
+    the dirty files are re-parsed by a wholetext scan + semi-join +
+    from_json(array<article>), same results as the collected path."""
+    d = tmp_path / "dirtymaj"
+    d.mkdir()
+    for i in range(60):
+        with open(d / f"f{i:03d}.json", "w") as f:
+            if i % 4 == 0:  # 15 clean NDJSON files
+                f.write(json.dumps({"id": f"nd{i}", "title": "t"}) + "\n")
+            elif i % 4 == 1:  # pretty-printed array
+                json.dump([{"id": f"arr{i}", "title": "t"},
+                           {"id": f"arr{i}b", "title": "t"}], f, indent=2)
+            elif i % 4 == 2:  # pretty-printed single object
+                json.dump({"id": f"obj{i}", "title": "t",
+                           "source": {"id": "s", "name": "Wire",
+                                      "url": "u", "country": "us"}}, f, indent=2)
+            else:  # garbage: skipped by both paths
+                f.write("<html>not json</html>\n")
+
+    lo = read_articles_mixed(spark, str(d), dirty_collect_cap=5)   # distributed path
+    hi = read_articles_mixed(spark, str(d), dirty_collect_cap=500)  # collect path
+    lo_ids = sorted(r["id"] for r in lo.select("id").collect())
+    hi_ids = sorted(r["id"] for r in hi.select("id").collect())
+    assert lo_ids == hi_ids
+    assert len(lo_ids) == 15 + 15 * 2 + 15  # ndjson + arrays(2 each) + objects
+    # nested struct survives the distributed from_json path
+    assert lo.filter(F.col("id") == "obj2").head()["source"]["name"] == "Wire"
+    # literal-free there too
+    plan = lo._jdf.queryExecution().executedPlan().toString()
+    assert " IN (" not in plan and "isin" not in plan
+
+
 def test_quarantine_scan_preserves_bad_lines(spark, tmp_path):
     """PERMISSIVE quarantine split: good rows parse, bad lines survive
     VERBATIM with their source file — nothing silently dropped."""

@@ -328,15 +328,18 @@ _PY_WIDTH_PINNED = {
 def test_python_group_exchange_width(spark, name, expected_pins):
     plan = plan_of(spark, name)
     width = spark.sparkContext.defaultParallelism
+    # Lazy-match up to the ") ... REPARTITION_BY_NUM" marker so a
+    # partitioning expression with nested parens (cast(...), fn(...))
+    # still matches — [^)]* would stop at the first inner ')'.
     pins = re.findall(
-        r"(?:hashpartitioning|roundrobinpartitioning)\(([^)]*)\)(?:,\s*(\d+))?,?\s*"
+        r"(?:hashpartitioning|roundrobinpartitioning)\((.*?)\),?\s*"
         r"\[?REPARTITION_BY_NUM",
         plan,
         re.IGNORECASE,
     )
     widths = []
-    for inner, outer in pins:
-        nums = re.findall(r"\b(\d+)\b", inner + " " + (outer or ""))
+    for inner in pins:
+        nums = re.findall(r"\b(\d+)\b", inner)
         widths.append(int(nums[-1]))
     ok = [w for w in widths if w >= width]
     assert len(ok) >= expected_pins, (

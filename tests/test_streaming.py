@@ -452,3 +452,45 @@ def test_streaming_near_dup_suppression_against_index(spark, tmp_path):
     q.awaitTermination(120)
 
     assert sorted(kept_ids) == sorted(a["id"] for a in novel_arts)
+
+
+def test_near_dup_replay_not_swallowed_by_own_index_entry(spark):
+    """At-least-once hardening: a batch row whose id is ALREADY in the
+    index (replayed micro-batch after checkpoint recovery over a
+    self-indexing sink) must not self-match at jaccard 1.0 and vanish.
+    Default exclude_self=True keeps it; exclude_self=False restores the
+    strict 'any indexed near-copy is a dup' semantics."""
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.operators.stream_dedup import (
+        drop_near_dups,
+    )
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans.dedup_queries import (
+        _shingle_store,
+    )
+
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.operators.stream_dedup import (
+        near_dup_matches,
+    )
+
+    store = _shingle_store(spark, SF)
+    indexed = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(3)
+    )
+    replay_ids = {r["doc_id"] for r in indexed.select("doc_id").collect()}
+    # replay: the exact indexed rows (same ids, same text)
+    m_default = near_dup_matches(indexed, store).collect()
+    assert all(r["doc_id"] != r["dup_of"] for r in m_default)  # no self-match
+    m_strict = near_dup_matches(indexed, store, exclude_self=False).collect()
+    selfs = [r for r in m_strict if r["doc_id"] == r["dup_of"]]
+    # strict mode sees every replayed row as its own jaccard-1.0 copy
+    assert {r["doc_id"] for r in selfs} == replay_ids
+    assert all(r["jaccard"] == 1.0 for r in selfs)
+    # and a row whose ONLY indexed neighbor is itself survives the
+    # default drop path: planted twins (base id + offset) aside, any
+    # match that remains must point at a genuinely different doc
+    kept = drop_near_dups(indexed, store)
+    dropped = replay_ids - {r["doc_id"] for r in kept.select("doc_id").collect()}
+    other_matched = {r["doc_id"] for r in m_default}
+    assert dropped == other_matched  # dropped iff matched a DIFFERENT doc
