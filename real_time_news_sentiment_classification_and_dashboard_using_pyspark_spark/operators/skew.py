@@ -1,15 +1,25 @@
-"""Skew mitigation: salted aggregation and salted broadcast-side join.
+"""Skew mitigation: salted aggregation and hot/cold-split salted join.
 
 AQE's skew-join splitting (enabled in session.py) handles most skew at
 runtime; these are the explicit renderings for the cases AQE can't see —
 a single hot grouping key (e.g. the 3-value ``sentiment`` column at
-100 TB: ~33 billion rows per key would pin three reducers).
+100 TB: ~33 billion rows per key would pin three reducers), or a
+fact-fact join whose hot key must be spread *before* the shuffle.
 
 ``salted_agg``: two-phase aggregation — salt the key with a random
 shard in [0, n_salts), partially aggregate on (key, salt), then finish
 on the key. The first shuffle spreads each hot key over n_salts
 reducers; the second moves only n_salts rows per key. Only works for
 algebraic aggregates (sum/count/min/max — anything with a merge step).
+
+``skew_split_join``: the manual rendering of AQE's skew-join split for
+a fact-fact equi-join with a few hot keys. Rows are routed two ways:
+cold keys take the ordinary hash join; hot keys take a salted join —
+the bigger side salted randomly over [0, n_salts), the other side
+replicated once per salt — so a key holding 30 % of the table spreads
+over n_salts reducers instead of pinning one. The hot-key set is tiny
+by definition (it's the set of keys too big for one reducer), so both
+the routing semi/anti joins and the replication broadcast it.
 """
 
 from __future__ import annotations
@@ -37,3 +47,55 @@ def salted_agg(
     return phase1.groupBy(key).agg(
         *[merge.alias(name) for name, (_, merge) in aggs.items()]
     )
+
+
+def hot_keys(df: DataFrame, key: str, min_share: float = 0.05) -> DataFrame:
+    """Keys holding at least ``min_share`` of the rows — the candidates
+    that would pin a reducer in a keyed shuffle. One count aggregate +
+    an unpartitioned-total window over the (small) per-key counts; at
+    100 TB run it on a sample or reuse table statistics instead."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("_cnt"))
+    from pyspark.sql.window import Window
+
+    total = F.sum("_cnt").over(Window.partitionBy())
+    return counts.withColumn("_share", F.col("_cnt") / total).filter(
+        F.col("_share") >= min_share
+    ).select(key)
+
+
+def skew_split_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    hot: DataFrame,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Fact-fact equi-join with hot keys spread over ``n_salts``
+    reducers (inner join on one key column; ``hot`` is the — tiny —
+    hot-key relation, e.g. from ``hot_keys``).
+
+    Cold rows: plain hash join, untouched. Hot rows: the left side gets
+    a random salt in [0, n_salts), the right side is replicated once
+    per salt value (posexplode of a literal range), and the join runs
+    on (key, salt) — each hot key's work lands on n_salts reducers. The
+    result is the exact inner-join row multiset: each left-hot row
+    joins the single replica matching its salt.
+
+    This is what AQE's skew split does at runtime for sort-merge joins;
+    the explicit rendering exists for plans AQE can't rescue (e.g. a
+    skewed shuffle feeding a non-join operator, or engines/configs with
+    AQE off) and as the documented fallback when one key exceeds even a
+    split partition."""
+    hot = F.broadcast(hot.select(key))
+    left_hot = left.join(hot, key, "left_semi")
+    left_cold = left.join(hot, key, "left_anti")
+    right_hot = right.join(hot, key, "left_semi")
+    right_cold = right.join(hot, key, "left_anti")
+
+    cold = left_cold.join(right_cold, key)
+
+    salts = F.array([F.lit(i) for i in range(n_salts)])
+    lh = left_hot.withColumn("_salt", (F.rand(seed=7) * n_salts).cast("int"))
+    rh = right_hot.withColumn("_salt", F.explode(salts))
+    hot_joined = lh.join(rh, [key, "_salt"]).drop("_salt")
+    return cold.unionByName(hot_joined)

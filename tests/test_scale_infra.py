@@ -156,6 +156,93 @@ def test_salted_agg_matches_plain_agg_under_skew(spark):
     assert plain == salted
 
 
+def _skewed_facts(spark):
+    """Two facts sharing a hot key: key 0 holds ~30% of the left fact's
+    200k rows; every key (hot included) has 3 rows on the right."""
+    from pyspark.sql import functions as F
+
+    left = spark.range(200_000).select(
+        F.when(F.col("id") % 10 < 3, F.lit(0))
+        .otherwise((F.col("id") % 997) + 1)
+        .alias("k"),
+        (F.col("id") % 100).cast("double").alias("lv"),
+    )
+    right = spark.range(3 * 998).select(
+        (F.col("id") % 998).alias("k"), (F.col("id") % 7).cast("double").alias("rv")
+    )
+    return left, right
+
+
+def _join_signature(df):
+    from pyspark.sql import functions as F
+
+    return {
+        r["k"]: (r["cnt"], r["sl"], r["sr"])
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("lv"), 4).alias("sl"),
+            F.round(F.sum("rv"), 4).alias("sr"),
+        )
+        .collect()
+    }
+
+
+def test_skew_split_join_matches_plain_join(spark):
+    """Fact-fact join with a 30%-hot key (r5 verdict #6): the manual
+    hot/cold split + salted hot path returns the exact inner-join row
+    multiset, and its hot-side shuffle is keyed on (k, _salt) — the hot
+    key's rows spread over n_salts reducers instead of pinning one."""
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.operators.skew import (
+        hot_keys,
+        skew_split_join,
+    )
+
+    left, right = _skewed_facts(spark)
+    hot = hot_keys(left, "k", min_share=0.05)
+    assert [r["k"] for r in hot.collect()] == [0]  # exactly the planted hot key
+
+    plain = _join_signature(left.join(right, "k"))
+    split = skew_split_join(left, right, "k", hot, n_salts=8)
+    assert _join_signature(split) == plain
+
+    plan = split._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan  # the hot path really shuffles on (k, _salt)
+
+
+def test_aqe_skew_join_split_kicks_in(spark):
+    """The runtime counterpart: with sort-merge forced and the skew
+    thresholds scaled to test data, AQE marks the hot partition
+    skew=true and splits it — the evidence that the engine's default
+    config (session.py: adaptive + skewJoin enabled) handles this shape
+    without the manual operator."""
+    left, right = _skewed_facts(spark)
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # materialize the join ITSELF (a groupBy("k") downstream would
+        # make AQE decline the split to preserve the reusable
+        # partitioning — correct behavior, wrong test)
+        joined = left.join(right, "k").select("k")
+        assert len(joined.collect()) == 600_000
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_tws_running_totals_matches_legacy_api(spark, tmp_path):
     """transformWithStateInPandas (Spark 4 typed-state API, RocksDB
     store) produces the same cumulative totals as the

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.sources.tables import (
@@ -123,6 +125,58 @@ def test_batch_retry_is_idempotent(spark, tmp_path):
     assert spark.read.parquet(f"{out}/metrics").agg(F.sum("cnt")).head()[0] == 3
     view = {r["sentiment"]: r["cnt"] for r in spark.sql("SELECT * FROM global_temp.retry_view").collect()}
     assert view == {"Positive": 2, "Negative": 1}
+
+
+def test_crash_between_scored_and_metrics_then_replay(spark, tmp_path, monkeypatch):
+    """Crash-consistency of the partition-path overwrite (r5 verdict #7):
+    kill the batch AFTER the scored write commits but BEFORE the metrics
+    write, then replay the same batch_id in a fresh closure ("restarted
+    process"). The replay must leave exactly one copy of the rows, a
+    metrics sink consistent with the scored sink, and correct view
+    totals — the at-least-once contract under a torn fan-out, not just
+    a clean re-delivery."""
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.streaming import (
+        pipeline as P,
+    )
+
+    out = tmp_path / "out"
+    fanout = P.batch_fanout(str(out), memory_table="crash_view")
+    batch = spark.createDataFrame(
+        [("id1", "Positive", 0.5), ("id2", "Negative", -0.4), ("id3", "Positive", 0.2)],
+        "id string, sentiment string, polarity double",
+    )
+    real_counts_df = P._counts_df
+    calls = {"n": 0}
+
+    def failing_counts_df(session, items):
+        calls["n"] += 1
+        if calls["n"] == 1:  # first call = the metrics write of batch 0
+            raise RuntimeError("simulated crash before metrics commit")
+        return real_counts_df(session, items)
+
+    monkeypatch.setattr(P, "_counts_df", failing_counts_df)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        fanout(batch, 0)
+    # torn state on disk: scored partition committed, metrics absent
+    assert spark.read.parquet(f"{out}/scored").count() == 3
+    with pytest.raises(Exception):
+        spark.read.parquet(f"{out}/metrics").collect()
+
+    # restart: fresh closure seeds from (empty) metrics, replays batch 0
+    monkeypatch.setattr(P, "_counts_df", real_counts_df)
+    fanout2 = P.batch_fanout(str(out), memory_table="crash_view")
+    fanout2(batch, 0)
+    for _ in range(2):  # and a post-success replay stays stable too
+        assert spark.read.parquet(f"{out}/scored").count() == 3
+        assert (
+            spark.read.parquet(f"{out}/metrics").agg(F.sum("cnt")).head()[0] == 3
+        )
+        view = {
+            r["sentiment"]: r["cnt"]
+            for r in spark.sql("SELECT * FROM global_temp.crash_view").collect()
+        }
+        assert view == {"Positive": 2, "Negative": 1}
+        fanout2(batch, 0)
 
 
 def test_console_sink_prints_batch(spark, tmp_path, capsys):
