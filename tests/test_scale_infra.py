@@ -8,6 +8,8 @@ import io
 import json
 from contextlib import redirect_stdout
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.sources.handoff import (
@@ -243,6 +245,33 @@ def test_aqe_skew_join_split_kicks_in(spark):
                 spark.conf.set(k, v)
 
 
+def _tws_gate():
+    """The one environment gate in the suite (documented in README):
+    transformWithStateInPandas speaks a protobuf state protocol between
+    the Python worker and the JVM state server; this container ships
+    pyspark 4.x WITHOUT the google.protobuf runtime (and installs are
+    off), so the TWS twin cannot execute here. The operator itself
+    (streaming/stateful.py: running_sentiment_totals_tws) is real and
+    runs on any standard Spark 4 install; the applyInPandasWithState
+    rendering is the tested-everywhere twin. xfail (not skip) so the
+    gate is a visible, linked expectation rather than a quiet hole."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return None
+    except ImportError:
+        return "google.protobuf absent in this container (TWS state protocol dependency)"
+
+
+_TWS_GATE = _tws_gate()
+
+
+@pytest.mark.xfail(
+    condition=_TWS_GATE is not None,
+    reason=f"env gate: {_TWS_GATE} — see README 'Environment gates'",
+    raises=ImportError,
+    strict=True,
+)
 def test_tws_running_totals_matches_legacy_api(spark, tmp_path):
     """transformWithStateInPandas (Spark 4 typed-state API, RocksDB
     store) produces the same cumulative totals as the
@@ -255,10 +284,7 @@ def test_tws_running_totals_matches_legacy_api(spark, tmp_path):
 
     if running_sentiment_totals_tws is None:
         _pytest.skip("transformWithStateInPandas not available in this build")
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError:
-        _pytest.skip("TWS state protocol needs google.protobuf (broken in this env)")
+    from google.protobuf import descriptor  # noqa: F401  (the gated import)
 
     src = tmp_path / "in_tws"
     src.mkdir()
