@@ -205,7 +205,9 @@ def _minhash_bands_from_hashes(hashes: DataFrame) -> DataFrame:
 
 # bump when the shingle/tokenize semantics change: the version is part
 # of the artifact key, so stale artifacts from older code never resolve
-_ARTIFACT_VERSION = 5
+# (v6: adds the persisted ``df`` document-frequency table that makes
+# the store append-mergeable)
+_ARTIFACT_VERSION = 6
 
 
 def _params_fingerprint() -> str:
@@ -425,7 +427,7 @@ def _write_artifact_tables(spark, tmp, rows, df_table, hashes_df, width) -> None
         name, df = item
         df.write.mode("overwrite").parquet(os.path.join(tmp, name))
 
-    with ThreadPoolExecutor(max_workers=5) as pool:
+    with ThreadPoolExecutor(max_workers=6) as pool:
         list(
             pool.map(
                 _write,
@@ -433,6 +435,11 @@ def _write_artifact_tables(spark, tmp, rows, df_table, hashes_df, width) -> None
                     ("kept", kept_df),
                     ("hashes", hashes_df),
                     ("stop", stop_df),
+                    # full df table (not just the stop tail): the sum-
+                    # mergeable state that makes the store APPENDABLE —
+                    # an incremental build merges delta counts into this
+                    # instead of recounting the corpus
+                    ("df", df_table.repartition(width)),
                     ("bands", bands_df),
                     ("simsig", simsig_df),
                 ],
@@ -451,8 +458,163 @@ def _shingle_store(spark, sf_dir: str) -> dict[str, DataFrame]:
     path = build_shingle_artifact(spark, sf_dir)
     return {
         name: spark.read.parquet(os.path.join(path, name))
-        for name in ("arrays", "kept", "hashes", "stop", "bands", "simsig")
+        for name in ("arrays", "kept", "hashes", "stop", "df", "bands", "simsig")
     }
+
+
+def append_to_shingle_artifact(
+    spark,
+    base_path: str,
+    delta_docs: DataFrame,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Incremental (append-only) shingle-store build: fold a delta of
+    NEW documents into an existing artifact, producing a complete store
+    at ``out_path`` equivalent to rebuilding from the unioned corpus —
+    the 100 TB operating shape (r5 verdict #2): the crawl appends, the
+    store appends; only the delta ever pays tokenize/shingle CPU.
+
+    What appends vs what merges vs what partially rebuilds:
+
+    - ``arrays`` / ``hashes`` / ``bands`` / ``simsig`` — strictly
+      per-document tables: delta rows are computed from the delta alone
+      (same shared tokenize/shingle/hash/signature definitions as the
+      full build) and APPENDED. Existing files are reused byte-for-byte
+      (hard-linked where the filesystem allows, else copied — on object
+      storage this is a metadata copy).
+    - ``df`` — sum-MERGED: append-only means document frequencies only
+      grow, so new df = old df + delta df, one keyed aggregate over the
+      (small) df tables. This persisted table is what makes the store
+      appendable at all; without it the corpus would be recounted.
+    - ``stop`` — refiltered from the merged df (the refresh policy:
+      boilerplate status is a pure function of current df).
+    - ``kept`` — partially REBUILT: kept arrays bake in the global
+      (df, shingle) PPJoin sort order, and a df changes only for
+      shingles that occur in the delta. Docs sharing no shingle with
+      the delta therefore have bit-identical kept rows (reused as-is);
+      docs that do share one — including every doc whose shingle
+      crossed the stop cutoff, since crossing requires a delta
+      occurrence — are re-sorted against the merged df. Work scales
+      with delta reach, not corpus size.
+
+    Assumes delta doc_ids are new (a revision is delete+append, not
+    handled here). Writes under a pid tmp dir and renames, like the
+    full build. Returns ``out_path``."""
+    import os
+    import shutil
+
+    width = spark.sparkContext.defaultParallelism
+    tmp = f"{out_path}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+
+    def base(name):
+        return spark.read.parquet(os.path.join(base_path, name))
+
+    delta_arr = shingle_arrays_of(delta_docs, id_col, text_col).cache()
+    delta_rows = delta_arr.select(
+        "doc_id", F.explode("sh_arr").alias("shingle")
+    ).cache()
+    delta_df_counts = delta_rows.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    merged_df = (
+        base("df")
+        .unionByName(delta_df_counts)
+        .groupBy("shingle")
+        .agg(F.sum("df").cast("bigint").alias("df"))
+        .cache()
+    )
+    try:
+        # reuse the per-doc tables' existing files, then append the delta
+        for name in ("arrays", "hashes", "bands", "simsig"):
+            src, dst = os.path.join(base_path, name), os.path.join(tmp, name)
+            try:
+                shutil.copytree(src, dst, copy_function=os.link)
+            except OSError:
+                shutil.rmtree(dst, ignore_errors=True)
+                shutil.copytree(src, dst)
+        delta_arr.write.mode("append").parquet(os.path.join(tmp, "arrays"))
+        delta_hashes = delta_rows.select(
+            "doc_id", h32_expr("shingle").alias("h32")
+        ).cache()
+        delta_hashes.write.mode("append").parquet(os.path.join(tmp, "hashes"))
+        _minhash_bands_from_hashes(delta_hashes).write.mode("append").parquet(
+            os.path.join(tmp, "bands")
+        )
+        _simhash_sig_from_hashes(delta_hashes).write.mode("append").parquet(
+            os.path.join(tmp, "simsig")
+        )
+
+        merged_df.repartition(width).write.mode("overwrite").parquet(
+            os.path.join(tmp, "df")
+        )
+        merged_df.filter(F.col("df") > STOP_SHINGLE_DF).select(
+            "shingle"
+        ).repartition(width).write.mode("overwrite").parquet(
+            os.path.join(tmp, "stop")
+        )
+
+        # kept: reuse untouched docs, rebuild affected ∪ delta docs
+        changed = delta_df_counts.select("shingle")
+        old_rows = base("arrays").select(
+            "doc_id", F.explode("sh_arr").alias("shingle")
+        )
+        affected = (
+            old_rows.join(changed, "shingle", "left_semi")
+            .select("doc_id")
+            .distinct()
+            .cache()
+        )
+        untouched = base("kept").join(affected, "doc_id", "left_anti")
+        rebuild_rows = old_rows.join(affected, "doc_id", "left_semi").unionByName(
+            delta_rows
+        )
+        kept_rebuilt = (
+            rebuild_rows.join(merged_df.filter(F.col("df") <= STOP_SHINGLE_DF), "shingle")
+            .groupBy("doc_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("df"), F.col("shingle").alias("s")))
+                ).alias("karr")
+            )
+            .select("doc_id", F.col("karr.s").alias("sh_arr"))
+        )
+        untouched.unionByName(kept_rebuilt).repartition(width).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp, "kept"))
+
+        # manifest: counts advance by the delta's (already-forced) sizes
+        old_meta = base("meta").head()
+        n_docs = old_meta["n_docs"] + delta_arr.count()
+        n_rows = old_meta["n_shingle_rows"] + delta_rows.count()
+        n_distinct = merged_df.count()
+        (
+            spark.range(1)
+            .select(
+                F.lit(n_docs).cast("bigint").alias("n_docs"),
+                F.lit(n_rows).cast("bigint").alias("n_shingle_rows"),
+                F.lit(n_distinct).cast("bigint").alias("n_distinct_shingles"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "meta"))
+        )
+        delta_hashes.unpersist()
+        affected.unpersist()
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    finally:
+        delta_arr.unpersist()
+        delta_rows.unpersist()
+        merged_df.unpersist()
+    open(os.path.join(tmp, "_DONE"), "w").close()
+    shutil.rmtree(out_path, ignore_errors=True)
+    os.rename(tmp, out_path)
+    return out_path
 
 
 @register(

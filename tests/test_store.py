@@ -29,7 +29,7 @@ class TestShingleStore:
         path = build_shingle_artifact(spark, SF)
         assert path.startswith(store_dir)
         assert os.path.exists(os.path.join(path, "_DONE"))
-        for t in ("arrays", "kept", "hashes", "stop", "bands", "simsig", "meta"):
+        for t in ("arrays", "kept", "hashes", "stop", "df", "bands", "simsig", "meta"):
             assert os.path.isdir(os.path.join(path, t)), t
 
         # second call must RESOLVE, not rebuild: the _DONE marker's
@@ -42,7 +42,9 @@ class TestShingleStore:
         # force=True rebuilds in place under the same key
         assert build_shingle_artifact(spark, SF, force=True) == path
         store = _shingle_store(spark, SF)
-        assert set(store) == {"arrays", "kept", "hashes", "stop", "bands", "simsig"}
+        assert set(store) == {
+            "arrays", "kept", "hashes", "stop", "df", "bands", "simsig",
+        }
 
     def test_manifest_matches_tables(self, spark, store_dir):
         """The persisted audit numbers must equal what a consumer would
@@ -125,3 +127,71 @@ class TestDataFingerprint:
         blob[len(blob) // 2] ^= 0xFF
         open(victim, "wb").write(bytes(blob))
         assert data_fingerprint(a) != data_fingerprint(b)
+
+
+class TestIncrementalAppend:
+    def test_append_equals_full_rebuild(self, spark, store_dir, tmp_path):
+        """build(A) + append(B) must equal build(A∪B) — every table as a
+        row multiset (kept arrays exactly, order baked in), manifest
+        included — and a prober must not be able to tell the stores
+        apart (r5 verdict #2)."""
+        from pyspark.sql import functions as F
+
+        from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.operators.stream_dedup import (
+            near_dup_matches,
+        )
+        from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans.dedup_queries import (
+            append_to_shingle_artifact,
+            build_shingle_artifact,
+            spark_toks,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        cut = docs.selectExpr("percentile_cont(0.6) WITHIN GROUP (ORDER BY doc_id) p").head()["p"]
+        sf_a, sf_ab = str(tmp_path / "sfA"), str(tmp_path / "sfAB")
+        os.makedirs(sf_a); os.makedirs(sf_ab)
+        docs.filter(F.col("doc_id") <= cut).write.parquet(f"{sf_a}/documents.parquet")
+        docs.write.parquet(f"{sf_ab}/documents.parquet")
+
+        full = build_shingle_artifact(spark, sf_ab)
+        base = build_shingle_artifact(spark, sf_a)
+
+        # delta = the corpus rows of B: originals + their near-dup twins
+        # (same +1e6/slice-5 geometry the full build's corpus uses)
+        b = docs.filter(F.col("doc_id") > cut).select(
+            "doc_id", "text", F.expr(spark_toks("text")).alias("toks")
+        )
+        delta = b.select("doc_id", "text").unionByName(
+            b.select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.array_join(
+                    F.expr("slice(toks, 1, greatest(size(toks) - 5, 1))"), " "
+                ).alias("text"),
+            )
+        )
+        out = append_to_shingle_artifact(spark, base, delta, str(tmp_path / "appended"))
+
+        def rows_of(path, name):
+            df = spark.read.parquet(os.path.join(path, name))
+            return sorted(
+                tuple(tuple(v) if isinstance(v, list) else v for v in r)
+                for r in df.collect()
+            )
+
+        for name in ("arrays", "kept", "hashes", "stop", "df", "bands", "simsig", "meta"):
+            assert rows_of(full, name) == rows_of(out, name), name
+
+        # and the prober can't tell the difference
+        probe = docs.orderBy("doc_id").limit(4).select(
+            (F.col("doc_id") + 5000000).alias("doc_id"), "text"
+        )
+
+        def store_of(path):
+            return {
+                n: spark.read.parquet(os.path.join(path, n))
+                for n in ("bands", "arrays")
+            }
+
+        m_full = sorted(map(tuple, near_dup_matches(probe, store_of(full)).collect()))
+        m_app = sorted(map(tuple, near_dup_matches(probe, store_of(out)).collect()))
+        assert m_full == m_app and len(m_full) > 0
