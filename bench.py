@@ -113,7 +113,11 @@ def bench_streaming(
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    import re
+
+    # "sf0.1" but also "testdata_sf1" (locally generated scale-ups)
+    m = re.search(r"sf([0-9.]+)$", os.path.basename(sf_dir.rstrip("/")))
+    sf = float(m.group(1)) if m else 0.1
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 

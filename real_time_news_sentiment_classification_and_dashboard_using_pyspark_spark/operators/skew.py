@@ -51,16 +51,18 @@ def salted_agg(
 
 def hot_keys(df: DataFrame, key: str, min_share: float = 0.05) -> DataFrame:
     """Keys holding at least ``min_share`` of the rows — the candidates
-    that would pin a reducer in a keyed shuffle. One count aggregate +
-    an unpartitioned-total window over the (small) per-key counts; at
-    100 TB run it on a sample or reuse table statistics instead."""
+    that would pin a reducer in a keyed shuffle. One partial-first count
+    aggregate; the grand total joins back as a broadcast 1-row scalar
+    (never an unpartitioned window, which would single-task the per-key
+    counts — fine at 25 nations, wrong at 10^9 keys). At 100 TB run this
+    over a sample or reuse table statistics instead."""
     counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("_cnt"))
-    from pyspark.sql.window import Window
-
-    total = F.sum("_cnt").over(Window.partitionBy())
-    return counts.withColumn("_share", F.col("_cnt") / total).filter(
-        F.col("_share") >= min_share
-    ).select(key)
+    total = counts.agg(F.sum("_cnt").alias("_tot"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("_cnt") >= F.lit(min_share) * F.col("_tot"))
+        .select(key)
+    )
 
 
 def skew_split_join(

@@ -497,7 +497,24 @@ def append_to_shingle_artifact(
       docs that do share one — including every doc whose shingle
       crossed the stop cutoff, since crossing requires a delta
       occurrence — are re-sorted against the merged df. Work scales
-      with delta reach, not corpus size.
+      with delta reach, not corpus size. Both the affected-doc
+      detection and the rebuild read the stop-free ``kept`` table, not
+      ``arrays``: append-only df growth means a base stop shingle can
+      never un-stop, so an old doc's new kept set is always a subset
+      of its old one — shingles already filtered out can't come back
+      and can't change its sort keys.
+
+    Cost model (measured at sf0.1/sf1, PERF.md round 6): tokenize /
+    hash / signature CPU is pure delta; df/stop are O(distinct
+    shingles) merges; the one O(corpus) residual is the kept table's
+    REWRITE — untouched rows are read+written (no re-sort, no CPU) into
+    the new artifact because parquet files holding a mix of touched and
+    untouched docs can't be reused at row granularity. At sf1 this
+    makes append ≈ break-even with the (still cheap) full rebuild; the
+    crossover comes when corpus tokenize dominates. The production
+    upgrade past that is a merge-on-read kept (base + overrides tables)
+    or doc_id-bucketed kept files reused per bucket — documented here
+    so the trade is explicit, not hidden.
 
     Assumes delta doc_ids are new (a revision is delete+append, not
     handled here). Writes under a pid tmp dir and renames, like the
@@ -557,21 +574,24 @@ def append_to_shingle_artifact(
             os.path.join(tmp, "stop")
         )
 
-        # kept: reuse untouched docs, rebuild affected ∪ delta docs
+        # kept: reuse untouched docs, rebuild affected ∪ delta docs.
+        # Detection and rebuild both read the stop-free kept table —
+        # dfs only grow on append, so a doc's new kept set ⊆ old kept
+        # set; arrays (with their stop bulk) never need re-exploding.
         changed = delta_df_counts.select("shingle")
-        old_rows = base("arrays").select(
+        old_kept_rows = base("kept").select(
             "doc_id", F.explode("sh_arr").alias("shingle")
         )
         affected = (
-            old_rows.join(changed, "shingle", "left_semi")
+            old_kept_rows.join(changed, "shingle", "left_semi")
             .select("doc_id")
             .distinct()
             .cache()
         )
         untouched = base("kept").join(affected, "doc_id", "left_anti")
-        rebuild_rows = old_rows.join(affected, "doc_id", "left_semi").unionByName(
-            delta_rows
-        )
+        rebuild_rows = old_kept_rows.join(
+            affected, "doc_id", "left_semi"
+        ).unionByName(delta_rows)
         kept_rebuilt = (
             rebuild_rows.join(merged_df.filter(F.col("df") <= STOP_SHINGLE_DF), "shingle")
             .groupBy("doc_id")

@@ -27,11 +27,17 @@ from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.s
 
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for t in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        path = f"{sf_dir}/{t}.parquet"
+        # driver testdata ships single parquet FILES; locally generated
+        # scale-ups (scripts/gen_scale_testdata.py) are Spark parquet
+        # DIRECTORIES — glob those for DuckDB
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     return con
 
 

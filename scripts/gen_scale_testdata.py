@@ -1,0 +1,274 @@
+"""Deterministic scale-up of the driver's testdata: replicate an
+existing sf directory K-fold with replica-shifted keys, producing a
+larger scale factor for SCALING-SLOPE measurement (sf0.1 x 10 = sf1).
+
+The driver's generator is not available to the repo, and /root/testdata
+is read-only, so sf1 is derived from sf0.1 by K-fold replication that
+preserves PER-REPLICA geometry exactly while keeping replicas disjoint —
+the property a slope measurement needs (work should scale with data
+volume, not explode super-linearly through artificial cross-replica
+duplicates):
+
+- **Keys**: every table's primary key is shifted by ``r * (max+1)``
+  per replica, and every foreign key is shifted by the SAME stride, so
+  referential integrity and join fan-outs are preserved replica-wise.
+  ``region``/``nation`` are fixed dimensions, copied once; nationkey
+  references are left unshifted.
+- **documents**: replica r > 0 suffixes EVERY token with a letters-only
+  replica tag (the family tokenizer strips non-alpha, so the tag must
+  be alphabetic). Within a replica, shingle sets and document
+  frequencies are bit-identical to the source; across replicas the
+  shingle vocabularies are disjoint (Jaccard 0), so near-dup pair
+  counts scale exactly K-fold. A plain copy would instead create
+  K-way exact-duplicate clusters: pair counts would grow K(K-1)/2-fold
+  and the "slope" would measure corpus geometry, not the engine.
+- **embeddings**: replica r applies an ORTHOGONAL transform — cyclic
+  dimension shift by 7r plus a deterministic sign flip per (replica,
+  dim) — which preserves every within-replica inner product exactly
+  (same top-k, same near-dup pairs per replica) while decorrelating
+  replicas (expected cross-replica cosine ~0 for these dense vectors).
+- **events**: ids/users shifted; timestamps kept (window populations
+  scale K-fold). ``ts`` is written as TIMESTAMP_NTZ micros, one of the
+  two encodings the engine's schema-adaptive loader accepts and the
+  one DuckDB reads natively.
+
+Usage:
+    python scripts/gen_scale_testdata.py SRC_DIR OUT_DIR K
+e.g.
+    python scripts/gen_scale_testdata.py /root/testdata/sf0.1 testdata_sf1 10
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _strides(spark, src: str) -> dict[str, int]:
+    """max+1 per primary key — the per-replica shift stride."""
+    out = {}
+    for tbl, key in [
+        ("customer", "c_custkey"),
+        ("supplier", "s_suppkey"),
+        ("part", "p_partkey"),
+        ("orders", "o_orderkey"),
+        ("events", "event_id"),
+        ("documents", "doc_id"),
+        ("embeddings", "vec_id"),
+    ]:
+        df = spark.read.parquet(f"{src}/{tbl}.parquet")
+        out[tbl] = int(df.agg(F.max(key)).head()[0]) + 1
+    out["user"] = (
+        int(
+            spark.read.parquet(f"{src}/events.parquet")
+            .agg(F.max("user_id"))
+            .head()[0]
+        )
+        + 1
+    )
+    return out
+
+
+def _replicas(df: DataFrame, k: int, build) -> DataFrame:
+    """Union of build(r) for r in 0..k-1 — one scan per replica, all
+    writes land in one job per table."""
+    parts = [build(df, r) for r in range(k)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def generate(spark, src: str, dst: str, k: int) -> None:
+    os.makedirs(dst, exist_ok=True)
+    st = _strides(spark, src)
+
+    def w(df: DataFrame, name: str, parts: int = 32) -> None:
+        df.repartition(parts).write.mode("overwrite").parquet(
+            f"{dst}/{name}.parquet"
+        )
+
+    # fixed dimensions: straight copies
+    for name in ("region", "nation"):
+        spark.read.parquet(f"{src}/{name}.parquet").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{dst}/{name}.parquet")
+
+    cust = spark.read.parquet(f"{src}/customer.parquet")
+    w(
+        _replicas(
+            cust,
+            k,
+            lambda d, r: d.select(
+                (F.col("c_custkey") + r * st["customer"]).alias("c_custkey"),
+                F.format_string(
+                    "Customer#%09d", F.col("c_custkey") + r * st["customer"]
+                ).alias("c_name"),
+                "c_nationkey",
+                "c_acctbal",
+                "c_mktsegment",
+            ),
+        ),
+        "customer",
+    )
+
+    supp = spark.read.parquet(f"{src}/supplier.parquet")
+    w(
+        _replicas(
+            supp,
+            k,
+            lambda d, r: d.select(
+                (F.col("s_suppkey") + r * st["supplier"]).alias("s_suppkey"),
+                F.format_string(
+                    "Supplier#%09d", F.col("s_suppkey") + r * st["supplier"]
+                ).alias("s_name"),
+                "s_nationkey",
+                "s_acctbal",
+            ),
+        ),
+        "supplier",
+    )
+
+    part = spark.read.parquet(f"{src}/part.parquet")
+    w(
+        _replicas(
+            part,
+            k,
+            lambda d, r: d.select(
+                (F.col("p_partkey") + r * st["part"]).alias("p_partkey"),
+                "p_name",
+                "p_brand",
+                "p_type",
+                "p_size",
+                "p_retailprice",
+            ),
+        ),
+        "part",
+    )
+
+    orders = spark.read.parquet(f"{src}/orders.parquet")
+    w(
+        _replicas(
+            orders,
+            k,
+            lambda d, r: d.select(
+                (F.col("o_orderkey") + r * st["orders"]).alias("o_orderkey"),
+                (F.col("o_custkey") + r * st["customer"]).alias("o_custkey"),
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderdate",
+                "o_orderpriority",
+            ),
+        ),
+        "orders",
+    )
+
+    li = spark.read.parquet(f"{src}/lineitem.parquet")
+    w(
+        _replicas(
+            li,
+            k,
+            lambda d, r: d.select(
+                (F.col("l_orderkey") + r * st["orders"]).alias("l_orderkey"),
+                (F.col("l_partkey") + r * st["part"]).alias("l_partkey"),
+                (F.col("l_suppkey") + r * st["supplier"]).alias("l_suppkey"),
+                "l_linenumber",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+                "l_tax",
+                "l_returnflag",
+                "l_linestatus",
+                "l_shipdate",
+            ),
+        ),
+        "lineitem",
+        parts=64,
+    )
+
+    ev = spark.read.parquet(f"{src}/events.parquet")
+    ts_type = dict(ev.dtypes).get("ts", "")
+    ts_col = (
+        F.timestamp_micros((F.col("ts") / 1000).cast("long")).cast("timestamp_ntz")
+        if ts_type == "bigint"  # TIMESTAMP(NANOS) read under nanosAsLong
+        else F.col("ts").cast("timestamp_ntz")
+    )
+    w(
+        _replicas(
+            ev,
+            k,
+            lambda d, r: d.select(
+                (F.col("event_id") + r * st["events"]).alias("event_id"),
+                ts_col.alias("ts"),
+                (F.col("user_id") + r * st["user"]).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            ),
+        ),
+        "events",
+    )
+
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    tag = lambda r: chr(ord("a") + r % 26) + chr(ord("a") + (r // 26) % 26)
+
+    def doc_replica(d, r):
+        if r == 0:
+            return d.select("doc_id", "text", "lang", "source", "n_chars")
+        text = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda t: F.concat(t, F.lit("q" + tag(r))),
+            ),
+            " ",
+        )
+        return d.select(
+            (F.col("doc_id") + r * st["documents"]).alias("doc_id"),
+            text.alias("text"),
+            "lang",
+            "source",
+            F.length(text).cast(dict(d.dtypes)["n_chars"]).alias("n_chars"),
+        )
+
+    w(_replicas(docs, k, doc_replica), "documents")
+
+    emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    dim = len(emb.head()["embedding"])
+    el_type = emb.schema["embedding"].dataType.elementType.simpleString()
+
+    def emb_replica(d, r):
+        if r == 0:
+            return d.select("vec_id", "embedding", "label")
+        shift = (7 * r) % dim
+        rot = F.expr(
+            f"transform(sequence(0, {dim - 1}), j -> "
+            f"CAST(element_at(embedding, pmod(j + {shift}, {dim}) + 1) * "
+            f"(CASE WHEN pmod(hash({r}, j), 2) = 0 THEN 1.0 ELSE -1.0 END) "
+            f"AS {el_type}))"
+        )
+        return d.select(
+            (F.col("vec_id") + r * st["embeddings"]).alias("vec_id"),
+            rot.alias("embedding"),
+            "label",
+        )
+
+    w(_replicas(emb, k, emb_replica), "embeddings")
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    src, dst, k = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark import (
+        session,
+    )
+
+    spark = session.get_spark()
+    generate(spark, src, dst, k)
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        n = spark.read.parquet(f"{dst}/{name}.parquet").count()
+        print(f"GEN {name} {n}")
