@@ -33,6 +33,9 @@ SF_DIRS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "CORRECTNESS_full.json"
+    global SF_DIRS
+    if len(sys.argv) > 2:  # optional extra sweep dirs (e.g. testdata_sf1)
+        SF_DIRS = SF_DIRS + sys.argv[2:]
     spark = get_spark("full-correctness")
     spark.sparkContext.setLogLevel("ERROR")
     oracles = entry_mod.oracle_sql()
