@@ -75,8 +75,9 @@ def test_expression_scorer_has_no_shuffle(spark):
     assert "Exchange" not in tree
 
 
-def test_simhash_blocking_is_hash_join_not_nested_loop(spark):
-    plan = plan_of(spark, "simhash_pairs")
+@pytest.mark.parametrize("name", ["simhash_pairs", "simhash64_pairs"])
+def test_simhash_blocking_is_hash_join_not_nested_loop(spark, name):
+    plan = plan_of(spark, name)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 

@@ -29,7 +29,8 @@ class TestShingleStore:
         path = build_shingle_artifact(spark, SF)
         assert path.startswith(store_dir)
         assert os.path.exists(os.path.join(path, "_DONE"))
-        for t in ("arrays", "kept", "hashes", "stop", "df", "bands", "simsig", "meta"):
+        for t in ("arrays", "kept", "hashes", "stop", "df", "bands",
+                  "simsig", "simsig64", "meta"):
             assert os.path.isdir(os.path.join(path, t)), t
 
         # second call must RESOLVE, not rebuild: the _DONE marker's
@@ -44,6 +45,7 @@ class TestShingleStore:
         store = _shingle_store(spark, SF)
         assert set(store) == {
             "arrays", "kept", "hashes", "stop", "df", "bands", "simsig",
+            "simsig64",
         }
 
     def test_manifest_matches_tables(self, spark, store_dir):
@@ -178,7 +180,8 @@ class TestIncrementalAppend:
                 for r in df.collect()
             )
 
-        for name in ("arrays", "kept", "hashes", "stop", "df", "bands", "simsig", "meta"):
+        for name in ("arrays", "kept", "hashes", "stop", "df", "bands",
+                     "simsig", "simsig64", "meta"):
             assert rows_of(full, name) == rows_of(out, name), name
 
         # and the prober can't tell the difference
