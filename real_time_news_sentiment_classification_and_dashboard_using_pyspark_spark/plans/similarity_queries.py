@@ -276,6 +276,59 @@ def embedding_near_dup_pairs(spark, sf_dir):
     return _block_grid_pairs(spark, sf_dir, threshold=0.3)
 
 
+@register(
+    "embedding_near_dup_topk",
+    oracle=f"""
+WITH {_E_CTE},
+pairs AS (
+    SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+           {_cos_sql('a.emb', 'b.emb')} AS cos_sim
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+    SELECT vec_id, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM pairs WHERE cos_sim >= 0.3
+)
+SELECT vec_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 3
+""",
+    tags=("similarity", "dedup", "topk"),
+)
+def embedding_near_dup_topk(spark, sf_dir):
+    """Output-capped vector near-dup: each vector's top-3 neighbors
+    above the family radius — the production rendering of the round-6
+    sf1 finding that a fixed absolute threshold makes the PAIR SET
+    quadratic in corpus size (`embedding_near_dup_pairs` output grew
+    101x for 10x vectors, PERF.md round 6). A dedup/linking consumer
+    rarely needs every pair — it needs each item's strongest matches;
+    capping per-vector rank turns O(n^2) output into O(n * m) while
+    keeping the decision threshold. Compute reuses the SAME cached
+    block-grid matmul as the uncapped query (pairs expanded to both
+    directions, per-vector window, rank <= 3); at 100 TB the candidate
+    generator swaps to the LSH/IVF family and this cap is applied per
+    bucket."""
+    pairs = _block_grid_pairs(spark, sf_dir, threshold=0.3)
+    both = pairs.select(
+        F.col("vec_a").alias("vec_id"),
+        F.col("vec_b").alias("neighbor_id"),
+        "cos_sim",
+    ).unionByName(
+        pairs.select(
+            F.col("vec_b").alias("vec_id"),
+            F.col("vec_a").alias("neighbor_id"),
+            "cos_sim",
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        both.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("vec_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 _BASE_PAIR_THRESHOLD = 0.3
 
 
