@@ -23,21 +23,90 @@ TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
 
 
+# ---------------------------------------------------------------------------
+# Exact-money arithmetic (the house pattern, PERF.md rounds 5-6).
+#
+# Every money column in the testdata is a canonical 2-decimal double, so
+# CAST(round(x * 100) AS BIGINT) recovers exact integer cents on both
+# engines. Sums/averages of money are therefore computed over integer
+# cents (products of 2dp factors over integer ten-thousandths), with ONE
+# final float division — never round(sum(double), 2), whose last-cent
+# value depends on float accumulation order and diverges between Spark
+# and DuckDB once groups reach millions of rows (caught by the sf1
+# sweep: brand_revenue/nation_revenue/returnflag_rollup failed at sf1
+# while green at sf0.1). Headroom: cents*pct ten-thousandths sum in
+# BIGINT supports ~9e14 max-priced lineitems per GROUP; wider deploys
+# move the accumulator to DECIMAL(38, n).
+# ---------------------------------------------------------------------------
+
+def _cents(col: str):
+    """Exact integer cents of a canonical-2dp money column."""
+    return F.round(F.col(col) * 100).cast("bigint")
+
+
+def _cents_sql(col: str) -> str:
+    return f"CAST(round({col} * 100) AS BIGINT)"
+
+
+def _rev_i():
+    """l_extendedprice * (1 - l_discount) in exact integer
+    ten-thousandths: cents x integer (100 - discount-pct)."""
+    return _cents("l_extendedprice") * F.round(
+        (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+
+
+_REV_I_SQL = (
+    f"{_cents_sql('l_extendedprice')} * "
+    "CAST(round((1 - l_discount) * 100) AS BIGINT)"
+)
+
+
+def sum_money(col: str, alias: str):
+    """Exact sum of a 2dp money column, one final /100 division."""
+    return (F.sum(_cents(col)) / F.lit(100.0)).alias(alias)
+
+
+def sum_money_sql(col: str, alias: str) -> str:
+    return f"CAST(sum({_cents_sql(col)}) AS BIGINT) / 100.0 AS {alias}"
+
+
+def sum_revenue(alias: str = "revenue"):
+    """Exact sum of price*(1-disc), one final /10000 division."""
+    return (F.sum(_rev_i()) / F.lit(10000.0)).alias(alias)
+
+
+def sum_revenue_sql(alias: str = "revenue") -> str:
+    return f"CAST(sum({_REV_I_SQL}) AS BIGINT) / 10000.0 AS {alias}"
+
+
+def avg_money(col: str, alias: str):
+    """Exact-cents average: sum(cents)/100.0/count — identical division
+    sequence on both engines, no engine-side rounding."""
+    return (F.sum(_cents(col)) / F.lit(100.0) / F.count(F.lit(1))).alias(alias)
+
+
+def avg_money_sql(col: str, alias: str) -> str:
+    return f"CAST(sum({_cents_sql(col)}) AS BIGINT) / 100.0 / count(*) AS {alias}"
+
+
 # --------------------------------------------------------------------------
 # G: aggregations
 # --------------------------------------------------------------------------
 
 @register(
     "pricing_summary",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                          AS sum_qty,
-       round(sum(l_extendedprice), 2)                                     AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
-       round(avg(l_quantity), 4)                                          AS avg_qty,
-       round(avg(l_extendedprice), 4)                                     AS avg_price,
-       round(avg(l_discount), 4)                                          AS avg_disc,
+       sum(l_quantity)                                                    AS sum_qty,
+       {sum_money_sql('l_extendedprice', 'sum_base_price')},
+       {sum_revenue_sql('sum_disc_price')},
+       CAST(sum({_REV_I_SQL} * CAST(round((1 + l_tax) * 100) AS BIGINT)) AS BIGINT)
+           / 1000000.0                                                    AS sum_charge,
+       sum(l_quantity) / count(*)                                         AS avg_qty,
+       {avg_money_sql('l_extendedprice', 'avg_price')},
+       CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) / 100.0
+           / count(*)                                                     AS avg_disc,
        count(*)                                                           AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -49,20 +118,28 @@ def pricing_summary(spark, sf_dir):
     """TPC-H Q1-shaped scan->filter->hash-agg. Scale: pure map-side
     partial agg + tiny final agg on (flag,status); the filter reaches the
     parquet scan as a pushed predicate; only 6 grouping keys so the final
-    shuffle is a few KB regardless of input size."""
+    shuffle is a few KB regardless of input size. Money aggregates are
+    exact integer cents/1e4ths/1e6ths with one final division (module
+    header) — quantity sums stay plain doubles because l_quantity is
+    integer-valued and float addition of integers is exact (and thus
+    order-independent) below 2^53."""
     l = table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge_i = _rev_i() * F.round((1 + F.col("l_tax")) * 100).cast("bigint")
     return (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.sum("l_quantity").alias("sum_qty"),
+            sum_money("l_extendedprice", "sum_base_price"),
+            sum_revenue("sum_disc_price"),
+            (F.sum(charge_i) / F.lit(1000000.0)).alias("sum_charge"),
+            (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            avg_money("l_extendedprice", "avg_price"),
+            (
+                F.sum(F.round(F.col("l_discount") * 100).cast("bigint"))
+                / F.lit(100.0)
+                / F.count(F.lit(1))
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -75,7 +152,8 @@ SELECT c_mktsegment,
        count(*)                       AS n_customers,
        round(min(c_acctbal), 2)       AS min_bal,
        round(max(c_acctbal), 2)       AS max_bal,
-       round(avg(c_acctbal), 4)       AS avg_bal,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0
+           / count(*)                 AS avg_bal,
        count(DISTINCT c_nationkey)    AS n_nations
 FROM customer
 GROUP BY c_mktsegment
@@ -91,7 +169,7 @@ def acctbal_stats_by_segment(spark, sf_dir):
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.min("c_acctbal"), 2).alias("min_bal"),
         F.round(F.max("c_acctbal"), 2).alias("max_bal"),
-        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        avg_money("c_acctbal", "avg_bal"),
         F.countDistinct("c_nationkey").alias("n_nations"),
     )
 
@@ -101,8 +179,10 @@ def acctbal_stats_by_segment(spark, sf_dir):
     oracle="""
 SELECT strftime(o_orderdate, '%Y-%m')      AS order_month,
        count(*)                            AS n_orders,
-       round(sum(o_totalprice), 2)         AS sum_total,
-       round(avg(o_totalprice), 4)         AS avg_total
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+                                           AS sum_total,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+           / count(*)                      AS avg_total
 FROM orders
 GROUP BY order_month
 """,
@@ -117,8 +197,8 @@ def monthly_order_stats(spark, sf_dir):
         .groupBy("order_month")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_total"),
+            sum_money("o_totalprice", "sum_total"),
+            avg_money("o_totalprice", "avg_total"),
         )
     )
 
@@ -177,7 +257,7 @@ def event_type_pct(spark, sf_dir):
     "brand_revenue",
     oracle="""
 SELECT p_brand,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
        round(sum(l.l_quantity), 2)                           AS sum_qty,
        count(*)                                              AS n_lines
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
@@ -195,7 +275,7 @@ def brand_revenue(spark, sf_dir):
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            sum_revenue("revenue"),
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.count(F.lit(1)).alias("n_lines"),
         )
@@ -207,7 +287,7 @@ def brand_revenue(spark, sf_dir):
     oracle="""
 SELECT o.o_orderkey,
        strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -237,7 +317,7 @@ def top_revenue_orders(spark, sf_dir):
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(sum_revenue("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
     )
@@ -247,7 +327,7 @@ def top_revenue_orders(spark, sf_dir):
     "nation_revenue",
     oracle="""
 SELECT n.n_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
        count(*) AS n_lines
 FROM region r
 JOIN nation n   ON n.n_regionkey = r.r_regionkey
@@ -282,7 +362,7 @@ def nation_revenue(spark, sf_dir):
         .join(F.broadcast(dims), o.o_custkey == F.col("c_custkey"))
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            sum_revenue("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -292,7 +372,7 @@ def nation_revenue(spark, sf_dir):
     "supplier_nation_revenue",
     oracle="""
 SELECT n.n_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
        count(*) AS n_lines
 FROM lineitem l
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -313,7 +393,7 @@ def supplier_nation_revenue(spark, sf_dir):
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            sum_revenue("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -367,7 +447,7 @@ def customers_without_orders(spark, sf_dir):
     oracle="""
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 2) AS total_value
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
 FROM events GROUP BY event_type
 """,
     tags=("agg", "skew", "salted"),
@@ -386,13 +466,13 @@ def salted_event_type_stats(spark, sf_dir):
         "event_type",
         {
             "n_events": (F.count(F.lit(1)), F.sum("n_events")),
-            "total_value": (F.sum("value"), F.sum("total_value")),
+            "total_value": (F.sum(_cents("value")), F.sum("total_value")),
         },
     )
     return merged.select(
         "event_type",
         F.col("n_events").cast("bigint").alias("n_events"),
-        F.round("total_value", 2).alias("total_value"),
+        (F.col("total_value") / F.lit(100.0)).alias("total_value"),
     )
 
 
@@ -608,7 +688,7 @@ WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, "value", 
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
        event_type,
        count(*) AS cnt,
-       round(sum("value"), 2) AS sum_value
+       CAST(sum(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
 FROM ev
 GROUP BY 1, 2
 """,
@@ -626,7 +706,7 @@ def events_hourly(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            (F.sum(_cents("value")) / F.lit(100.0)).alias("sum_value"),
         )
     )
 
@@ -720,7 +800,7 @@ def event_sessions(spark, sf_dir):
 @register(
     "promo_revenue",
     oracle="""
-SELECT round(sum(l_extendedprice * l_discount), 2) AS promo_revenue,
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) / 10000.0 AS promo_revenue,
        count(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -746,7 +826,7 @@ def promo_revenue(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("promo_revenue"),
+            (F.sum(_cents("l_extendedprice") * F.round(F.col("l_discount") * 100).cast("bigint")) / F.lit(10000.0)).alias("promo_revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -758,7 +838,7 @@ def promo_revenue(spark, sf_dir):
 SELECT l_returnflag, l_linestatus,
        CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
        CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
        count(*) AS n_lines
 FROM lineitem
 GROUP BY ROLLUP(l_returnflag, l_linestatus)
@@ -777,7 +857,7 @@ def returnflag_rollup(spark, sf_dir):
         .agg(
             F.grouping("l_returnflag").cast("int").alias("g_flag"),
             F.grouping("l_linestatus").cast("int").alias("g_status"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            sum_revenue("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
         .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "revenue", "n_lines")
@@ -1058,7 +1138,7 @@ SELECT count(*) AS n_events,
        round(avg(CASE WHEN o_orderkey IS NOT NULL
                       THEN (epoch_us(ts) - epoch_us(o_orderdate)) / 86400000000.0 END), 4)
            AS avg_lag_days,
-       round(sum(coalesce(o_totalprice, CAST(0.0 AS DOUBLE))), 2) AS matched_totalprice
+       CAST(sum(coalesce(CAST(round(o_totalprice * 100) AS BIGINT), CAST(0 AS BIGINT))) AS BIGINT) / 100.0 AS matched_totalprice
 FROM j
 """,
     tags=("join", "asof"),
@@ -1104,7 +1184,7 @@ def events_asof_orders(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.sum(matched.cast("int")).cast("bigint").alias("n_matched"),
         F.round(F.avg(F.when(matched, lag_days)), 4).alias("avg_lag_days"),
-        F.round(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 2).alias("matched_totalprice"),
+        (F.sum(F.coalesce(_cents("o_totalprice"), F.lit(0).cast("bigint"))) / F.lit(100.0)).alias("matched_totalprice"),
     )
 
 
@@ -1227,7 +1307,7 @@ WITH bands(band_name, lo, hi) AS (VALUES
 )
 SELECT b.band_name,
        count(*) AS cnt,
-       round(sum(e."value"), 2) AS sum_value
+       CAST(sum(CAST(round(e."value" * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
 FROM events e JOIN bands b ON e."value" >= b.lo AND e."value" < b.hi
 GROUP BY b.band_name
 """,
@@ -1252,7 +1332,7 @@ def value_band_join(spark, sf_dir):
         .groupBy("band_name")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            (F.sum(_cents("value")) / F.lit(100.0)).alias("sum_value"),
         )
     )
 
@@ -1908,7 +1988,7 @@ def daily_events_gapfill(spark, sf_dir):
 SELECT coalesce(r.r_name, '(all)') AS region,
        coalesce(o.o_orderstatus, '(all)') AS status,
        CAST(count(*) AS BIGINT) AS n_orders,
-       round(sum(o.o_totalprice), 2) AS total_price
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_price
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -1937,7 +2017,7 @@ def region_status_cube(spark, sf_dir):
         joined.cube("r_name", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            sum_money("o_totalprice", "total_price"),
         )
         .select(
             F.coalesce(F.col("r_name"), F.lit("(all)")).alias("region"),
@@ -1987,7 +2067,7 @@ def approx_quantile_contract(spark, sf_dir):
     oracle="""
 SELECT o.o_orderkey,
        strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -2015,9 +2095,7 @@ def shipping_priority(spark, sf_dir):
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            sum_revenue("revenue")
         )
         .select(
             "o_orderkey",
@@ -2033,7 +2111,7 @@ def shipping_priority(spark, sf_dir):
     "returned_item_ranking",
     oracle="""
 SELECT c.c_custkey, c.c_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
        CAST(count(*) AS BIGINT) AS n_lines
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -2064,9 +2142,7 @@ def returned_item_ranking(spark, sf_dir):
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            sum_revenue("revenue"),
             F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -2142,7 +2218,7 @@ def nation_market_share(spark, sf_dir):
     "discounted_brand_revenue",
     oracle="""
 SELECT CAST(count(*) AS BIGINT) AS n_lines,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_quantity <= 30
   AND p.p_size <= 15
@@ -2180,7 +2256,7 @@ def discounted_brand_revenue(spark, sf_dir):
     )
     return j.filter(disj).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        sum_revenue("revenue"),
     )
 
 
@@ -2330,7 +2406,7 @@ WITH avg_bal AS (
 )
 SELECT n.n_name,
        CAST(count(*) AS BIGINT) AS n_custs,
-       round(sum(c.c_acctbal), 2) AS total_bal
+       CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_bal
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 CROSS JOIN avg_bal
@@ -2364,7 +2440,7 @@ def idle_rich_customers(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_custs"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            sum_money("c_acctbal", "total_bal"),
         )
     )
 
@@ -2373,7 +2449,7 @@ def idle_rich_customers(spark, sf_dir):
     "local_supplier_volume",
     oracle="""
 SELECT n.n_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
 FROM customer c
 JOIN orders o   ON o.o_custkey = c.c_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -2418,9 +2494,7 @@ def local_supplier_volume(spark, sf_dir):
         )
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            sum_revenue("revenue")
         )
     )
 
@@ -2430,7 +2504,7 @@ def local_supplier_volume(spark, sf_dir):
     oracle="""
 WITH rev AS (
     SELECT l_suppkey AS supplier_no,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) / 10000.0 AS total_revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate < TIMESTAMP '1997-04-01'
@@ -2455,9 +2529,7 @@ def top_supplier_revenue(spark, sf_dir):
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
     )
     rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "total_revenue"
-        )
+        sum_revenue("total_revenue")
     )
     m = rev.agg(F.max("total_revenue").alias("mx"))
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -2475,7 +2547,7 @@ WITH avg_qty AS (
     SELECT l_partkey, avg(l_quantity) AS aq
     FROM lineitem GROUP BY l_partkey
 )
-SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 700.0 AS avg_yearly
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 JOIN avg_qty a ON a.l_partkey = l.l_partkey
@@ -2505,7 +2577,7 @@ def small_qty_order_revenue(spark, sf_dir):
         .filter(F.col("l_quantity") < 0.2 * F.col("aq"))
     )
     return j.agg(
-        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        (F.sum(_cents("l_extendedprice")) / F.lit(700.0)).alias("avg_yearly")
     )
 
 
@@ -2533,7 +2605,7 @@ m AS (
 )
 SELECT action,
        CAST(count(*) AS BIGINT) AS n_rows,
-       round(sum(price), 2) AS total_price
+       CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_price
 FROM m GROUP BY action
 """,
     tags=("merge", "upsert", "join"),
@@ -2570,7 +2642,7 @@ def orders_upsert_merge(spark, sf_dir):
     merged = merge_upsert(o.select(*changes.columns), changes, "o_orderkey")
     return merged.groupBy(F.col("_merge_action").alias("action")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        sum_money("o_totalprice", "total_price"),
     )
 
 
@@ -2600,7 +2672,7 @@ merged AS (
 )
 SELECT CASE WHEN valid_to IS NULL THEN 'current' ELSE 'closed' END AS state,
        CAST(count(*) AS BIGINT) AS n_rows,
-       round(sum(c_acctbal), 2) AS total_acctbal
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_acctbal
 FROM merged GROUP BY 1
 """,
     tags=("scd2", "merge", "join"),
@@ -2638,7 +2710,7 @@ def customer_scd2_batch(spark, sf_dir):
         F.when(F.col("valid_to").isNull(), "current").otherwise("closed").alias("state")
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        sum_money("c_acctbal", "total_acctbal"),
     )
 
 
