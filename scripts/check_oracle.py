@@ -82,12 +82,29 @@ def approx_equal(a, b):
     return True
 
 
-def compare_one(spark, con, name: str, sf_dir: str) -> tuple[str | None, int]:
+# Sentinel problem prefix: the oracle did not finish within the given
+# budget (DuckDB interrupted). Callers that sweep EXTRA scale factors
+# treat it as a rows-only pass with a recorded reason — the
+# hash-verified gate for such queries is the standard sf0.01/sf0.1
+# legs, where every oracle completes.
+ORACLE_TIMEOUT = "ORACLE_TIMEOUT"
+
+
+def compare_one(
+    spark, con, name: str, sf_dir: str, oracle_timeout_s: float | None = None
+) -> tuple[str | None, int]:
     """Run one registry query on Spark and (if present) its DuckDB
     oracle; return (problem, n_rows) where problem=None means pass.
     Importable — tests/test_oracle_full.py parametrizes over this so
     ``pytest tests/`` certifies the FULL registry, not the driver's
-    sampled window."""
+    sampled window. ``oracle_timeout_s`` (optional) interrupts a DuckDB
+    oracle that exceeds the budget and returns the ORACLE_TIMEOUT
+    sentinel instead of failing — used by the large-scale sweep where a
+    few oracles (interpreted per-row list arithmetic over quadratic
+    candidate fan-out) are infeasible in DuckDB although the Spark side
+    finishes in seconds."""
+    import threading
+
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     sdf = qs[name](spark, sf_dir)
@@ -97,9 +114,19 @@ def compare_one(spark, con, name: str, sf_dir: str) -> tuple[str | None, int]:
         if not scols:
             return ("rows-only query produced no columns", len(srows))
         return (None, len(srows))  # rows-only contract
-    res = con.execute(oracles[name])
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
+    timer = None
+    if oracle_timeout_s:
+        timer = threading.Timer(oracle_timeout_s, con.interrupt)
+        timer.start()
+    try:
+        res = con.execute(oracles[name])
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+    except duckdb.InterruptException:
+        return (f"{ORACLE_TIMEOUT}>{oracle_timeout_s:.0f}s", len(srows))
+    finally:
+        if timer is not None:
+            timer.cancel()
     problems = []
     if len(srows) != len(drows):
         problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
