@@ -1780,11 +1780,52 @@ def _cluster_sizes(pairs) -> DataFrame:
     )
 
 
+def _min_label_cc_ctes(rounds: int = 16) -> str:
+    """Chained-CTE connected components over an ``edges(s, d)`` relation
+    (both directions present): UNROLLED min-label propagation with
+    pointer halving — each round takes least(own label, label-of-label,
+    min over in-neighbors' labels), so convergence needs O(log
+    diameter) rounds and 16 covers any component this corpus family can
+    produce. Ends with ``comp(v, cluster_id)`` plus
+    ``cc_unconverged(n)``; every consumer appends a sentinel row from
+    cc_unconverged so a non-converged propagation surfaces as a VISIBLE
+    mismatch, never a silently wrong answer.
+
+    Replaces the recursive ``reach`` CTE, which materialized the full
+    (node, reachable-root) relation — O(|component|^2) rows. Fine on
+    the small-scale corpora; on sf1's giant 0.4-radius random component
+    (~20k nodes) that is ~4e8 accumulating rows and DuckDB ground for
+    45+ minutes before the sweep's oracle budget cut it off."""
+    parts = ["r0 AS MATERIALIZED (SELECT DISTINCT s AS v, s AS l FROM edges)"]
+    for i in range(rounds):
+        parts.append(
+            f"""r{i + 1} AS MATERIALIZED (
+    SELECT r.v, least(r.l, lj.l, coalesce(m.ml, r.l)) AS l
+    FROM r{i} r
+    JOIN r{i} lj ON lj.v = r.l
+    LEFT JOIN (
+        SELECT e.d AS v, min(r2.l) AS ml
+        FROM edges e JOIN r{i} r2 ON r2.v = e.s
+        GROUP BY e.d
+    ) m ON m.v = r.v
+)"""
+        )
+    parts.append(f"comp AS (SELECT v, l AS cluster_id FROM r{rounds})")
+    parts.append(
+        f"""cc_unconverged AS (
+    SELECT count(*) AS n
+    FROM r{rounds} a JOIN r{rounds - 1} b USING (v)
+    WHERE a.l <> b.l
+)"""
+    )
+    return ",\n".join(parts)
+
+
 def _near_dup_clusters_oracle() -> str:
     from .similarity_queries import _BANDED_BUCKETS_CTE
 
     return f"""
-WITH RECURSIVE {_BANDED_BUCKETS_CTE},
+WITH {_BANDED_BUCKETS_CTE},
 en AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
 cand AS (
     SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -1797,19 +1838,16 @@ pairs AS (
     FROM cand c JOIN en x ON c.vec_a = x.vec_id JOIN en y ON c.vec_b = y.vec_id
     WHERE round(list_dot_product(x.emb, y.emb) / (x.nrm * y.nrm), 6) >= 0.4
 ),
-edges AS (
+edges AS MATERIALIZED (
     SELECT vec_a AS s, vec_b AS d FROM pairs
     UNION ALL
     SELECT vec_b AS s, vec_a AS d FROM pairs
 ),
-reach(v, r) AS (
-    SELECT DISTINCT s AS v, s AS r FROM edges
-    UNION
-    SELECT edges.d AS v, reach.r FROM reach JOIN edges ON edges.s = reach.v
-),
-comp AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v)
+{_min_label_cc_ctes()}
 SELECT cluster_id, CAST(count(*) AS BIGINT) AS size
 FROM comp GROUP BY cluster_id
+UNION ALL
+SELECT CAST(-1 AS BIGINT), n FROM cc_unconverged WHERE n > 0
 """
 
 
@@ -1852,8 +1890,8 @@ def near_dup_clusters(spark, sf_dir):
 
 @register(
     "near_dup_clusters_exact",
-    oracle="""
-WITH RECURSIVE
+    oracle=f"""
+WITH
 e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 pairs AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -1861,19 +1899,16 @@ pairs AS (
     WHERE round(list_dot_product(a.emb, b.emb) /
           (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.4
 ),
-edges AS (
+edges AS MATERIALIZED (
     SELECT vec_a AS s, vec_b AS d FROM pairs
     UNION ALL
     SELECT vec_b AS s, vec_a AS d FROM pairs
 ),
-reach(v, r) AS (
-    SELECT DISTINCT s AS v, s AS r FROM edges
-    UNION
-    SELECT edges.d AS v, reach.r FROM reach JOIN edges ON edges.s = reach.v
-),
-comp AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v)
+{_min_label_cc_ctes()}
 SELECT cluster_id, CAST(count(*) AS BIGINT) AS size
 FROM comp GROUP BY cluster_id
+UNION ALL
+SELECT CAST(-1 AS BIGINT), n FROM cc_unconverged WHERE n > 0
 """,
     tags=("dedup", "clusters", "iterative", "exact"),
 )
@@ -2027,17 +2062,12 @@ pairs AS (
     FROM cand c JOIN en x ON c.vec_a = x.vec_id JOIN en y ON c.vec_b = y.vec_id
     WHERE round(list_dot_product(x.emb, y.emb) / (x.nrm * y.nrm), 6) >= 0.4
 ),
-edges AS (
+edges AS MATERIALIZED (
     SELECT vec_a AS s, vec_b AS d FROM pairs
     UNION ALL
     SELECT vec_b AS s, vec_a AS d FROM pairs
 ),
-reach(v, r) AS (
-    SELECT DISTINCT s AS v, s AS r FROM edges
-    UNION
-    SELECT edges.d AS v, reach.r FROM reach JOIN edges ON edges.s = reach.v
-),
-comp AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v),
+{_min_label_cc_ctes()},
 marked AS (
     SELECT lab.label,
            CASE WHEN comp.v IS NOT NULL AND comp.v <> comp.cluster_id THEN 1 ELSE 0 END AS removed
@@ -2048,6 +2078,9 @@ SELECT label,
        CAST(sum(1 - removed) AS BIGINT) AS n_kept,
        CAST(sum(removed) AS BIGINT) AS n_removed
 FROM marked GROUP BY label
+UNION ALL
+SELECT CAST(-1 AS BIGINT), n, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+FROM cc_unconverged WHERE n > 0
 """
 
 
