@@ -1555,7 +1555,14 @@ def _simhash_pair_set(spark, sf_dir, doc_pred=None) -> DataFrame:
         # uncached, the 32-aggregate signature pass runs 4x. Evict the
         # previous restricted cache so calls don't accumulate entries.
         while _SIMHASH_SIG_CACHE_SLOT:
-            _SIMHASH_SIG_CACHE_SLOT.pop().unpersist()
+            # best-effort eviction (ADVICE r6): the slot is module-global
+            # and can outlive the SparkSession that cached it in a
+            # long-lived process; unpersist on a dead session raises and
+            # must not abort the NEW query
+            try:
+                _SIMHASH_SIG_CACHE_SLOT.pop().unpersist()
+            except Exception:  # noqa: BLE001 - stale-session handle
+                pass
         sig = _simhash_sig_from_hashes(store["hashes"].filter(doc_pred)).cache()
         _SIMHASH_SIG_CACHE_SLOT.append(sig)
 

@@ -90,6 +90,23 @@ def avg_money_sql(col: str, alias: str) -> str:
     return f"CAST(sum({_cents_sql(col)}) AS BIGINT) / 100.0 / count(*) AS {alias}"
 
 
+# Pre-projected-integer variants (round-7 perf reclaim): on the hot
+# aggregates the round()+cast work is hoisted into ONE Project per scan
+# (before any Expand/rollup/cube duplication and before joins widen the
+# row), so each source row pays the double->int conversion exactly once;
+# the aggregate then sums plain BIGINTs. Values are bit-identical to the
+# inline forms — same integers, same single final division.
+
+def sum_cents_col(col: str, alias: str):
+    """Sum a pre-projected integer-cents column; one final /100."""
+    return (F.sum(col) / F.lit(100.0)).alias(alias)
+
+
+def sum_rev_col(col: str, alias: str = "revenue"):
+    """Sum a pre-projected integer ten-thousandths revenue column."""
+    return (F.sum(col) / F.lit(10000.0)).alias(alias)
+
+
 # --------------------------------------------------------------------------
 # G: aggregations
 # --------------------------------------------------------------------------
@@ -122,24 +139,38 @@ def pricing_summary(spark, sf_dir):
     exact integer cents/1e4ths/1e6ths with one final division (module
     header) — quantity sums stay plain doubles because l_quantity is
     integer-valued and float addition of integers is exact (and thus
-    order-independent) below 2^53."""
+    order-independent) below 2^53. Round-7: the double->int conversions
+    are hoisted into one Project per scan row (ep_c/disc_rem/tax_f/
+    disc_c computed once, reused by four aggregates) instead of being
+    re-evaluated inside each aggregate expression."""
     l = table(spark, sf_dir, "lineitem")
-    charge_i = _rev_i() * F.round((1 + F.col("l_tax")) * 100).cast("bigint")
-    return (
+    rows = (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            _cents("l_extendedprice").alias("ep_c"),
+            F.round((1 - F.col("l_discount")) * 100).cast("bigint").alias("disc_rem"),
+            F.round((1 + F.col("l_tax")) * 100).cast("bigint").alias("tax_f"),
+            F.round(F.col("l_discount") * 100).cast("bigint").alias("disc_c"),
+        )
+    )
+    return (
+        rows.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            sum_money("l_extendedprice", "sum_base_price"),
-            sum_revenue("sum_disc_price"),
-            (F.sum(charge_i) / F.lit(1000000.0)).alias("sum_charge"),
-            (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
-            avg_money("l_extendedprice", "avg_price"),
+            sum_cents_col("ep_c", "sum_base_price"),
+            (F.sum(F.col("ep_c") * F.col("disc_rem")) / F.lit(10000.0)).alias(
+                "sum_disc_price"
+            ),
             (
-                F.sum(F.round(F.col("l_discount") * 100).cast("bigint"))
-                / F.lit(100.0)
-                / F.count(F.lit(1))
-            ).alias("avg_disc"),
+                F.sum(F.col("ep_c") * F.col("disc_rem") * F.col("tax_f"))
+                / F.lit(1000000.0)
+            ).alias("sum_charge"),
+            (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum("ep_c") / F.lit(100.0) / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum("disc_c") / F.lit(100.0) / F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -268,14 +299,18 @@ GROUP BY p_brand
 def brand_revenue(spark, sf_dir):
     """Fact x small-dim join. `part` is explicitly broadcast: at 100 TB
     the lineitem side never shuffles for the join — only the final 25-ish
-    brand groups move."""
-    l = table(spark, sf_dir, "lineitem")
-    p = table(spark, sf_dir, "part")
+    brand groups move. The integer revenue column is projected before the
+    join, so the probe rows carry (partkey, qty, rev_i) only and the
+    double->int conversion happens once per scan row."""
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", _rev_i().alias("rev_i")
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
-            sum_revenue("revenue"),
+            sum_rev_col("rev_i", "revenue"),
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.count(F.lit(1)).alias("n_lines"),
         )
@@ -352,7 +387,9 @@ def nation_revenue(spark, sf_dir):
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
-    l = table(spark, sf_dir, "lineitem")
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", _rev_i().alias("rev_i")
+    )
     dims = (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -362,7 +399,7 @@ def nation_revenue(spark, sf_dir):
         .join(F.broadcast(dims), o.o_custkey == F.col("c_custkey"))
         .groupBy("n_name")
         .agg(
-            sum_revenue("revenue"),
+            sum_rev_col("rev_i", "revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -384,16 +421,18 @@ GROUP BY n.n_name
 def supplier_nation_revenue(spark, sf_dir):
     """Chained broadcast joins (supplier, nation both tiny): lineitem is
     never shuffled pre-aggregation; zero exchange until the 25-row final
-    agg."""
-    l = table(spark, sf_dir, "lineitem")
-    s = table(spark, sf_dir, "supplier")
-    n = table(spark, sf_dir, "nation")
+    agg. Integer revenue projected pre-join (once per scan row)."""
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", _rev_i().alias("rev_i")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
         l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            sum_revenue("revenue"),
+            sum_rev_col("rev_i", "revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -850,14 +889,18 @@ def returnflag_rollup(spark, sf_dir):
     multi-level aggregation in ONE pass instead of three queries.
     grouping() flags disambiguate real nulls from rollup nulls. Spark
     expands this to a single Expand + hash agg; the shuffle still
-    carries only (flags x statuses x 3) groups."""
-    l = table(spark, sf_dir, "lineitem")
+    carries only (flags x statuses x 3) groups. The integer revenue is
+    projected BEFORE the rollup, so Expand's 3x row duplication copies a
+    precomputed bigint instead of re-running round()+cast per copy."""
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", _rev_i().alias("rev_i")
+    )
     return (
         l.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.grouping("l_returnflag").cast("int").alias("g_flag"),
             F.grouping("l_linestatus").cast("int").alias("g_status"),
-            sum_revenue("revenue"),
+            sum_rev_col("rev_i", "revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
         .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "revenue", "n_lines")
@@ -2003,11 +2046,16 @@ def region_status_cube(spark, sf_dir):
     the grand total in a single pass — the OLAP cross-tab feed. Spark
     compiles cube() to one Expand + one aggregate (each input row
     emitted once per grouping set), so the fact side is still scanned
-    and shuffled once; the dimension joins stay broadcast."""
-    o = table(spark, sf_dir, "orders")
-    c = table(spark, sf_dir, "customer")
-    n = table(spark, sf_dir, "nation")
-    r = table(spark, sf_dir, "region")
+    and shuffled once; the dimension joins stay broadcast. Integer cents
+    are projected at the fact scan — before the joins widen the row and
+    before Expand's 4x duplication — so the conversion runs once per
+    order row."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus", _cents("o_totalprice").alias("tp_c")
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
     joined = (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -2017,7 +2065,7 @@ def region_status_cube(spark, sf_dir):
         joined.cube("r_name", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-            sum_money("o_totalprice", "total_price"),
+            sum_cents_col("tp_c", "total_price"),
         )
         .select(
             F.coalesce(F.col("r_name"), F.lit("(all)")).alias("region"),

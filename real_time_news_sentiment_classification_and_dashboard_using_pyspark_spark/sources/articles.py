@@ -135,6 +135,15 @@ def read_articles_mixed(
     elif n_dirty > dirty_collect_cap:
         from pyspark.sql.types import ArrayType
 
+        # Cost trade (ADVICE r6): this wholetext scan re-reads the WHOLE
+        # directory — clean files included — as one row per file before
+        # the semi-join discards the clean ones. Driver memory stays
+        # O(1), but each executor task holds O(largest file) and the
+        # clean files' bytes are read a second time. Acceptable because
+        # the dirty-MAJORITY branch is by construction rare (normal runs
+        # take the bounded-collect branch above); deployments where
+        # dirty files share a naming convention should restrict the scan
+        # with spark.read.option("pathGlobFilter", ...) instead.
         whole = (
             # NB: must be the .text() kwarg — DataFrameReader.text()
             # overwrites a prior .option("wholetext", ...) with its default

@@ -9,11 +9,21 @@ entries never appear in a driver artifact even though the full sweep
 runs on every ``pytest tests/``. This makes the full sweep
 judge-visible at zero engine cost.
 
-Usage: python scripts/full_correctness_artifact.py CORRECTNESS_full_r05.json
+Usage:
+    python scripts/full_correctness_artifact.py CORRECTNESS_full_r05.json
+    python scripts/full_correctness_artifact.py out.json /root/testdata_sf1
+    python scripts/full_correctness_artifact.py out.json --family dedup
+
+``--family NAME`` restricts the sweep to queries whose defining plans
+module, tags, or name contain NAME (e.g. ``dedup``, ``similarity``,
+``join``) so per-family re-verification during development doesn't pay
+the full-registry x all-scales cost (~45 min for 135 x 3 with the sf1
+clustering oracles; a single family at sf0.01+sf0.1 is 1-3 min).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 import time
@@ -31,11 +41,47 @@ from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark i
 SF_DIRS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
 
+def select_queries(family: str | None) -> list[str]:
+    """Registry names, optionally filtered to a family: substring match
+    on the defining plans module, the query name, or any tag."""
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans import (
+        REGISTRY,
+    )
+
+    names = list(entry_mod.queries())
+    if not family:
+        return names
+    fam = family.lower()
+    picked = [
+        n
+        for n in names
+        if n in REGISTRY
+        and (
+            fam in REGISTRY[n].fn.__module__.rsplit(".", 1)[-1]
+            or fam in n
+            or any(fam in t for t in REGISTRY[n].tags)
+        )
+    ]
+    if not picked:
+        raise SystemExit(f"--family {family!r} matched no registry queries")
+    return picked
+
+
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "CORRECTNESS_full.json"
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out_path", nargs="?", default="CORRECTNESS_full.json")
+    ap.add_argument(
+        "extra_sf_dirs",
+        nargs="*",
+        help="extra sweep dirs beyond sf0.01/sf0.1 (e.g. testdata_sf1)",
+    )
+    ap.add_argument("--family", default=None)
+    args = ap.parse_args()
+    out_path = args.out_path
     global SF_DIRS
-    if len(sys.argv) > 2:  # optional extra sweep dirs (e.g. testdata_sf1)
-        SF_DIRS = SF_DIRS + sys.argv[2:]
+    if args.extra_sf_dirs:
+        SF_DIRS = SF_DIRS + args.extra_sf_dirs
+    names = select_queries(args.family)
     spark = get_spark("full-correctness")
     spark.sparkContext.setLogLevel("ERROR")
     oracles = entry_mod.oracle_sql()
@@ -44,14 +90,15 @@ def main() -> None:
         "compare": "rowcount + column names + order-insensitive values "
         "(floats 1e-6), identical to scripts/check_oracle.py / "
         "tests/test_oracle_full.py",
+        **({"family_filter": args.family} if args.family else {}),
         "sweeps": {},
     }
     exit_code = 0
     for sf_dir in SF_DIRS:
         con = duck_con(sf_dir)
         queries: dict = {}
-        n_pass = n_fail = 0
-        for name in entry_mod.queries():
+        n_pass = n_fail = n_rows_only = 0
+        for name in names:
             # cold per query, like bench.py's run_once: without this,
             # 266 runs in one session accumulate kernel caches
             # (kd/sig/store) and sibling-query cache hits distort the
@@ -75,6 +122,9 @@ def main() -> None:
                 problem, n_rows = f"ERROR {type(exc).__name__}: {exc}", -1
             secs = round(time.time() - t0, 2)
             if problem and problem.startswith(ORACLE_TIMEOUT):
+                # ADVICE r6: a timeout-degraded check is rows-only, NOT
+                # a hash-verified pass — count it separately so n_pass
+                # always means "hash-verified".
                 status = "pass*"
                 queries[name] = {
                     "status": status,
@@ -82,7 +132,7 @@ def main() -> None:
                     "secs": secs,
                     "rows_only_reason": problem,
                 }
-                n_pass += 1
+                n_rows_only += 1
                 print(
                     f"{status:5s} {name} [{sf_dir}] rows={n_rows} {secs}s "
                     f"(oracle timeout -> rows-only)",
@@ -95,7 +145,11 @@ def main() -> None:
                 else ("pass*" if name not in oracles else "pass")
             )
             n_fail += 1 if problem else 0
-            n_pass += 0 if problem else 1
+            if not problem:
+                if name in oracles:
+                    n_pass += 1
+                else:  # contractual rows-only (oracle=None)
+                    n_rows_only += 1
             queries[name] = {
                 "status": status,
                 "rows": n_rows,
@@ -105,8 +159,11 @@ def main() -> None:
             print(f"{status:5s} {name} [{sf_dir}] rows={n_rows} {secs}s", flush=True)
         artifact["sweeps"][sf_dir] = {
             "n_pass": n_pass,
+            "n_rows_only": n_rows_only,
             "n_fail": n_fail,
             "n_queries": len(queries),
+            "note": "n_pass = hash-verified only; n_rows_only = "
+            "contractual (oracle=None) + oracle-timeout degradations",
             "queries": queries,
         }
         exit_code = exit_code or (1 if n_fail else 0)

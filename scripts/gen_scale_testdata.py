@@ -217,10 +217,16 @@ def generate(spark, src: str, dst: str, k: int) -> None:
     def doc_replica(d, r):
         if r == 0:
             return d.select("doc_id", "text", "lang", "source", "n_chars")
+        # suffix only non-empty tokens (ADVICE r6): consecutive/leading/
+        # trailing spaces split into "" elements which would otherwise
+        # become bare "qXY" tokens in replicas r>0 but not replica 0,
+        # breaking the within-replica shingle-geometry invariant
         text = F.array_join(
             F.transform(
                 F.split(F.col("text"), " "),
-                lambda t: F.concat(t, F.lit("q" + tag(r))),
+                lambda t: F.when(t == "", t).otherwise(
+                    F.concat(t, F.lit("q" + tag(r)))
+                ),
             ),
             " ",
         )
