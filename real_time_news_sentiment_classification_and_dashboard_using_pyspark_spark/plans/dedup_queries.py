@@ -1443,7 +1443,11 @@ def _simhash_sig64_from_hashes(sh: DataFrame) -> DataFrame:
     )
 
 
-def _simhash64_sql() -> str:
+def _simhash64_ctes(src: str = "sh") -> str:
+    """CTE block (sh64 -> votes64 -> sig64 -> blocked64) shared by the
+    64-bit pair query's oracle and the 64-bit recall-eval oracle;
+    ``src`` names the (doc_id, shingle, h32) relation whose shingles get
+    the second independent hash."""
     votes = ",\n           ".join(
         f"sum(CASE WHEN (h32 // {2 ** b}) % 2 = 1 THEN 1 ELSE -1 END) AS va{b}"
         for b in range(32)
@@ -1458,13 +1462,11 @@ def _simhash64_sql() -> str:
     sig_b = " + ".join(
         f"(CASE WHEN vb{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(32)
     )
-    return (
-        SHINGLES_SQL
-        + f""",
+    return f"""
 sh64 AS (
     SELECT doc_id, shingle, h32,
            ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h32b
-    FROM sh
+    FROM {src}
 ),
 votes64 AS (
     SELECT doc_id,
@@ -1488,7 +1490,15 @@ blocked64 AS (
           OR x.sim_a % 65536 = y.sim_a % 65536
           OR x.sim_b // 65536 = y.sim_b // 65536
           OR x.sim_b % 65536 = y.sim_b % 65536)
-)
+)"""
+
+
+def _simhash64_sql() -> str:
+    return (
+        SHINGLES_SQL
+        + ","
+        + _simhash64_ctes()
+        + """
 SELECT DISTINCT doc_a, doc_b, hamming FROM blocked64 WHERE hamming <= 16
 """
     )
@@ -1507,8 +1517,32 @@ def simhash64_pairs(spark, sf_dir):
     acceptance rate drops from ~2.4e-3 to ~4.8e-9 — width is the dial
     a growing corpus turns, and this query IS that turned dial, reading
     the store's persisted ``simsig64`` index."""
+    return _simhash64_pair_set(spark, sf_dir)
+
+
+def _simhash64_pair_set(spark, sf_dir, doc_pred=None) -> DataFrame:
+    """The verified 64-bit SimHash pair set (doc_a, doc_b, hamming<=16)
+    — the operator body of ``simhash64_pairs``, shared with
+    ``simhash64_recall_eval`` so the eval measures exactly the shipped
+    pair generator (same structure as ``_simhash_pair_set``). The
+    unrestricted path reads the store's persisted ``simsig64`` index;
+    ``doc_pred`` restricts the corpus before signatures (sound: a doc's
+    signature depends only on its own shingles) and caches the narrow
+    restricted signature frame because the FOUR-block union self-join
+    reads it eight times."""
     store = _shingle_store(spark, sf_dir)
-    sig = store["simsig64"]
+    if doc_pred is None:
+        sig = store["simsig64"]
+    else:
+        while _SIMHASH_SIG_CACHE_SLOT:
+            try:
+                _SIMHASH_SIG_CACHE_SLOT.pop().unpersist()
+            except Exception:  # noqa: BLE001 - stale-session handle
+                pass
+        sig = _simhash_sig64_from_hashes(
+            store["hashes"].filter(doc_pred)
+        ).cache()
+        _SIMHASH_SIG_CACHE_SLOT.append(sig)
 
     def block_join(key):
         x, y = sig.alias("x"), sig.alias("y")
@@ -1680,6 +1714,91 @@ def simhash_recall_eval(spark, sf_dir):
         _shingle_store(spark, sf_dir)["kept"].filter(pred), pre_filtered=True
     )
     sim = _simhash_pair_set(spark, sf_dir, doc_pred=pred).select(
+        "doc_a", "doc_b", F.lit(1).alias("hit")
+    )
+    j = exact.join(sim, ["doc_a", "doc_b"], "left")
+    band = (
+        F.when(F.col("jaccard") >= 0.8, "high")
+        .when(F.col("jaccard") >= 0.65, "mid")
+        .otherwise("low")
+    )
+    return (
+        j.select(band.alias("sim_band"), F.coalesce("hit", F.lit(0)).alias("hit"))
+        .groupBy("sim_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.sum("hit").cast("bigint").alias("n_simhash"),
+            F.round(
+                F.sum("hit") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("recall"),
+        )
+    )
+
+
+@register(
+    "simhash64_recall_eval",
+    oracle=SHINGLES_SQL
+    + f""",
+stop AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > {STOP_SHINGLE_DF}),
+kept AS (
+    SELECT sh.* FROM sh
+    WHERE shingle NOT IN (SELECT shingle FROM stop) AND {_EVAL_SAMPLE_SQL}
+),
+ksizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+inter AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
+    FROM kept x JOIN kept y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+),
+jac AS (
+    SELECT i.doc_a, i.doc_b,
+           round(n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 4) AS jaccard
+    FROM inter i
+    JOIN ksizes sa ON sa.doc_id = i.doc_a
+    JOIN ksizes sb ON sb.doc_id = i.doc_b
+),
+ssh AS (SELECT * FROM sh WHERE {_EVAL_SAMPLE_SQL}),"""
+    + _simhash64_ctes(src="ssh")
+    + """,
+ex AS (SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5),
+sim_pairs AS (SELECT DISTINCT doc_a, doc_b FROM blocked64 WHERE hamming <= 16),
+j AS (
+    SELECT CASE WHEN ex.jaccard >= 0.8 THEN 'high'
+                WHEN ex.jaccard >= 0.65 THEN 'mid'
+                ELSE 'low' END AS sim_band,
+           (sp.doc_a IS NOT NULL) AS hit
+    FROM ex LEFT JOIN sim_pairs sp
+      ON ex.doc_a = sp.doc_a AND ex.doc_b = sp.doc_b
+)
+SELECT sim_band,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_simhash,
+       round(sum(CASE WHEN hit THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS recall
+FROM j GROUP BY sim_band
+""",
+    tags=("dedup", "simhash", "evaluation"),
+)
+def simhash64_recall_eval(spark, sf_dir):
+    """Recall contract of the 64-BIT SimHash pair generator
+    (``simhash64_pairs``: four-block LSH + hamming<=16) against the
+    same exact-Jaccard ground truth (>=0.5) and similarity bands as
+    ``simhash_recall_eval`` — completing the width-dial datasheet: the
+    sf1 sweep measured the 64-bit family's pair-growth benefit (11.5x
+    vs 40.8x for 10x docs, PERF.md round 6); this query measures what
+    that stricter acceptance costs in recall, on the identical
+    deterministic pairs-preserving quarter sample so the two evals are
+    directly comparable rows.
+
+    Plan shape is the 32-bit eval's: exact kernel + restricted
+    four-block pair set, both reading the materialized store, compared
+    by one keyed left join. Hamming<=16 of 64 is the same fraction of
+    signature width as 8 of 32, so recall differences are attributable
+    to the width itself, not a threshold change."""
+    pred = (F.col("doc_id") % 1000000) % 4 == 0
+    exact = _jaccard_pairs_from_arrays(
+        _shingle_store(spark, sf_dir)["kept"].filter(pred), pre_filtered=True
+    )
+    sim = _simhash64_pair_set(spark, sf_dir, doc_pred=pred).select(
         "doc_a", "doc_b", F.lit(1).alias("hit")
     )
     j = exact.join(sim, ["doc_a", "doc_b"], "left")
