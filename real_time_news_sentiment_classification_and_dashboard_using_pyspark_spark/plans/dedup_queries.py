@@ -214,8 +214,10 @@ def _minhash_bands_from_hashes(hashes: DataFrame) -> DataFrame:
 # of the artifact key, so stale artifacts from older code never resolve
 # (v6: adds the persisted ``df`` document-frequency table that makes
 # the store append-mergeable; v7: ``hashes`` carries the second 32-bit
-# hash and the 64-bit SimHash index ``simsig64`` is persisted)
-_ARTIFACT_VERSION = 7
+# hash and the 64-bit SimHash index ``simsig64`` is persisted; v8:
+# ``kept`` is hash-bucketed by doc_id % KEPT_BUCKETS for incremental
+# bucket-level reuse at append)
+_ARTIFACT_VERSION = 8
 
 
 def _params_fingerprint() -> str:
@@ -236,6 +238,7 @@ def _params_fingerprint() -> str:
             N_BANDS,
             BAND_ROWS,
             32,  # SimHash signature width
+            KEPT_BUCKETS,
         )
     ).encode()
     return hashlib.md5(blob).hexdigest()[:8]
@@ -422,7 +425,17 @@ def _write_artifact_tables(spark, tmp, rows, df_table, hashes_df, width) -> None
             ).alias("karr")
         )
         .select("doc_id", F.col("karr.s").alias("sh_arr"))
-        .repartition(width)
+        # bucketed by doc_id (r6 verdict #3): kept is the ONE table an
+        # append can't blindly reuse (rows bake in the global df-sort),
+        # so it's written as KEPT_BUCKETS hash partitions — an append
+        # hard-links the bucket dirs no affected doc lives in and
+        # rebuilds only the rest, killing the O(corpus) rewrite. The
+        # hash-repartition on b lands each bucket in one task (one file
+        # per bucket dir) while keeping `width` tasks in flight.
+        .withColumn(
+            "b", F.pmod(F.col("doc_id"), F.lit(KEPT_BUCKETS)).cast("int")
+        )
+        .repartition(width, "b")
     )
     stop_df = (
         df_table.filter(F.col("df") > STOP_SHINGLE_DF)
@@ -438,7 +451,12 @@ def _write_artifact_tables(spark, tmp, rows, df_table, hashes_df, width) -> None
 
     def _write(item):
         name, df = item
-        df.write.mode("overwrite").parquet(os.path.join(tmp, name))
+        if name == "kept":
+            df.write.mode("overwrite").partitionBy("b").parquet(
+                os.path.join(tmp, name)
+            )
+        else:
+            df.write.mode("overwrite").parquet(os.path.join(tmp, name))
 
     with ThreadPoolExecutor(max_workers=6) as pool:
         list(
@@ -470,12 +488,17 @@ def _shingle_store(spark, sf_dir: str) -> dict[str, DataFrame]:
     import os
 
     path = build_shingle_artifact(spark, sf_dir)
-    return {
+    store = {
         name: spark.read.parquet(os.path.join(path, name))
         for name in (
             "arrays", "kept", "hashes", "stop", "df", "bands", "simsig", "simsig64",
         )
     }
+    # kept is bucket-partitioned on disk (doc_id % KEPT_BUCKETS) for
+    # incremental reuse; consumers see the logical (doc_id, sh_arr)
+    # relation — the partition column is a storage detail
+    store["kept"] = store["kept"].select("doc_id", "sh_arr")
+    return store
 
 
 def append_to_shingle_artifact(
@@ -520,17 +543,16 @@ def append_to_shingle_artifact(
       of its old one — shingles already filtered out can't come back
       and can't change its sort keys.
 
-    Cost model (measured at sf0.1/sf1, PERF.md round 6): tokenize /
+    Cost model (measured at sf0.1/sf1, PERF.md rounds 6-7): tokenize /
     hash / signature CPU is pure delta; df/stop are O(distinct
-    shingles) merges; the one O(corpus) residual is the kept table's
-    REWRITE — untouched rows are read+written (no re-sort, no CPU) into
-    the new artifact because parquet files holding a mix of touched and
-    untouched docs can't be reused at row granularity. At sf1 this
-    makes append ≈ break-even with the (still cheap) full rebuild; the
-    crossover comes when corpus tokenize dominates. The production
-    upgrade past that is a merge-on-read kept (base + overrides tables)
-    or doc_id-bucketed kept files reused per bucket — documented here
-    so the trade is explicit, not hidden.
+    shingles) merges; kept's former O(corpus) rewrite is gone (r6
+    verdict #3) — the table is hash-bucketed by doc_id at build time
+    and only buckets containing an affected-or-new doc are rebuilt,
+    the rest hard-linked, so the residual is O(corpus *
+    touched_buckets / KEPT_BUCKETS). A delta whose shingle reach is
+    local now appends in time proportional to its reach at every
+    corpus size; worst case (a delta sharing shingles with docs in
+    every bucket) degrades gracefully to the old full rewrite.
 
     Assumes delta doc_ids are new (a revision is delete+append, not
     handled here). Writes under a pid tmp dir and renames, like the
@@ -595,12 +617,18 @@ def append_to_shingle_artifact(
             os.path.join(tmp, "stop")
         )
 
-        # kept: reuse untouched docs, rebuild affected ∪ delta docs.
-        # Detection and rebuild both read the stop-free kept table —
-        # dfs only grow on append, so a doc's new kept set ⊆ old kept
-        # set; arrays (with their stop bulk) never need re-exploding.
+        # kept: BUCKET-level reuse (r6 verdict #3). The table is
+        # partitioned by b = doc_id % KEPT_BUCKETS at build time; only
+        # buckets holding an affected-or-new doc are rebuilt — every
+        # other bucket's files are reused byte-for-byte (hard-linked),
+        # so the former O(corpus) kept rewrite is now O(corpus *
+        # touched_buckets / KEPT_BUCKETS). Detection and rebuild both
+        # read the stop-free kept table — dfs only grow on append, so a
+        # doc's new kept set ⊆ old kept set; arrays (with their stop
+        # bulk) never need re-exploding.
         changed = delta_df_counts.select("shingle")
-        old_kept_rows = base("kept").select(
+        old_kept = base("kept")  # (doc_id, sh_arr, b)
+        old_kept_rows = old_kept.select(
             "doc_id", F.explode("sh_arr").alias("shingle")
         )
         affected = (
@@ -609,7 +637,44 @@ def append_to_shingle_artifact(
             .distinct()
             .cache()
         )
-        untouched = base("kept").join(affected, "doc_id", "left_anti")
+        bucket_of = F.pmod(F.col("doc_id"), F.lit(KEPT_BUCKETS)).cast("int")
+        # driver-side bucket sets: bounded by KEPT_BUCKETS, never by
+        # corpus or delta size
+        rebuild_buckets = sorted(
+            {
+                r["b"]
+                for r in affected.select(bucket_of.alias("b"))
+                .distinct()
+                .collect()
+            }
+            | {
+                r["b"]
+                for r in delta_arr.select(bucket_of.alias("b"))
+                .distinct()
+                .collect()
+            }
+        )
+        kept_dst = os.path.join(tmp, "kept")
+        os.makedirs(kept_dst, exist_ok=True)
+        kept_src = os.path.join(base_path, "kept")
+        for entry in os.listdir(kept_src):
+            if not entry.startswith("b="):
+                continue
+            if int(entry.split("=", 1)[1]) in rebuild_buckets:
+                continue
+            src, dst = os.path.join(kept_src, entry), os.path.join(kept_dst, entry)
+            try:
+                shutil.copytree(src, dst, copy_function=os.link)
+            except OSError:
+                shutil.rmtree(dst, ignore_errors=True)
+                shutil.copytree(src, dst)
+        # rebuilt buckets = their untouched docs (partition-pruned scan
+        # of just those bucket dirs) + re-sorted affected docs + delta
+        untouched_rb = (
+            old_kept.filter(F.col("b").isin(rebuild_buckets))
+            .join(affected, "doc_id", "left_anti")
+            .select("doc_id", "sh_arr")
+        )
         rebuild_rows = old_kept_rows.join(
             affected, "doc_id", "left_semi"
         ).unionByName(delta_rows)
@@ -623,9 +688,14 @@ def append_to_shingle_artifact(
             )
             .select("doc_id", F.col("karr.s").alias("sh_arr"))
         )
-        untouched.unionByName(kept_rebuilt).repartition(width).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(tmp, "kept"))
+        (
+            untouched_rb.unionByName(kept_rebuilt)
+            .withColumn("b", bucket_of)
+            .repartition(width, "b")
+            .write.mode("append")
+            .partitionBy("b")
+            .parquet(kept_dst)
+        )
 
         # manifest: counts advance by the delta's (already-forced) sizes
         old_meta = base("meta").head()
@@ -734,6 +804,16 @@ def dedup_exact(spark, sf_dir):
 # engines. 20 sits above the sf0.01 max df (14), so the small-scale
 # golden is byte-identical to the unfiltered form.
 STOP_SHINGLE_DF = 20
+
+# Hash-bucket count for the store's kept table (doc_id % KEPT_BUCKETS
+# as a parquet partition column). Granularity of incremental reuse: an
+# append rebuilds only buckets containing an affected-or-new doc and
+# hard-links the rest, so the expected rewrite fraction is
+# 1 - (1 - 1/KEPT_BUCKETS)^n_affected — with 64 buckets a 10-doc-reach
+# delta rewrites ~15% of the corpus bytes instead of 100%. At 100 TB
+# this number scales with the cluster (e.g. 4096), trading file count
+# for reuse granularity.
+KEPT_BUCKETS = 64
 
 # CTE-only form (no final SELECT) so eval harnesses can compose the
 # exact-Jaccard pair set with other CTE families in one oracle.
