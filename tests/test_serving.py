@@ -4,6 +4,8 @@ metrics path, end to end (the reference's full demo flow:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.pipeline import (
@@ -114,3 +116,88 @@ def test_refresh_cache_bucket_ticks_on_interval():
     assert refresh_cache_bucket(10, 110.0) == refresh_cache_bucket(10, 100.0) + 1
     # a different slider setting re-buckets immediately
     assert refresh_cache_bucket(5, 109.9) != refresh_cache_bucket(10, 109.9)
+
+
+def test_dashboard_serves_oracle_checked_aggregates(spark, tmp_path):
+    """r6 verdict #4: drive the serving layer end-to-end ON ENGINE
+    OUTPUT — sf0.001 documents rendered as article NDJSON -> batch
+    pipeline (read/clean/score/classify/write) -> dashboard_metrics ->
+    SVG chart sinks — and assert the SERVED numbers equal the
+    oracle-paired ``sentiment_summary`` registry query over the same
+    corpus (the query the driver hash-checks against DuckDB). This
+    closes the loop the unit tests left open: the dashboard shows the
+    same numbers the correctness gate verifies.
+
+    Corpus alignment: titles are the digit-only doc_id (unique, so
+    ``dedup_latest`` keeps every row; cleans to '' and digits can't
+    match the lexicon, so polarity is exactly the document-text score);
+    every sf0.001 text survives the pipeline's empty-after-clean filter
+    (asserted via total), so the served population IS the query's."""
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.charts import (
+        histogram_svg,
+        pie_svg,
+        save_sentiment_chart,
+    )
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.pipeline import (
+        run_batch_pipeline,
+    )
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans import (
+        REGISTRY,
+    )
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.sources.tables import (
+        table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    (
+        table(spark, sf, "documents")
+        .select(
+            F.col("doc_id").cast("string").alias("id"),
+            F.col("doc_id").cast("string").alias("title"),
+            F.col("text").alias("description"),
+            F.lit(None).cast("string").alias("url"),
+            F.lit("2025-01-01T00:00:00Z").alias("publishedAt"),
+            F.lit("2025-01-01T00:00:00.000000").alias("fetched_at"),
+        )
+        .write.json(inp)
+    )
+    scored = run_batch_pipeline(spark, inp, out)
+    nbins = 10
+    m = dashboard_metrics(scored, top_k=7, nbins=nbins)
+
+    # the oracle-checked queries over the SAME corpus
+    summary = {
+        r["sentiment"]: (r["cnt"], r["pct"])
+        for r in REGISTRY["sentiment_summary"].fn(spark, sf).collect()
+    }
+    docs_scored = REGISTRY["sentiment_docs"].fn(spark, sf).collect()
+
+    assert m["total_articles"] == len(docs_scored) == 500
+    for cls in ("Positive", "Neutral", "Negative"):
+        cnt, pct = summary.get(cls, (0, 0.0))
+        assert m["class_counts"][cls] == cnt, cls
+        # query pct is rounded to 4 decimals, serving pct is raw
+        assert abs(m["class_pcts"][cls] - pct) < 1e-3, cls
+
+    # avg polarity and histogram against the per-doc oracle query
+    pols = [r["polarity"] for r in docs_scored]
+    assert abs(m["avg_polarity"] - sum(pols) / len(pols)) < 1e-9
+    width = 2.0 / nbins
+    expected_hist = [0] * nbins
+    for p in pols:
+        expected_hist[min(int((p + 1.0) / width), nbins - 1)] += 1
+    assert m["histogram"] == expected_hist
+
+    # top-K: constant fetched_at -> deterministic id-ascending order
+    ids = sorted(str(r["doc_id"]) for r in docs_scored)
+    assert [h["title"] for h in m["top_headlines"]] == ids[:7]
+
+    # chart sinks render the served dict (pie slices = nonzero classes)
+    pie = pie_svg(m["class_counts"])
+    n_classes = sum(1 for c in m["class_counts"].values() if c > 0)
+    assert pie.count("<path") == n_classes
+    hist_svg = histogram_svg(m["histogram"])
+    assert hist_svg.count("<rect") >= sum(1 for b in m["histogram"] if b > 0)
+    p = save_sentiment_chart(m, str(tmp_path / "dist.svg"))
+    assert os.path.getsize(p) > 0
