@@ -479,6 +479,37 @@ def _write_artifact_tables(spark, tmp, rows, df_table, hashes_df, width) -> None
         )
 
 
+def resolve_kept(spark, path: str) -> DataFrame:
+    """The LOGICAL kept relation (doc_id, sh_arr) of a store at
+    ``path``: the bucketed base MERGED with any append-generation
+    override tables (merge-on-read, LSM-style). An append never
+    rewrites base rows — it writes the re-sorted rows of affected ∪
+    new docs as ``kept_over/gen=N``; the reader takes the newest
+    generation per overridden doc and anti-joins those doc_ids out of
+    the base. The override set is O(delta reach), so the anti-join is
+    a BROADCAST map-side filter over the base scan — read cost stays
+    one scan + a tiny hash probe at any corpus size."""
+    import os
+
+    base = spark.read.parquet(os.path.join(path, "kept")).select(
+        "doc_id", "sh_arr"
+    )
+    over_dir = os.path.join(path, "kept_over")
+    if not os.path.isdir(over_dir):
+        return base
+    over = spark.read.parquet(over_dir)  # (doc_id, sh_arr, gen)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("gen"))
+    latest = (
+        over.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "sh_arr")
+    )
+    overridden = latest.select("doc_id")
+    return base.join(
+        F.broadcast(overridden), "doc_id", "left_anti"
+    ).unionByName(latest)
+
+
 def _shingle_store(spark, sf_dir: str) -> dict[str, DataFrame]:
     """Dict of the materialized artifact's tables — ``arrays`` (full
     per-doc sets), ``kept`` (stop-filtered, PPJoin df-sorted),
@@ -494,10 +525,10 @@ def _shingle_store(spark, sf_dir: str) -> dict[str, DataFrame]:
             "arrays", "kept", "hashes", "stop", "df", "bands", "simsig", "simsig64",
         )
     }
-    # kept is bucket-partitioned on disk (doc_id % KEPT_BUCKETS) for
-    # incremental reuse; consumers see the logical (doc_id, sh_arr)
-    # relation — the partition column is a storage detail
-    store["kept"] = store["kept"].select("doc_id", "sh_arr")
+    # kept is bucket-partitioned on disk (doc_id % KEPT_BUCKETS), plus
+    # merge-on-read override generations after appends; consumers see
+    # the logical (doc_id, sh_arr) relation — storage is a detail
+    store["kept"] = resolve_kept(spark, path)
     return store
 
 
@@ -529,30 +560,34 @@ def append_to_shingle_artifact(
       appendable at all; without it the corpus would be recounted.
     - ``stop`` — refiltered from the merged df (the refresh policy:
       boilerplate status is a pure function of current df).
-    - ``kept`` — partially REBUILT: kept arrays bake in the global
+    - ``kept`` — MERGE-ON-READ: kept arrays bake in the global
       (df, shingle) PPJoin sort order, and a df changes only for
       shingles that occur in the delta. Docs sharing no shingle with
-      the delta therefore have bit-identical kept rows (reused as-is);
-      docs that do share one — including every doc whose shingle
-      crossed the stop cutoff, since crossing requires a delta
-      occurrence — are re-sorted against the merged df. Work scales
-      with delta reach, not corpus size. Both the affected-doc
-      detection and the rebuild read the stop-free ``kept`` table, not
-      ``arrays``: append-only df growth means a base stop shingle can
-      never un-stop, so an old doc's new kept set is always a subset
-      of its old one — shingles already filtered out can't come back
-      and can't change its sort keys.
+      the delta have bit-identical kept rows; docs that do share one —
+      including every doc whose shingle crossed the stop cutoff, since
+      crossing requires a delta occurrence — are re-sorted against the
+      merged df and written as ONE new override generation
+      (``kept_over/gen=N``); base files and prior generations are
+      reused byte-for-byte, and ``resolve_kept`` merges at read time
+      (newest generation per doc, broadcast anti-join on the base).
+      Bytes written scale with delta reach, not corpus size. Once
+      overrides exceed half the base, the logical table is compacted
+      back into a fresh bucketed base (amortized LSM fold). Both the
+      affected-doc detection and the rebuild read the stop-free
+      logical ``kept``, not ``arrays``: append-only df growth means a
+      base stop shingle can never un-stop, so an old doc's new kept
+      set is always a subset of its old one — shingles already
+      filtered out can't come back and can't change its sort keys.
 
     Cost model (measured at sf0.1/sf1, PERF.md rounds 6-7): tokenize /
     hash / signature CPU is pure delta; df/stop are O(distinct
     shingles) merges; kept's former O(corpus) rewrite is gone (r6
-    verdict #3) — the table is hash-bucketed by doc_id at build time
-    and only buckets containing an affected-or-new doc are rebuilt,
-    the rest hard-linked, so the residual is O(corpus *
-    touched_buckets / KEPT_BUCKETS). A delta whose shingle reach is
-    local now appends in time proportional to its reach at every
-    corpus size; worst case (a delta sharing shingles with docs in
-    every bucket) degrades gracefully to the old full rewrite.
+    verdict #3) — an append WRITES only the override generation
+    (affected ∪ delta rows) plus the periodic amortized compaction.
+    The remaining O(corpus) terms are cheap columnar READS (affected
+    detection and the resolve-merge scan), which at 100 TB parallelize
+    across the cluster; write bandwidth — the term that was the
+    bottleneck — now scales with delta reach alone.
 
     Assumes delta doc_ids are new (a revision is delete+append, not
     handled here). Writes under a pid tmp dir and renames, like the
@@ -617,17 +652,21 @@ def append_to_shingle_artifact(
             os.path.join(tmp, "stop")
         )
 
-        # kept: BUCKET-level reuse (r6 verdict #3). The table is
-        # partitioned by b = doc_id % KEPT_BUCKETS at build time; only
-        # buckets holding an affected-or-new doc are rebuilt — every
-        # other bucket's files are reused byte-for-byte (hard-linked),
-        # so the former O(corpus) kept rewrite is now O(corpus *
-        # touched_buckets / KEPT_BUCKETS). Detection and rebuild both
-        # read the stop-free kept table — dfs only grow on append, so a
-        # doc's new kept set ⊆ old kept set; arrays (with their stop
-        # bulk) never need re-exploding.
+        # kept: MERGE-ON-READ append (r6 verdict #3). Base files AND
+        # prior override generations are reused byte-for-byte
+        # (hard-linked); the re-sorted rows
+        # of affected ∪ new docs land as ONE new override generation
+        # ``kept_over/gen=N`` that ``resolve_kept`` merges at read
+        # time (newest gen per doc wins, base anti-joined on the tiny
+        # overridden-id set). Bytes written scale with DELTA REACH,
+        # never corpus size — the property bucket-level reuse could
+        # not deliver on corpora with pervasive shingle sharing (a
+        # 5-doc delta's 1.4k-doc affected set touches all 64 buckets,
+        # PERF.md round 7). Detection and rebuild both read the
+        # logical stop-free kept — dfs only grow on append, so a doc's
+        # new kept set ⊆ old kept set; arrays never need re-exploding.
         changed = delta_df_counts.select("shingle")
-        old_kept = base("kept")  # (doc_id, sh_arr, b)
+        old_kept = resolve_kept(spark, base_path)
         old_kept_rows = old_kept.select(
             "doc_id", F.explode("sh_arr").alias("shingle")
         )
@@ -637,44 +676,16 @@ def append_to_shingle_artifact(
             .distinct()
             .cache()
         )
-        bucket_of = F.pmod(F.col("doc_id"), F.lit(KEPT_BUCKETS)).cast("int")
-        # driver-side bucket sets: bounded by KEPT_BUCKETS, never by
-        # corpus or delta size
-        rebuild_buckets = sorted(
-            {
-                r["b"]
-                for r in affected.select(bucket_of.alias("b"))
-                .distinct()
-                .collect()
-            }
-            | {
-                r["b"]
-                for r in delta_arr.select(bucket_of.alias("b"))
-                .distinct()
-                .collect()
-            }
-        )
-        kept_dst = os.path.join(tmp, "kept")
-        os.makedirs(kept_dst, exist_ok=True)
-        kept_src = os.path.join(base_path, "kept")
-        for entry in os.listdir(kept_src):
-            if not entry.startswith("b="):
+        for name in ("kept", "kept_over"):
+            src = os.path.join(base_path, name)
+            if not os.path.isdir(src):
                 continue
-            if int(entry.split("=", 1)[1]) in rebuild_buckets:
-                continue
-            src, dst = os.path.join(kept_src, entry), os.path.join(kept_dst, entry)
+            dst = os.path.join(tmp, name)
             try:
                 shutil.copytree(src, dst, copy_function=os.link)
             except OSError:
                 shutil.rmtree(dst, ignore_errors=True)
                 shutil.copytree(src, dst)
-        # rebuilt buckets = their untouched docs (partition-pruned scan
-        # of just those bucket dirs) + re-sorted affected docs + delta
-        untouched_rb = (
-            old_kept.filter(F.col("b").isin(rebuild_buckets))
-            .join(affected, "doc_id", "left_anti")
-            .select("doc_id", "sh_arr")
-        )
         rebuild_rows = old_kept_rows.join(
             affected, "doc_id", "left_semi"
         ).unionByName(delta_rows)
@@ -688,14 +699,47 @@ def append_to_shingle_artifact(
             )
             .select("doc_id", F.col("karr.s").alias("sh_arr"))
         )
-        (
-            untouched_rb.unionByName(kept_rebuilt)
-            .withColumn("b", bucket_of)
-            .repartition(width, "b")
-            .write.mode("append")
-            .partitionBy("b")
-            .parquet(kept_dst)
+        over_dir = os.path.join(tmp, "kept_over")
+        prior_gens = (
+            [
+                int(e.split("=", 1)[1])
+                for e in os.listdir(over_dir)
+                if e.startswith("gen=")
+            ]
+            if os.path.isdir(over_dir)
+            else []
         )
+        (
+            kept_rebuilt.withColumn(
+                "gen", F.lit(max(prior_gens, default=0) + 1)
+            )
+            .repartition(width)
+            .write.mode("append")
+            .partitionBy("gen")
+            .parquet(over_dir)
+        )
+        # LSM compaction: once accumulated overrides exceed half the
+        # base, fold the logical kept back into a fresh bucketed base
+        # and clear the generations — amortized O(corpus) like any
+        # LSM merge, keeping read-side merge state bounded.
+        n_over = spark.read.parquet(over_dir).count()
+        n_base = spark.read.parquet(os.path.join(tmp, "kept")).count()
+        if n_over > 0.5 * n_base:
+            compacted = os.path.join(tmp, "kept.compact")
+            (
+                resolve_kept(spark, tmp)
+                .withColumn(
+                    "b",
+                    F.pmod(F.col("doc_id"), F.lit(KEPT_BUCKETS)).cast("int"),
+                )
+                .repartition(width, "b")
+                .write.mode("overwrite")
+                .partitionBy("b")
+                .parquet(compacted)
+            )
+            shutil.rmtree(os.path.join(tmp, "kept"))
+            shutil.rmtree(over_dir)
+            os.rename(compacted, os.path.join(tmp, "kept"))
 
         # manifest: counts advance by the delta's (already-forced) sizes
         old_meta = base("meta").head()

@@ -173,8 +173,19 @@ class TestIncrementalAppend:
         )
         out = append_to_shingle_artifact(spark, base, delta, str(tmp_path / "appended"))
 
+        from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans.dedup_queries import (
+            resolve_kept,
+        )
+
         def rows_of(path, name):
-            df = spark.read.parquet(os.path.join(path, name))
+            # kept is merge-on-read (bucketed base + override
+            # generations after appends): compare the LOGICAL relation
+            # both stores serve, not the physical layout
+            df = (
+                resolve_kept(spark, path)
+                if name == "kept"
+                else spark.read.parquet(os.path.join(path, name))
+            )
             return sorted(
                 tuple(tuple(v) if isinstance(v, list) else v for v in r)
                 for r in df.collect()
@@ -198,3 +209,125 @@ class TestIncrementalAppend:
         m_full = sorted(map(tuple, near_dup_matches(probe, store_of(full)).collect()))
         m_app = sorted(map(tuple, near_dup_matches(probe, store_of(out)).collect()))
         assert m_full == m_app and len(m_full) > 0
+
+
+class TestMergeOnReadKept:
+    def test_resolve_kept_newest_generation_wins(self, spark, tmp_path):
+        """resolve_kept merges the bucketed base with override
+        generations: a doc overridden in two generations resolves to
+        the NEWEST one; un-overridden docs come from the base."""
+        from pyspark.sql import functions as F
+
+        from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans.dedup_queries import (
+            resolve_kept,
+        )
+
+        store = str(tmp_path / "store")
+
+        def kept_df(rows):
+            return spark.createDataFrame(
+                rows, "doc_id long, sh_arr array<string>"
+            )
+
+        (
+            kept_df([(1, ["a"]), (2, ["b"]), (3, ["c"])])
+            .withColumn("b", F.pmod("doc_id", F.lit(64)).cast("int"))
+            .write.partitionBy("b")
+            .parquet(os.path.join(store, "kept"))
+        )
+        # no overrides -> pure base
+        base_only = {
+            r["doc_id"]: r["sh_arr"]
+            for r in resolve_kept(spark, store).collect()
+        }
+        assert base_only == {1: ["a"], 2: ["b"], 3: ["c"]}
+
+        for gen, rows in ((1, [(2, ["b1"]), (4, ["d1"])]),
+                          (2, [(2, ["b2"]), (3, ["c2"])])):
+            kept_df(rows).withColumn("gen", F.lit(gen)).write.mode(
+                "append"
+            ).partitionBy("gen").parquet(os.path.join(store, "kept_over"))
+
+        got = {
+            r["doc_id"]: r["sh_arr"]
+            for r in resolve_kept(spark, store).collect()
+        }
+        assert got == {1: ["a"], 2: ["b2"], 3: ["c2"], 4: ["d1"]}
+
+    def test_chained_appends_match_full_rebuild(self, spark, store_dir, tmp_path):
+        """append(append(build(A), B), C) must serve the same logical
+        kept (and merged df) as build(A∪B∪C) — generations stack or
+        compact transparently behind resolve_kept."""
+        from pyspark.sql import functions as F
+
+        from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans.dedup_queries import (
+            append_to_shingle_artifact,
+            build_shingle_artifact,
+            resolve_kept,
+            spark_toks,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        c1 = docs.selectExpr(
+            "percentile_cont(0.5) WITHIN GROUP (ORDER BY doc_id) p"
+        ).head()["p"]
+        c2 = docs.selectExpr(
+            "percentile_cont(0.75) WITHIN GROUP (ORDER BY doc_id) p"
+        ).head()["p"]
+        sf_a, sf_abc = str(tmp_path / "sfA"), str(tmp_path / "sfABC")
+        os.makedirs(sf_a)
+        os.makedirs(sf_abc)
+        docs.filter(F.col("doc_id") <= c1).write.parquet(
+            f"{sf_a}/documents.parquet"
+        )
+        docs.write.parquet(f"{sf_abc}/documents.parquet")
+
+        base = build_shingle_artifact(spark, sf_a)
+        full = build_shingle_artifact(spark, sf_abc)
+
+        def delta_of(pred):
+            # corpus rows of the slice: originals + near-dup twins
+            # (the +1e6/slice-5 geometry the full build's corpus uses)
+            d = docs.filter(pred).select(
+                "doc_id", "text", F.expr(spark_toks("text")).alias("toks")
+            )
+            return d.select("doc_id", "text").unionByName(
+                d.select(
+                    (F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.array_join(
+                        F.expr("slice(toks, 1, greatest(size(toks) - 5, 1))"),
+                        " ",
+                    ).alias("text"),
+                )
+            )
+
+        out1 = append_to_shingle_artifact(
+            spark,
+            base,
+            delta_of((F.col("doc_id") > c1) & (F.col("doc_id") <= c2)),
+            str(tmp_path / "app1"),
+        )
+        out2 = append_to_shingle_artifact(
+            spark,
+            out1,
+            delta_of(F.col("doc_id") > c2),
+            str(tmp_path / "app2"),
+        )
+
+        def kept_rows(path):
+            return sorted(
+                (r["doc_id"], tuple(r["sh_arr"]))
+                for r in resolve_kept(spark, path).collect()
+            )
+
+        assert kept_rows(out2) == kept_rows(full)
+
+        def df_rows(path):
+            return sorted(
+                map(
+                    tuple,
+                    spark.read.parquet(os.path.join(path, "df")).collect(),
+                )
+            )
+
+        assert df_rows(out2) == df_rows(full)
