@@ -325,13 +325,11 @@ _PY_WIDTH_PINNED = {
 }
 
 
-@pytest.mark.parametrize("name,expected_pins", sorted(_PY_WIDTH_PINNED.items()))
-def test_python_group_exchange_width(spark, name, expected_pins):
-    plan = plan_of(spark, name)
-    width = spark.sparkContext.defaultParallelism
-    # Lazy-match up to the ") ... REPARTITION_BY_NUM" marker so a
-    # partitioning expression with nested parens (cast(...), fn(...))
-    # still matches — [^)]* would stop at the first inner ')'.
+def _extract_pin_widths(plan: str) -> list[int]:
+    """Widths of every REPARTITION_BY_NUM exchange in a plan string.
+    Lazy-match up to the ") ... REPARTITION_BY_NUM" marker so a
+    partitioning expression with nested parens (cast(...), fn(...))
+    still matches — [^)]* would stop at the first inner ')'."""
     pins = re.findall(
         r"(?:hashpartitioning|roundrobinpartitioning)\((.*?)\),?\s*"
         r"\[?REPARTITION_BY_NUM",
@@ -342,6 +340,33 @@ def test_python_group_exchange_width(spark, name, expected_pins):
     for inner in pins:
         nums = re.findall(r"\b(\d+)\b", inner)
         widths.append(int(nums[-1]))
+    return widths
+
+
+def test_pin_width_regex_handles_nested_parens():
+    """Regression for the extractor itself (ADVICE r5 #2 follow-up,
+    VERDICT r6 #8): a partitioning expression containing nested parens
+    (cast(...), pmod(...)) must still yield its trailing width; plans
+    without the REPARTITION_BY_NUM tag must yield nothing."""
+    nested = (
+        "Exchange hashpartitioning(cast(pmod(doc_id#12L, 7) as int)#9, "
+        "32), REPARTITION_BY_NUM, [plan_id=5]"
+    )
+    assert _extract_pin_widths(nested) == [32]
+    flat = "Exchange roundrobinpartitioning(48), REPARTITION_BY_NUM"
+    assert _extract_pin_widths(flat) == [48]
+    two = nested + "\n" + flat
+    assert _extract_pin_widths(two) == [32, 48]
+    # ENSURE_REQUIREMENTS / plain shuffles are not pins
+    unpinned = "Exchange hashpartitioning(cast(k#1 as int), 200), ENSURE_REQUIREMENTS"
+    assert _extract_pin_widths(unpinned) == []
+
+
+@pytest.mark.parametrize("name,expected_pins", sorted(_PY_WIDTH_PINNED.items()))
+def test_python_group_exchange_width(spark, name, expected_pins):
+    plan = plan_of(spark, name)
+    width = spark.sparkContext.defaultParallelism
+    widths = _extract_pin_widths(plan)
     ok = [w for w in widths if w >= width]
     assert len(ok) >= expected_pins, (
         f"{name}: expected >= {expected_pins} width-pinned exchanges at "
