@@ -52,6 +52,79 @@ def scored_stream(spark: SparkSession, input_dir: str) -> DataFrame:
     return transform_articles(stream_articles(spark, input_dir))
 
 
+# Compacted restart seed cadence (r6 verdict #6): every SUMMARY_EVERY
+# batches the driver's running totals are snapshotted to
+# ``metrics_summary`` — O(classes) rows carrying last_batch_id. Restart
+# then reads that one tiny file and folds only the per-batch metrics
+# TAIL (batch_id > last — at most SUMMARY_EVERY dirs) instead of
+# scanning every accumulated batch dir, so cold-restart seed cost is
+# bounded by the snapshot cadence, not stream lifetime. foreachBatch is
+# sequential, so committed metric batch_ids always form a contiguous
+# prefix and last_batch_id fully encodes the applied-set below it.
+SUMMARY_EVERY = 16
+
+
+def seed_totals(
+    session: SparkSession, output_dir: str
+) -> tuple[dict[str, int], set[int]]:
+    """Recover (running class totals, applied batch-id set) from a
+    stream's committed sinks — the cold-restart seed. Module-level so
+    the restart-at-scale test can time it in isolation. Unexpected
+    failures propagate (the caller retries next micro-batch rather than
+    silently zeroing the recovered totals)."""
+    totals: dict[str, int] = {}
+    applied: set[int] = set()
+    last = -1
+    try:
+        for r in session.read.parquet(f"{output_dir}/metrics_summary").collect():
+            totals[r["sentiment"]] = int(r["cnt"])
+            last = max(last, int(r["last_batch_id"]))
+    except Exception:  # noqa: BLE001 - absent or half-written
+        # snapshot unreadable (first run, or crash mid-overwrite): fall
+        # back to the full per-batch scan below
+        totals.clear()
+        last = -1
+    applied.update(range(last + 1))
+    metrics_dir = f"{output_dir}/metrics"
+    # Tail discovery. Spark's own partition discovery stats every leaf
+    # FILE of every batch dir (a 1,200-dir sink costs a 1,200-task
+    # listing job before pruning can drop anything). On a local path one
+    # readdir gives the partition NAMES, and the tail dirs are then read
+    # explicitly — O(tail) stat work. A non-local sink (s3/hdfs URI)
+    # takes the generic read + partition-filter path; its object-store
+    # LIST is the same single-listing cost class.
+    import os
+
+    tail = None
+    if os.path.isdir(metrics_dir):
+        try:
+            tail_ids = sorted(
+                bid
+                for e in os.listdir(metrics_dir)
+                if e.startswith("batch_id=")
+                and (bid := int(e.split("=", 1)[1])) > last
+            )
+        except (OSError, ValueError):
+            tail_ids = None
+        if tail_ids == []:
+            return totals, applied  # summary already covers every batch
+        if tail_ids is not None:
+            tail = session.read.option("basePath", metrics_dir).parquet(
+                *[os.path.join(metrics_dir, f"batch_id={i}") for i in tail_ids]
+            )
+    if tail is None:
+        try:
+            m = session.read.parquet(metrics_dir)
+        except AnalysisException:
+            return totals, applied  # first ever run: no metrics sink yet
+        tail = m.filter(F.col("batch_id") > last)
+    for r in tail.groupBy("sentiment").agg(F.sum("cnt").alias("cnt")).collect():
+        totals[r["sentiment"]] = totals.get(r["sentiment"], 0) + int(r["cnt"])
+    for r in tail.select("batch_id").distinct().collect():
+        applied.add(int(r["batch_id"]))
+    return totals, applied
+
+
 def batch_fanout(
     output_dir: str, memory_table: str = "news_sentiment", console: bool = False
 ):
@@ -87,24 +160,19 @@ def batch_fanout(
 
     def _seed(session: SparkSession) -> None:
         # restart recovery: fold in per-batch metrics committed by a
-        # previous process. Runs once; batches already in the sink are
-        # recorded in `applied` so an uncommitted-then-replayed batch
-        # never counts twice.
+        # previous process (seed_totals). Runs once; batches already in
+        # the sink are recorded in `applied` so an uncommitted-then-
+        # replayed batch never counts twice. A seed_totals failure
+        # propagates, leaving seeded=False — the next micro-batch
+        # retries instead of silently zeroing the recovered totals
+        # (sinks would stay correct, the view not).
         nonlocal seeded
         if seeded:
             return
-        try:
-            m = session.read.parquet(f"{output_dir}/metrics")
-        except AnalysisException:
-            seeded = True  # first ever run: no metrics sink yet
-            return
-        # any OTHER failure falls through un-caught: leaving seeded=False
-        # means the next micro-batch retries, instead of silently zeroing
-        # the recovered totals (sinks would stay correct, the view not).
-        for r in m.groupBy("sentiment").agg(F.sum("cnt").alias("cnt")).collect():
-            totals[r["sentiment"]] = int(r["cnt"])
-        for r in m.select("batch_id").distinct().collect():
-            applied.add(int(r["batch_id"]))
+        t, a = seed_totals(session, output_dir)
+        totals.clear()
+        totals.update(t)
+        applied.update(a)
         seeded = True
 
     _CLASSES = ("Positive", "Negative", "Neutral")
@@ -141,6 +209,17 @@ def batch_fanout(
                 for c, v in counts.items():
                     totals[c] = totals.get(c, 0) + v
                 applied.add(batch_id)
+            if batch_id % SUMMARY_EVERY == 0:
+                # snapshot AFTER this batch's metrics landed, so a crash
+                # between the two leaves the summary behind (never
+                # ahead) — the seed's tail fold closes the gap
+                (
+                    _counts_df(session, sorted(totals.items()))
+                    .withColumn("last_batch_id", F.lit(max(applied)))
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(f"{output_dir}/metrics_summary")
+                )
             _counts_df(session, sorted(totals.items())).createOrReplaceGlobalTempView(
                 memory_table
             )
