@@ -214,10 +214,11 @@ def _minhash_bands_from_hashes(hashes: DataFrame) -> DataFrame:
 # of the artifact key, so stale artifacts from older code never resolve
 # (v6: adds the persisted ``df`` document-frequency table that makes
 # the store append-mergeable; v7: ``hashes`` carries the second 32-bit
-# hash and the 64-bit SimHash index ``simsig64`` is persisted; v8:
-# ``kept`` is hash-bucketed by doc_id % KEPT_BUCKETS for incremental
-# bucket-level reuse at append)
-_ARTIFACT_VERSION = 8
+# hash and the 64-bit SimHash index ``simsig64`` is persisted; v9:
+# ``kept`` maintenance is merge-on-read — base + ``kept_over/gen=N``
+# override generations resolved by ``resolve_kept``; a v8 bucketed-kept
+# layout existed briefly and was retired by measurement)
+_ARTIFACT_VERSION = 9
 
 
 def _params_fingerprint() -> str:
@@ -238,7 +239,6 @@ def _params_fingerprint() -> str:
             N_BANDS,
             BAND_ROWS,
             32,  # SimHash signature width
-            KEPT_BUCKETS,
         )
     ).encode()
     return hashlib.md5(blob).hexdigest()[:8]
@@ -425,17 +425,7 @@ def _write_artifact_tables(spark, tmp, rows, df_table, hashes_df, width) -> None
             ).alias("karr")
         )
         .select("doc_id", F.col("karr.s").alias("sh_arr"))
-        # bucketed by doc_id (r6 verdict #3): kept is the ONE table an
-        # append can't blindly reuse (rows bake in the global df-sort),
-        # so it's written as KEPT_BUCKETS hash partitions — an append
-        # hard-links the bucket dirs no affected doc lives in and
-        # rebuilds only the rest, killing the O(corpus) rewrite. The
-        # hash-repartition on b lands each bucket in one task (one file
-        # per bucket dir) while keeping `width` tasks in flight.
-        .withColumn(
-            "b", F.pmod(F.col("doc_id"), F.lit(KEPT_BUCKETS)).cast("int")
-        )
-        .repartition(width, "b")
+        .repartition(width)
     )
     stop_df = (
         df_table.filter(F.col("df") > STOP_SHINGLE_DF)
@@ -451,12 +441,7 @@ def _write_artifact_tables(spark, tmp, rows, df_table, hashes_df, width) -> None
 
     def _write(item):
         name, df = item
-        if name == "kept":
-            df.write.mode("overwrite").partitionBy("b").parquet(
-                os.path.join(tmp, name)
-            )
-        else:
-            df.write.mode("overwrite").parquet(os.path.join(tmp, name))
+        df.write.mode("overwrite").parquet(os.path.join(tmp, name))
 
     with ThreadPoolExecutor(max_workers=6) as pool:
         list(
@@ -481,7 +466,7 @@ def _write_artifact_tables(spark, tmp, rows, df_table, hashes_df, width) -> None
 
 def resolve_kept(spark, path: str) -> DataFrame:
     """The LOGICAL kept relation (doc_id, sh_arr) of a store at
-    ``path``: the bucketed base MERGED with any append-generation
+    ``path``: the flat base MERGED with any append-generation
     override tables (merge-on-read, LSM-style). An append never
     rewrites base rows — it writes the re-sorted rows of affected ∪
     new docs as ``kept_over/gen=N``; the reader takes the newest
@@ -525,9 +510,9 @@ def _shingle_store(spark, sf_dir: str) -> dict[str, DataFrame]:
             "arrays", "kept", "hashes", "stop", "df", "bands", "simsig", "simsig64",
         )
     }
-    # kept is bucket-partitioned on disk (doc_id % KEPT_BUCKETS), plus
-    # merge-on-read override generations after appends; consumers see
-    # the logical (doc_id, sh_arr) relation — storage is a detail
+    # kept is the flat base plus merge-on-read override generations
+    # after appends; consumers see the logical (doc_id, sh_arr)
+    # relation — storage is a detail
     store["kept"] = resolve_kept(spark, path)
     return store
 
@@ -572,7 +557,7 @@ def append_to_shingle_artifact(
       (newest generation per doc, broadcast anti-join on the base).
       Bytes written scale with delta reach, not corpus size. Once
       overrides exceed half the base, the logical table is compacted
-      back into a fresh bucketed base (amortized LSM fold). Both the
+      back into a fresh flat base (amortized LSM fold). Both the
       affected-doc detection and the rebuild read the stop-free
       logical ``kept``, not ``arrays``: append-only df growth means a
       base stop shingle can never un-stop, so an old doc's new kept
@@ -719,22 +704,17 @@ def append_to_shingle_artifact(
             .parquet(over_dir)
         )
         # LSM compaction: once accumulated overrides exceed half the
-        # base, fold the logical kept back into a fresh bucketed base
-        # and clear the generations — amortized O(corpus) like any
-        # LSM merge, keeping read-side merge state bounded.
+        # base, fold the logical kept back into a fresh flat base and
+        # clear the generations — amortized O(corpus) like any LSM
+        # merge, keeping read-side merge state bounded.
         n_over = spark.read.parquet(over_dir).count()
         n_base = spark.read.parquet(os.path.join(tmp, "kept")).count()
         if n_over > 0.5 * n_base:
             compacted = os.path.join(tmp, "kept.compact")
             (
                 resolve_kept(spark, tmp)
-                .withColumn(
-                    "b",
-                    F.pmod(F.col("doc_id"), F.lit(KEPT_BUCKETS)).cast("int"),
-                )
-                .repartition(width, "b")
+                .repartition(width)
                 .write.mode("overwrite")
-                .partitionBy("b")
                 .parquet(compacted)
             )
             shutil.rmtree(os.path.join(tmp, "kept"))
@@ -849,15 +829,15 @@ def dedup_exact(spark, sf_dir):
 # golden is byte-identical to the unfiltered form.
 STOP_SHINGLE_DF = 20
 
-# Hash-bucket count for the store's kept table (doc_id % KEPT_BUCKETS
-# as a parquet partition column). Granularity of incremental reuse: an
-# append rebuilds only buckets containing an affected-or-new doc and
-# hard-links the rest, so the expected rewrite fraction is
-# 1 - (1 - 1/KEPT_BUCKETS)^n_affected — with 64 buckets a 10-doc-reach
-# delta rewrites ~15% of the corpus bytes instead of 100%. At 100 TB
-# this number scales with the cluster (e.g. 4096), trading file count
-# for reuse granularity.
-KEPT_BUCKETS = 64
+# Round-7 design note: a doc_id-hash-bucketed kept layout (bucket-level
+# file reuse at append) was implemented and then RETIRED by measurement
+# — on this corpus even a 5-doc delta's affected set spans every bucket
+# (pervasive shingle sharing, PERF.md round 7), so the partitioned
+# layout bought zero reuse while costing a measurable per-query scan
+# tax (64 bucket dirs vs 32 flat files: first-touch 3.8s vs 1.5s on
+# the Jaccard kernel). Incremental kept maintenance is merge-on-read
+# override generations instead (``resolve_kept`` /
+# ``append_to_shingle_artifact``), which needs no special base layout.
 
 # CTE-only form (no final SELECT) so eval harnesses can compose the
 # exact-Jaccard pair set with other CTE families in one oracle.

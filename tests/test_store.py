@@ -213,9 +213,11 @@ class TestIncrementalAppend:
 
 class TestMergeOnReadKept:
     def test_resolve_kept_newest_generation_wins(self, spark, tmp_path):
-        """resolve_kept merges the bucketed base with override
-        generations: a doc overridden in two generations resolves to
-        the NEWEST one; un-overridden docs come from the base."""
+        """resolve_kept merges the base with override generations
+        (layout-agnostic: this base is written partition-bucketed to
+        prove any base layout resolves): a doc overridden in two
+        generations resolves to the NEWEST one; un-overridden docs
+        come from the base."""
         from pyspark.sql import functions as F
 
         from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans.dedup_queries import (
