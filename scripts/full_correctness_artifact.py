@@ -76,6 +76,13 @@ def main() -> None:
         help="extra sweep dirs beyond sf0.01/sf0.1 (e.g. testdata_sf1)",
     )
     ap.add_argument("--family", default=None)
+    ap.add_argument(
+        "--oracle-budget",
+        type=float,
+        default=300.0,
+        help="DuckDB oracle timeout (seconds) for the extra (large) "
+        "sweep dirs; sf0.01/sf0.1 legs are never budgeted",
+    )
     args = ap.parse_args()
     out_path = args.out_path
     global SF_DIRS
@@ -113,7 +120,7 @@ def main() -> None:
             # candidate fan-out — the Spark side finishes in seconds)
             # degrades to a recorded rows-only check; its hash gate
             # remains the standard sf0.01/sf0.1 legs above.
-            timeout = 300.0 if sf_dir not in SF_DIRS[:2] else None
+            timeout = args.oracle_budget if sf_dir not in SF_DIRS[:2] else None
             try:
                 problem, n_rows = compare_one(
                     spark, con, name, sf_dir, oracle_timeout_s=timeout
