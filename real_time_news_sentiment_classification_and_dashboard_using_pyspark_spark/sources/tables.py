@@ -50,6 +50,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# (stat-key, fingerprint) memo per path-tuple: every store-backed query
+# re-derives its artifact key, and at generated-sf1 size that meant a
+# full ~100 MB byte-hash per query. The stat key (per-file name, size,
+# mtime_ns) re-walks the files — cheap — and any file change invalidates
+# it; only byte rewrites that preserve BOTH size and mtime_ns would
+# stale-hit, which no real writer does.
+_FP_MEMO: dict = {}
+
+
 def data_fingerprint(*paths: str) -> str:
     """Path-independent content fingerprint of parquet files/dirs: md5
     over each file's basename, size, and raw bytes (12 hex chars).
@@ -60,27 +69,44 @@ def data_fingerprint(*paths: str) -> str:
     machine that wrote it), and (b) a regenerated fixture corpus can
     never silently resolve a stale artifact: new bytes => new key =>
     rebuild. Fixture tables are sub-MB, so hashing bytes is microseconds
-    — at real scale you'd fingerprint the table snapshot id instead."""
+    — at real scale you'd fingerprint the table snapshot id instead.
+    Repeated calls on unchanged files hit a stat-keyed memo."""
     import hashlib
     import os
 
-    h = hashlib.md5()
+    all_files: list[str] = []
     for p in paths:
         if os.path.isdir(p):
-            files = sorted(
-                os.path.join(root, n)
-                for root, _, names in os.walk(p)
-                for n in names
+            all_files.extend(
+                sorted(
+                    os.path.join(root, n)
+                    for root, _, names in os.walk(p)
+                    for n in names
+                )
             )
         else:
-            files = [p]
-        for f in files:
-            h.update(os.path.basename(f).encode())
-            h.update(str(os.path.getsize(f)).encode())
-            with open(f, "rb") as fh:
-                for chunk in iter(lambda: fh.read(1 << 20), b""):
-                    h.update(chunk)
-    return h.hexdigest()[:12]
+            all_files.append(p)
+    stat_key = tuple(
+        (os.path.basename(f), st.st_size, st.st_mtime_ns)
+        for f in all_files
+        for st in (os.stat(f),)
+    )
+    memo_key = (paths, stat_key)
+    hit = _FP_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
+    h = hashlib.md5()
+    for f in all_files:
+        h.update(os.path.basename(f).encode())
+        h.update(str(os.path.getsize(f)).encode())
+        with open(f, "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 20), b""):
+                h.update(chunk)
+    fp = h.hexdigest()[:12]
+    if len(_FP_MEMO) >= 16:  # a few corpora per process (multi-sf sweeps)
+        _FP_MEMO.clear()
+    _FP_MEMO[memo_key] = fp
+    return fp
 
 
 def widen_scan(df: DataFrame) -> DataFrame:
