@@ -350,6 +350,17 @@ def keyword_search_bm25(spark, sf_dir):
     At 100 TB this is the query you answer from a pre-built inverted
     postings table (tf materialized once); the scoring math and plan are
     identical."""
+    return (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _bm25_scores(spark, sf_dir):
+    """(doc_id, bm25_score 6dp) for the fixed query terms — the scoring
+    body of ``keyword_search_bm25``, shared with ``hybrid_search_rrf``
+    so fusion ranks exactly what the keyword query ranks."""
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens("text")).alias("word"))
     doclen = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
@@ -377,11 +388,7 @@ def keyword_search_bm25(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.sum(idf * tf_norm).alias("score"))
     )
-    return (
-        scored.select("doc_id", F.round("score", 6).alias("bm25_score"))
-        .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
-        .limit(10)
-    )
+    return scored.select("doc_id", F.round("score", 6).alias("bm25_score"))
 
 
 _STOPLIST = ("the", "a", "of", "to", "and", "in", "is", "it", "that", "for")
@@ -1334,4 +1341,253 @@ def doc_chunk_stats(spark, sf_dir):
     )
     return docagg.join(chunkagg, "lang").select(
         "lang", "n_docs", "n_chunks", "avg_chunk_tokens", "max_chunks_per_doc"
+    )
+
+
+@register(
+    "temperature_mixture_sample",
+    oracle="""
+WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+w AS (
+    SELECT source, cnt,
+           CAST(round(sqrt(cnt) * 1000) AS BIGINT) AS milli_w
+    FROM c
+),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+             CAST(sum(milli_w) AS BIGINT) AS tot_w
+      FROM w),
+rates AS (
+    SELECT w.source, w.cnt,
+           least(1000,
+                 (1000 * (((t.total // 2) * w.milli_w) // t.tot_w)) // w.cnt)
+               AS keep_permille
+    FROM w CROSS JOIN t
+),
+kept AS (
+    SELECT d.source,
+           CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 18, 15))::BIGINT % 1000
+                     < r.keep_permille
+                THEN 1 ELSE 0 END AS k
+    FROM documents d JOIN rates r USING (source)
+)
+SELECT r.source,
+       CAST(r.cnt AS BIGINT) AS n_docs,
+       CAST(r.keep_permille AS BIGINT) AS keep_permille,
+       CAST(sum(k.k) AS BIGINT) AS n_kept,
+       CAST((1000 * sum(k.k)) // r.cnt AS BIGINT) AS realized_permille
+FROM rates r JOIN kept k USING (source)
+GROUP BY r.source, r.cnt, r.keep_permille
+""",
+    tags=("curation", "sampling", "mixture"),
+)
+def temperature_mixture_sample(spark, sf_dir):
+    """Temperature-based mixture sampling (alpha = 0.5) — the standard
+    LLM-pretraining rebalance: sample source s with probability
+    proportional to n_s^alpha, flattening the source distribution
+    without zeroing the head or starving the tail (uniform-target
+    rebalance, ``source_mixture_rebalance``, is the alpha -> 0 limit;
+    natural mixture is alpha = 1). Planning AND execution in one lazy
+    plan: per-source keep rates for a half-corpus budget, then the
+    deterministic md5-permille hash filter applied per doc, with the
+    realized rate audited next to the planned one.
+
+    Cross-engine exactness: weights are round(sqrt(n)*1000) BIGINTs —
+    sqrt is correctly rounded IEEE on both engines, and sqrt of a
+    non-square integer is irrational so the *1000 round can never land
+    on a .5 tie; every downstream step (sums, budget split, permille
+    floor-division, hash compare) is integer. Scale: the rate table is
+    sources x 1 rows crossed with a single-row total (broadcast by
+    construction); the execution filter is a broadcast hash join +
+    map-side predicate over the corpus scan — one pass, no shuffle of
+    document rows."""
+    d = table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    w = c.select(
+        "source",
+        "cnt",
+        F.round(F.sqrt(F.col("cnt")) * 1000).cast("bigint").alias("milli_w"),
+    )
+    t = w.agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.sum("milli_w").cast("bigint").alias("tot_w"),
+    )
+    rates = w.crossJoin(F.broadcast(t)).select(
+        "source",
+        "cnt",
+        F.least(
+            F.lit(1000),
+            F.expr("(1000 * (((total div 2) * milli_w) div tot_w)) div cnt"),
+        ).alias("keep_permille"),
+    )
+    pm = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 18, 15), 16, 10)
+        .cast("bigint") % 1000
+    )
+    kept = (
+        d.select("source", pm.alias("pm"))
+        .join(F.broadcast(rates), "source")
+        .select(
+            "source",
+            "cnt",
+            "keep_permille",
+            F.when(F.col("pm") < F.col("keep_permille"), 1).otherwise(0).alias("k"),
+        )
+    )
+    return kept.groupBy("source", "cnt", "keep_permille").agg(
+        F.sum("k").cast("bigint").alias("n_kept"),
+        F.expr("CAST((1000 * sum(k)) div cnt AS BIGINT)").alias("realized_permille"),
+    ).select(
+        "source",
+        F.col("cnt").cast("bigint").alias("n_docs"),
+        F.col("keep_permille").cast("bigint").alias("keep_permille"),
+        "n_kept",
+        "realized_permille",
+    )
+
+
+_RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+_RRF_DEPTH = 20  # per-ranker candidate depth fused into the final top-10
+
+
+@register(
+    "hybrid_search_rrf",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest({TOKS_SQL}) AS word FROM documents
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT avg(dl) FROM doclen) AS avg_dl
+),
+tf AS (
+    SELECT doc_id, word, count(*) AS tf FROM tok
+    WHERE word IN ('spark', 'fast')
+    GROUP BY doc_id, word
+),
+df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+bm25_scored AS (
+    SELECT t.doc_id,
+           round(sum(
+             ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+             * t.tf * ({_BM25_K1} + 1)
+             / (t.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * l.dl / s.avg_dl))
+           ), 6) AS bm25_score
+    FROM tf t
+    JOIN df d ON t.word = d.word
+    JOIN doclen l ON l.doc_id = t.doc_id
+    CROSS JOIN stats s
+    GROUP BY t.doc_id
+),
+bm25_ranked AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY bm25_score DESC, doc_id ASC) AS r
+    FROM bm25_scored QUALIFY r <= {_RRF_DEPTH}
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT emb AS qemb FROM e WHERE vec_id = 0),
+vec_ranked AS (
+    SELECT vec_id AS doc_id,
+           row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS r
+    FROM (
+        SELECT e.vec_id,
+               round(list_dot_product(e.emb, q.qemb) /
+                     (sqrt(list_dot_product(e.emb, e.emb)) *
+                      sqrt(list_dot_product(q.qemb, q.qemb))), 6) AS cos_sim
+        FROM e CROSS JOIN q WHERE e.vec_id <> 0
+    ) QUALIFY r <= {_RRF_DEPTH}
+),
+fused AS (
+    SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+           coalesce(b.r, 0) AS bm25_rank,
+           coalesce(v.r, 0) AS vec_rank,
+           round(
+             (CASE WHEN b.r IS NULL THEN 0 ELSE 1.0 / ({_RRF_K} + b.r) END)
+             + (CASE WHEN v.r IS NULL THEN 0 ELSE 1.0 / ({_RRF_K} + v.r) END),
+             6) AS rrf_score
+    FROM bm25_ranked b FULL OUTER JOIN vec_ranked v USING (doc_id)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(bm25_rank AS BIGINT) AS bm25_rank,
+       CAST(vec_rank AS BIGINT) AS vec_rank,
+       rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS INTEGER)
+           AS fused_rank
+FROM fused
+QUALIFY fused_rank <= 10
+""",
+    tags=("text", "search", "similarity", "fusion", "topk"),
+)
+def hybrid_search_rrf(spark, sf_dir):
+    """HYBRID RETRIEVAL via reciprocal-rank fusion — the standard RAG
+    serving query: fuse the BM25 keyword ranking ('spark fast', the
+    exact scorer behind ``keyword_search_bm25``) with a dense-vector
+    ranking (cosine to document 0's embedding, the brute-force scorer
+    behind ``cosine_knn_topk``) by RRF: score(d) = sum over rankers of
+    1/(k + rank_d), k = 60. Rank fusion needs no score calibration
+    between BM25's unbounded sums and cosine's [-1,1] — which is
+    exactly why RRF is the production default.
+
+    Plan: both candidate lists are top-{_RRF_DEPTH} (window rank over
+    6dp-rounded scores with deterministic tiebreaks), so the fusion
+    FULL OUTER join touches at most 2x{_RRF_DEPTH} rows regardless of
+    corpus size — the heavy lifting stays in the two rankers, each
+    already audited for scale (term-filtered postings agg; broadcast
+    query vector x corpus scan, at 100 TB the IVF probe swaps in).
+    Cross-engine exactness: ranks are integers, each RRF term is one
+    IEEE division, and the two-term sum is order-insensitive (binary
+    float addition is commutative), rounded to 6dp."""
+    from pyspark.sql.window import Window as W
+
+    from .similarity_queries import dot
+
+    # two-phase top-K on both rankers: orderBy+limit compiles to
+    # TakeOrderedAndProject (per-partition top-K, driver merge of
+    # _RRF_DEPTH rows); the rank window then runs over those <=20 rows
+    # only — never a global single-partition sort of the corpus
+    bw = W.orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+    bm25_ranked = (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+        .limit(_RRF_DEPTH)
+        .withColumn("r", F.row_number().over(bw))
+        .select("doc_id", "r")
+    )
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qemb"))
+    cos = F.round(
+        dot(F.col("emb"), F.col("qemb"))
+        / (
+            F.sqrt(dot(F.col("emb"), F.col("emb")))
+            * F.sqrt(dot(F.col("qemb"), F.col("qemb")))
+        ),
+        6,
+    )
+    vw = W.orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+    vec_ranked = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+        .limit(_RRF_DEPTH)
+        .withColumn("r", F.row_number().over(vw))
+        .select("doc_id", "r")
+    )
+    b = bm25_ranked.withColumnRenamed("r", "br")
+    v = vec_ranked.withColumnRenamed("r", "vr")
+    rrf_term = lambda r: F.when(  # noqa: E731
+        F.col(r).isNotNull(), F.lit(1.0) / (F.lit(_RRF_K) + F.col(r))
+    ).otherwise(F.lit(0.0))
+    fused = b.join(v, "doc_id", "full_outer").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.coalesce("br", F.lit(0)).cast("bigint").alias("bm25_rank"),
+        F.coalesce("vr", F.lit(0)).cast("bigint").alias("vec_rank"),
+        F.round(rrf_term("br") + rrf_term("vr"), 6).alias("rrf_score"),
+    )
+    fw = W.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(fw))
+        .filter(F.col("fused_rank") <= 10)
     )

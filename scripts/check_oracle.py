@@ -144,9 +144,15 @@ def compare_one(
 
 
 def main():
+    import os
+
     args = [a for a in sys.argv[1:]]
-    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
-    wanted = [a for a in args if "/" not in a]
+    # the sf dir is any arg that IS a directory (bare relative names
+    # like "testdata_sf1" included — the old "/"-in-arg test silently
+    # fell back to the default dir and ran the args as query names)
+    dirs = [a for a in args if os.path.isdir(a)]
+    sf_dir = dirs[0] if dirs else "/root/testdata/sf0.01"
+    wanted = [a for a in args if a not in dirs]
 
     spark = get_spark("oracle-check")
     con = duck_con(sf_dir)
