@@ -333,3 +333,69 @@ class TestMergeOnReadKept:
             )
 
         assert df_rows(out2) == df_rows(full)
+
+    def test_small_delta_takes_override_path(self, spark, store_dir, tmp_path):
+        """A small delta must append as an override GENERATION (base
+        files reused byte-for-byte, kept_over present) — not via the
+        compaction rewrite — and still serve a logical kept equal to
+        the from-scratch build."""
+        from pyspark.sql import functions as F
+
+        from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans.dedup_queries import (
+            append_to_shingle_artifact,
+            build_shingle_artifact,
+            resolve_kept,
+            spark_toks,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        max_id = docs.agg(F.max("doc_id")).head()[0]
+        cut = max_id - 3  # delta = last 4 docs (+ their twins)
+        sf_a, sf_ab = str(tmp_path / "sfA"), str(tmp_path / "sfAB")
+        os.makedirs(sf_a)
+        os.makedirs(sf_ab)
+        docs.filter(F.col("doc_id") <= cut).write.parquet(
+            f"{sf_a}/documents.parquet"
+        )
+        docs.write.parquet(f"{sf_ab}/documents.parquet")
+        base = build_shingle_artifact(spark, sf_a)
+        full = build_shingle_artifact(spark, sf_ab)
+
+        b = docs.filter(F.col("doc_id") > cut).select(
+            "doc_id", "text", F.expr(spark_toks("text")).alias("toks")
+        )
+        delta = b.select("doc_id", "text").unionByName(
+            b.select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.array_join(
+                    F.expr("slice(toks, 1, greatest(size(toks) - 5, 1))"), " "
+                ).alias("text"),
+            )
+        )
+        out = append_to_shingle_artifact(
+            spark, base, delta, str(tmp_path / "app_small")
+        )
+        over = os.path.join(out, "kept_over")
+        assert os.path.isdir(over), "small delta must not trigger compaction"
+        n_over = spark.read.parquet(over).count()
+        n_base = spark.read.parquet(os.path.join(out, "kept")).count()
+        assert n_over <= 0.5 * n_base
+        # base files byte-identical to the pre-append base (hard links)
+        def listing(p):
+            return sorted(
+                (os.path.relpath(os.path.join(r, f), p), os.path.getsize(os.path.join(r, f)))
+                for r, _, fs in os.walk(p)
+                for f in fs
+            )
+
+        assert listing(os.path.join(out, "kept")) == listing(
+            os.path.join(base, "kept")
+        )
+
+        def kept_rows(path):
+            return sorted(
+                (r["doc_id"], tuple(r["sh_arr"]))
+                for r in resolve_kept(spark, path).collect()
+            )
+
+        assert kept_rows(out) == kept_rows(full)
