@@ -374,3 +374,21 @@ def test_python_group_exchange_width(spark, name, expected_pins):
     )
     if expected_pins == 0:
         assert "InPandas" not in plan, f"{name} grew a Python stage without a pin"
+
+
+def test_temperature_mixture_flattens_toward_tail(spark):
+    """Contract of the alpha=0.5 mixture sampler: keep rates are
+    non-increasing in source size (over-represented sources are
+    downsampled harder), no rate exceeds 1000 permille, and the audited
+    realized rate is exactly the integer identity over the kept count
+    (hash-sampling VARIANCE on these ~25-doc fixture strata is too wide
+    to bound tightly — the planned-vs-realized comparison is the
+    operator's own output, verified cross-engine by its oracle)."""
+    rows = REGISTRY["temperature_mixture_sample"].fn(spark, SF).collect()
+    by_size = sorted(rows, key=lambda r: -r["n_docs"])
+    rates = [r["keep_permille"] for r in by_size]
+    assert all(0 <= r <= 1000 for r in rates)
+    assert rates == sorted(rates), "bigger source must never keep MORE"
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_docs"], r
+        assert r["realized_permille"] == (1000 * r["n_kept"]) // r["n_docs"], r
