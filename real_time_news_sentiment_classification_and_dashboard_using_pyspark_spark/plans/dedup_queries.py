@@ -471,9 +471,15 @@ def resolve_kept(spark, path: str) -> DataFrame:
     rewrites base rows — it writes the re-sorted rows of affected ∪
     new docs as ``kept_over/gen=N``; the reader takes the newest
     generation per overridden doc and anti-joins those doc_ids out of
-    the base. The override set is O(delta reach), so the anti-join is
-    a BROADCAST map-side filter over the base scan — read cost stays
-    one scan + a tiny hash probe at any corpus size."""
+    the base. An override row with an EMPTY sh_arr is a TOMBSTONE —
+    the doc's entire kept set became stop-filtered after an append —
+    and is dropped post-merge, matching the full build (docs with an
+    empty kept set have no row). The override set is O(delta reach)
+    PER APPEND but generations accumulate between compactions, so the
+    join strategy is left to AQE (broadcast while the overridden-id
+    set is small, shuffle once it isn't) rather than forced — a
+    forced broadcast could carry up to half the corpus's doc_ids at
+    the compaction threshold."""
     import os
 
     base = spark.read.parquet(os.path.join(path, "kept")).select(
@@ -490,9 +496,11 @@ def resolve_kept(spark, path: str) -> DataFrame:
         .select("doc_id", "sh_arr")
     )
     overridden = latest.select("doc_id")
-    return base.join(
-        F.broadcast(overridden), "doc_id", "left_anti"
-    ).unionByName(latest)
+    return (
+        base.join(overridden, "doc_id", "left_anti")
+        .unionByName(latest)
+        .filter(F.size("sh_arr") > 0)
+    )
 
 
 def _shingle_store(spark, sf_dir: str) -> dict[str, DataFrame]:
@@ -674,7 +682,7 @@ def append_to_shingle_artifact(
         rebuild_rows = old_kept_rows.join(
             affected, "doc_id", "left_semi"
         ).unionByName(delta_rows)
-        kept_rebuilt = (
+        kept_nonstop = (
             rebuild_rows.join(merged_df.filter(F.col("df") <= STOP_SHINGLE_DF), "shingle")
             .groupBy("doc_id")
             .agg(
@@ -683,6 +691,24 @@ def append_to_shingle_artifact(
                 ).alias("karr")
             )
             .select("doc_id", F.col("karr.s").alias("sh_arr"))
+        )
+        # EVERY affected ∪ delta doc gets an override row — a doc whose
+        # entire kept set crossed the stop cutoff gets a TOMBSTONE
+        # (empty sh_arr) that resolve_kept drops post-merge. Without
+        # it, such a doc never enters the generation, the inner join
+        # above yields no row, and the reader keeps serving its stale
+        # base row with now-stop shingles: build(A)+append(B) would
+        # diverge from build(A∪B) (r7 advice, high).
+        kept_rebuilt = (
+            affected.unionByName(delta_arr.select("doc_id"))
+            .distinct()
+            .join(kept_nonstop, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(
+                    "sh_arr", F.expr("CAST(array() AS array<string>)")
+                ).alias("sh_arr"),
+            )
         )
         over_dir = os.path.join(tmp, "kept_over")
         prior_gens = (
@@ -703,11 +729,16 @@ def append_to_shingle_artifact(
             .partitionBy("gen")
             .parquet(over_dir)
         )
-        # LSM compaction: once accumulated overrides exceed half the
-        # base, fold the logical kept back into a fresh flat base and
-        # clear the generations — amortized O(corpus) like any LSM
-        # merge, keeping read-side merge state bounded.
-        n_over = spark.read.parquet(over_dir).count()
+        # LSM compaction: once DISTINCT overridden docs exceed half
+        # the base, fold the logical kept back into a fresh flat base
+        # and clear the generations — amortized O(corpus) like any LSM
+        # merge, keeping read-side merge state bounded. Distinct, not
+        # raw generation rows: a doc overridden in N generations counts
+        # once, so the trigger tracks the stated 0.5×-base semantics
+        # (r7 advice, low).
+        n_over = (
+            spark.read.parquet(over_dir).select("doc_id").distinct().count()
+        )
         n_base = spark.read.parquet(os.path.join(tmp, "kept")).count()
         if n_over > 0.5 * n_base:
             compacted = os.path.join(tmp, "kept.compact")

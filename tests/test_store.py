@@ -399,3 +399,89 @@ class TestMergeOnReadKept:
             )
 
         assert kept_rows(out) == kept_rows(full)
+
+    def test_append_stop_out_emits_tombstone(self, spark, store_dir, tmp_path):
+        """An append that pushes a doc's LAST kept shingle over
+        STOP_SHINGLE_DF must tombstone the doc (override row with empty
+        sh_arr) so resolve_kept stops serving its stale base row —
+        build(A)+append(B) ≡ build(A∪B) even when the delta empties a
+        base doc's kept set (r7 advice, high).
+
+        Fixture geometry: 3-token texts make the corpus twins
+        degenerate (twin = 1 token → empty shingle set), so each doc
+        contributes exactly its own single shingle to df. Docs 1..20
+        share one shingle (df=20, exactly at the STOP_SHINGLE_DF=20
+        keep boundary); the delta adds doc 100 with the same text,
+        pushing df to 21 > 20 — every one of those docs' kept sets
+        becomes empty."""
+        from pyspark.sql import functions as F
+
+        from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans.dedup_queries import (
+            STOP_SHINGLE_DF,
+            append_to_shingle_artifact,
+            build_shingle_artifact,
+            resolve_kept,
+        )
+
+        assert STOP_SHINGLE_DF == 20, "fixture is tuned to the df=20 cut"
+
+        def letters(i):  # digits are stripped by the [^a-zA-Z\s] cleaner
+            return "".join(chr(ord("a") + int(c)) for c in str(i))
+
+        shared = [(i, "alpha beta gamma") for i in range(1, 21)]
+        filler = [
+            (i, f"{letters(i)}x {letters(i)}y {letters(i)}z")
+            for i in range(21, 81)
+        ]
+        delta_rows = [(100, "alpha beta gamma"), (101, "qdelta qecho qfox")]
+        sf_a, sf_ab = str(tmp_path / "sfA"), str(tmp_path / "sfAB")
+        os.makedirs(sf_a)
+        os.makedirs(sf_ab)
+        mk = lambda rows: spark.createDataFrame(rows, "doc_id: bigint, text: string")
+        mk(shared + filler).write.parquet(f"{sf_a}/documents.parquet")
+        mk(shared + filler + delta_rows).write.parquet(
+            f"{sf_ab}/documents.parquet"
+        )
+        base = build_shingle_artifact(spark, sf_a)
+        full = build_shingle_artifact(spark, sf_ab)
+
+        # delta = corpus rows of B: originals + their (degenerate) twins,
+        # same +1e6/slice-5 geometry the full build's corpus applies
+        d = mk(delta_rows)
+        delta = d.unionByName(
+            d.select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.lit("alpha").alias("text"),  # 1 token → empty shingle set
+            )
+        )
+        out = append_to_shingle_artifact(
+            spark, base, delta, str(tmp_path / "appended")
+        )
+
+        # merge-on-read path, not compaction: the tombstones must come
+        # from the override generation itself
+        over_dir = os.path.join(out, "kept_over")
+        assert os.path.isdir(over_dir), "delta must not trigger compaction"
+        over = spark.read.parquet(over_dir)
+        tombs = sorted(
+            r["doc_id"]
+            for r in over.filter(F.size("sh_arr") == 0)
+            .select("doc_id")
+            .collect()
+        )
+        assert set(range(1, 21)) <= set(tombs) and 100 in tombs
+
+        def kept_rows(path):
+            return sorted(
+                (r["doc_id"], tuple(r["sh_arr"]))
+                for r in resolve_kept(spark, path).collect()
+            )
+
+        app_rows = kept_rows(out)
+        assert app_rows == kept_rows(full)
+        served_ids = {doc_id for doc_id, _ in app_rows}
+        assert served_ids.isdisjoint(set(range(1, 21)) | {100}), (
+            "stop-filtered docs must not be served from the stale base"
+        )
+        # the fillers and the fresh delta doc are still served
+        assert 21 in served_ids and 101 in served_ids
