@@ -147,12 +147,31 @@ def main():
     import os
 
     args = [a for a in sys.argv[1:]]
-    # the sf dir is any arg that IS a directory (bare relative names
-    # like "testdata_sf1" included — the old "/"-in-arg test silently
-    # fell back to the default dir and ran the args as query names)
-    dirs = [a for a in args if os.path.isdir(a)]
-    sf_dir = dirs[0] if dirs else "/root/testdata/sf0.01"
-    wanted = [a for a in args if a not in dirs]
+    # --sf-dir is the explicit, unambiguous spelling; positional
+    # directory sniffing stays as a convenience but a SECOND directory
+    # arg is an error rather than silently dropped, and a query name
+    # colliding with a cwd directory can always be disambiguated via
+    # the flag (r7 advice)
+    sf_dir = None
+    if "--sf-dir" in args:
+        i = args.index("--sf-dir")
+        if i + 1 >= len(args):
+            sys.exit("--sf-dir requires a path argument")
+        sf_dir = args[i + 1]
+        if not os.path.isdir(sf_dir):
+            sys.exit(f"--sf-dir {sf_dir!r} is not a directory")
+        args = args[:i] + args[i + 2 :]
+        wanted = list(args)
+    else:
+        dirs = [a for a in args if os.path.isdir(a)]
+        if len(dirs) > 1:
+            sys.exit(
+                f"ambiguous: multiple directory args {dirs} — pass the "
+                "scale-factor dir via --sf-dir and query names bare"
+            )
+        sf_dir = dirs[0] if dirs else None
+        wanted = [a for a in args if a not in dirs]
+    sf_dir = sf_dir or "/root/testdata/sf0.01"
 
     spark = get_spark("oracle-check")
     con = duck_con(sf_dir)
