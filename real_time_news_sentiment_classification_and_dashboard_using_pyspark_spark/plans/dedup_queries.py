@@ -2056,8 +2056,43 @@ def _min_label_cc_ctes(rounds: int = 16) -> str:
     (node, reachable-root) relation — O(|component|^2) rows. Fine on
     the small-scale corpora; on sf1's giant 0.4-radius random component
     (~20k nodes) that is ~4e8 accumulating rows and DuckDB ground for
-    45+ minutes before the sweep's oracle budget cut it off."""
-    parts = ["r0 AS MATERIALIZED (SELECT DISTINCT s AS v, s AS l FROM edges)"]
+    45+ minutes before the sweep's oracle budget cut it off.
+
+    The propagation rounds run on a TWICE-CONTRACTED quotient graph
+    (r7 verdict #2): each contraction maps every node to the min of
+    its closed neighborhood (one grouped pass over the edge list) and
+    keeps only DISTINCT edges between differing representatives. On
+    the dense random-geometry components this corpus family produces,
+    two contractions collapse the giant component to a few hundred
+    quotient nodes, so the 16 unrolled rounds — formerly 16 joins over
+    the FULL edge list, the term that blew sf1 past the default oracle
+    budget — iterate over a relation thousands of times smaller. Exact
+    at every step: contraction preserves connectivity, and a
+    component's min node id m survives every level (l(m)=m at each),
+    so the final labels are the same min-node-id labels the uncontracted
+    propagation yields."""
+    parts = [
+        # contraction level 1: v -> min(closed neighborhood); every
+        # node appears as s because edges carries both directions
+        """l0 AS MATERIALIZED (
+    SELECT s AS v, least(s, min(d)) AS l FROM edges GROUP BY s
+)""",
+        """e1 AS MATERIALIZED (
+    SELECT DISTINCT a.l AS s, b.l AS d
+    FROM edges e JOIN l0 a ON a.v = e.s JOIN l0 b ON b.v = e.d
+    WHERE a.l <> b.l
+)""",
+        # contraction level 2 over the (already shrunken) quotient
+        """l1 AS MATERIALIZED (
+    SELECT s AS v, least(s, min(d)) AS l FROM e1 GROUP BY s
+)""",
+        """e2 AS MATERIALIZED (
+    SELECT DISTINCT a.l AS s, b.l AS d
+    FROM e1 e JOIN l1 a ON a.v = e.s JOIN l1 b ON b.v = e.d
+    WHERE a.l <> b.l
+)""",
+        "r0 AS MATERIALIZED (SELECT DISTINCT s AS v, s AS l FROM e2)",
+    ]
     for i in range(rounds):
         parts.append(
             f"""r{i + 1} AS MATERIALIZED (
@@ -2066,12 +2101,23 @@ def _min_label_cc_ctes(rounds: int = 16) -> str:
     JOIN r{i} lj ON lj.v = r.l
     LEFT JOIN (
         SELECT e.d AS v, min(r2.l) AS ml
-        FROM edges e JOIN r{i} r2 ON r2.v = e.s
+        FROM e2 e JOIN r{i} r2 ON r2.v = e.s
         GROUP BY e.d
     ) m ON m.v = r.v
 )"""
         )
-    parts.append(f"comp AS (SELECT v, l AS cluster_id FROM r{rounds})")
+    # map back down the contraction chain: v -> l0 -> l1 -> propagated
+    # label; a representative absent from the next level up is its own
+    # (already-minimal) component label
+    parts.append(
+        f"""comp AS (
+    SELECT n.v,
+           coalesce(rq.l, coalesce(up.l, n.l)) AS cluster_id
+    FROM l0 n
+    LEFT JOIN l1 up ON up.v = n.l
+    LEFT JOIN r{rounds} rq ON rq.v = coalesce(up.l, n.l)
+)"""
+    )
     parts.append(
         f"""cc_unconverged AS (
     SELECT count(*) AS n
@@ -2085,16 +2131,21 @@ def _min_label_cc_ctes(rounds: int = 16) -> str:
 def _near_dup_clusters_oracle() -> str:
     from .similarity_queries import _BANDED_BUCKETS_CTE
 
+    # MATERIALIZED on en/cand/pairs is load-bearing for the sweep
+    # budget (r7 verdict #2): non-materialized CTEs are inlined PER
+    # REFERENCE, so `edges`' two branches re-verified all ~46M sf1
+    # candidates twice and `en`'s norms were recomputed per pair —
+    # 10+ min where one evaluation is ~45 s.
     return f"""
 WITH {_BANDED_BUCKETS_CTE},
-en AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
-cand AS (
+en AS MATERIALIZED (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+cand AS MATERIALIZED (
     SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
     FROM (SELECT en.vec_id, bk.t, bk.bucket FROM en JOIN bbuckets bk USING (vec_id)) a
     JOIN (SELECT en.vec_id, bk.t, bk.bucket FROM en JOIN bbuckets bk USING (vec_id)) b
       ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 ),
-pairs AS (
+pairs AS MATERIALIZED (
     SELECT c.vec_a, c.vec_b
     FROM cand c JOIN en x ON c.vec_a = x.vec_id JOIN en y ON c.vec_b = y.vec_id
     WHERE round(list_dot_product(x.emb, y.emb) / (x.nrm * y.nrm), 6) >= 0.4
@@ -2154,11 +2205,13 @@ def near_dup_clusters(spark, sf_dir):
     oracle=f"""
 WITH
 e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-pairs AS (
+en AS MATERIALIZED (
+    SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e
+),
+pairs AS MATERIALIZED (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE round(list_dot_product(a.emb, b.emb) /
-          (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.4
+    FROM en a JOIN en b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) >= 0.4
 ),
 edges AS MATERIALIZED (
     SELECT vec_a AS s, vec_b AS d FROM pairs
@@ -2310,15 +2363,15 @@ def _keep_representatives_oracle() -> str:
 
     return f"""
 WITH RECURSIVE {_BANDED_BUCKETS_CTE},
-en AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+en AS MATERIALIZED (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
 lab AS (SELECT vec_id, label FROM embeddings),
-cand AS (
+cand AS MATERIALIZED (
     SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
     FROM (SELECT en.vec_id, bk.t, bk.bucket FROM en JOIN bbuckets bk USING (vec_id)) a
     JOIN (SELECT en.vec_id, bk.t, bk.bucket FROM en JOIN bbuckets bk USING (vec_id)) b
       ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 ),
-pairs AS (
+pairs AS MATERIALIZED (
     SELECT c.vec_a, c.vec_b
     FROM cand c JOIN en x ON c.vec_a = x.vec_id JOIN en y ON c.vec_b = y.vec_id
     WHERE round(list_dot_product(x.emb, y.emb) / (x.nrm * y.nrm), 6) >= 0.4
