@@ -130,8 +130,91 @@ def train_on_documents(
         model = train_sentiment_model(docs.select("text", "sentiment"))
         if persist:
             model.write().overwrite().save(path)
+    if persist and not os.path.exists(
+        os.path.join(path, PREDHASH_FILE)
+    ):
+        write_prediction_fingerprint(spark, sf_dir, model)
     _MODEL_MEMO[key] = model
     return model
+
+
+# ---------------------------------------------------------------------------
+# prediction-vector pinning: the strong check behind the rows-only
+# contract (r7 verdict #3)
+# ---------------------------------------------------------------------------
+
+PREDHASH_FILE = "predhash.json"
+
+
+def prediction_fingerprint_expr() -> F.Column:
+    """Per-row fingerprint term of a prediction: a 32-bit md5 slice of
+    ``doc_id:ml_sentiment`` as BIGINT. Summed over the corpus it gives
+    an ORDER-INDEPENDENT fingerprint of the whole prediction vector —
+    any single flipped label changes the sum. Same md5-slice idiom as
+    the oracle harness's value hash."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("doc_id").cast("string"),
+                    F.col("ml_sentiment"),
+                )
+            ),
+            25,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def expected_prediction_fingerprint(sf_dir: str):
+    """The COMMITTED fingerprint for this corpus's fitted model, or
+    None when the registry has none (fresh corpus: the first
+    ``train_on_documents`` writes it). Lives inside the
+    content-fingerprint-keyed model dir, so a regenerated corpus or
+    refit model never resolves a stale pin."""
+    import json
+    import os
+
+    p = os.path.join(_model_path(sf_dir), PREDHASH_FILE)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def write_prediction_fingerprint(
+    spark: SparkSession, sf_dir: str, model: PipelineModel
+) -> None:
+    """Predict over the corpus once and pin the prediction vector:
+    fingerprint sum, row count, and the per-class agreement rates (the
+    band a future run must reproduce exactly — inference is
+    deterministic JVM arithmetic over a committed model)."""
+    import json
+    import os
+
+    docs = score_text_expr(table(spark, sf_dir, "documents"), "text")
+    pred = predict_sentiment(model, docs, "text")
+    row = pred.agg(
+        F.sum(prediction_fingerprint_expr()).alias("fingerprint"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            (F.col("ml_sentiment") == F.col("sentiment")).cast("int")
+        ).alias("n_agree"),
+    ).head()
+    path = _model_path(sf_dir)
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, PREDHASH_FILE), "w") as fh:
+        json.dump(
+            {
+                "fingerprint": int(row["fingerprint"]),
+                "n_docs": int(row["n_docs"]),
+                "n_agree": int(row["n_agree"]),
+            },
+            fh,
+        )
 
 
 def predict_sentiment(model: PipelineModel, df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -147,23 +147,59 @@ def mllib_sentiment_agreement(spark, sf_dir):
     per-class agreement between the model and the lexicon classifier.
     Always exactly one row per lexicon class — stable under the driver's
     rows-only check. Inference is a narrow JVM-side transform, so the
-    fitted model drops into the streaming pipeline unchanged."""
-    from ..functions.ml import predict_sentiment, train_on_documents
+    fitted model drops into the streaming pipeline unchanged.
+
+    The rows-only contract is PINNED (r7 verdict #3): the model
+    registry commits an order-independent fingerprint of the full
+    prediction vector (sum of per-row md5 slices of
+    ``doc_id:ml_sentiment``) plus the exact corpus-level agreement
+    count alongside the fitted artifact. The plan recomputes both and
+    appends a ``__PREDHASH_MISMATCH__`` sentinel row on any deviation
+    — a drifted model or flipped prediction changes the row COUNT,
+    which even the weaker rows-only comparator catches. Same
+    visible-failure idiom as the CC oracles' ``cc_unconverged``
+    sentinel."""
+    from ..functions.ml import (
+        expected_prediction_fingerprint,
+        predict_sentiment,
+        prediction_fingerprint_expr,
+        train_on_documents,
+    )
     from ..functions.sentiment import score_text_expr
     from ..sources.tables import table as _t
 
     model = train_on_documents(spark, sf_dir)
     docs = score_text_expr(_t(spark, sf_dir, "documents"), "text")
     pred = predict_sentiment(model, docs, "text")
-    return (
-        pred.groupBy("sentiment")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum((F.col("ml_sentiment") == F.col("sentiment")).cast("int"))
+    agg = pred.groupBy("sentiment").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("ml_sentiment") == F.col("sentiment")).cast("int"))
+        .cast("bigint")
+        .alias("n_agree"),
+    )
+    pin = expected_prediction_fingerprint(sf_dir)
+    if pin is None:
+        return agg
+    sentinel = (
+        pred.agg(
+            F.sum(prediction_fingerprint_expr()).alias("h"),
+            F.sum(
+                (F.col("ml_sentiment") == F.col("sentiment")).cast("int")
+            )
             .cast("bigint")
-            .alias("n_agree"),
+            .alias("agree"),
+        )
+        .filter(
+            (F.col("h") != F.lit(int(pin["fingerprint"])))
+            | (F.col("agree") != F.lit(int(pin["n_agree"])))
+        )
+        .select(
+            F.lit("__PREDHASH_MISMATCH__").alias("sentiment"),
+            F.col("h").alias("n_docs"),
+            F.col("agree").alias("n_agree"),
         )
     )
+    return agg.unionByName(sentinel)
 
 
 # Fixed-weight hashed linear classifier: the inference plan of the

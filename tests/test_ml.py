@@ -76,3 +76,42 @@ def test_mllib_model_scores_a_stream(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["text"].split()[0]: r["ml_sentiment"] for r in spark.sql("SELECT * FROM ml_stream").collect()}
     assert got == {"fast": "Positive", "slow": "Negative"}
+
+
+def test_prediction_pin_is_committed_and_silent(spark):
+    """The registry carries a prediction-vector fingerprint for the
+    fixture corpus, and the agreement query's sentinel branch stays
+    SILENT when the model reproduces it — exactly 3 class rows."""
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.functions.ml import (
+        expected_prediction_fingerprint,
+    )
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans.sentiment_queries import (
+        mllib_sentiment_agreement,
+    )
+
+    pin = expected_prediction_fingerprint(SF)
+    assert pin is not None and pin["fingerprint"] > 0
+    rows = mllib_sentiment_agreement(spark, SF).collect()
+    assert len(rows) == 3
+    assert all(r["sentiment"] != "__PREDHASH_MISMATCH__" for r in rows)
+    assert sum(r["n_agree"] for r in rows) == pin["n_agree"]
+
+
+def test_prediction_pin_mismatch_fires_sentinel(spark, monkeypatch):
+    """A drifted prediction vector must surface as a VISIBLE extra row
+    (rowcount change), never a silently wrong answer — pin the failure
+    mode by feeding the plan a perturbed expected fingerprint."""
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.functions import ml
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans import (
+        sentiment_queries,
+    )
+
+    real = ml.expected_prediction_fingerprint(SF)
+    tampered = dict(real, fingerprint=real["fingerprint"] + 1)
+    monkeypatch.setattr(
+        ml, "expected_prediction_fingerprint", lambda _sf: tampered
+    )
+    rows = sentiment_queries.mllib_sentiment_agreement(spark, SF).collect()
+    marks = [r for r in rows if r["sentiment"] == "__PREDHASH_MISMATCH__"]
+    assert len(rows) == 4 and len(marks) == 1
+    assert marks[0]["n_docs"] == real["fingerprint"]  # the recomputed hash
