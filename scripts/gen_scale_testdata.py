@@ -263,13 +263,82 @@ def generate(spark, src: str, dst: str, k: int) -> None:
     w(_replicas(emb, k, emb_replica), "embeddings")
 
 
+def generate_hard_embeddings(
+    spark, src: str, dst: str, n: int = 2000, dim: int = 64, planted: int = 400
+) -> None:
+    """ADVERSARIAL ANN fixture (r7 verdict #4): the driver corpus is
+    label-clustered, so IVF coarse quantization never loses a true
+    neighbor and ``ivf_recall_eval`` saturates at 1.00 from nprobe=1 —
+    a dial that cannot fail. This fixture replaces the embeddings table
+    with md5-seeded ISOTROPIC vectors (uniform [-1, 1] per dimension —
+    no cluster structure for cells to align with) plus ``planted``
+    near-neighbor pairs: vector n-planted+i = partner i's vector plus
+    0.35x an independent isotropic perturbation (cos ≈ 0.94), so exact
+    top-5 sets have real structure that Voronoi cells of arbitrary
+    centroids genuinely split. Every other table is HARD-LINKED from
+    ``src`` so the full oracle harness runs against the dir unchanged.
+
+    Deterministic by construction (pure md5 of (vec_id, dim) — no RNG,
+    no time), so the committed fixture and a regenerated one are
+    byte-comparable."""
+    import shutil
+
+    os.makedirs(dst, exist_ok=True)
+    for name in (
+        "region nation customer supplier part orders lineitem events documents"
+    ).split():
+        s, d = f"{src}/{name}.parquet", f"{dst}/{name}.parquet"
+        if os.path.exists(d):
+            continue
+        try:
+            if os.path.isdir(s):
+                shutil.copytree(s, d, copy_function=os.link)
+            else:
+                os.link(s, d)
+        except OSError:
+            shutil.copy2(s, d) if os.path.isfile(s) else shutil.copytree(s, d)
+
+    def u(seed_expr: str) -> str:
+        # uniform [-1, 1] from a 32-bit md5 slice — the family's one
+        # hash idiom (h32), rescaled
+        return (
+            f"(conv(substring(md5({seed_expr}), 25, 8), 16, 10)"
+            f" / 2147483648.0 - 1.0)"
+        )
+
+    base = n - planted
+    iso = u("concat(cast(id AS string), '_', cast(j AS string))")
+    part = u(
+        f"concat(cast(id - {base} AS string), '_', cast(j AS string))"
+    )
+    pert = u("concat('p', cast(id AS string), '_', cast(j AS string))")
+    emb = spark.range(n).selectExpr(
+        "id AS vec_id",
+        f"""transform(sequence(0, {dim - 1}), j ->
+              CAST(CASE WHEN id < {base} THEN {iso}
+                        ELSE {part} + 0.35 * {pert} END AS FLOAT)
+           ) AS embedding""",
+        "CAST(id % 40 AS INT) AS label",
+    )
+    emb.repartition(8).write.mode("overwrite").parquet(
+        f"{dst}/embeddings.parquet"
+    )
+
+
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    src, dst, k = sys.argv[1], sys.argv[2], int(sys.argv[3])
     from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark import (
         session,
     )
 
+    if sys.argv[1] == "--hard-embeddings":
+        src, dst = sys.argv[2], sys.argv[3]
+        spark = session.get_spark()
+        generate_hard_embeddings(spark, src, dst)
+        n = spark.read.parquet(f"{dst}/embeddings.parquet").count()
+        print(f"GEN hard embeddings {n}")
+        sys.exit(0)
+    src, dst, k = sys.argv[1], sys.argv[2], int(sys.argv[3])
     spark = session.get_spark()
     generate(spark, src, dst, k)
     for name in (
