@@ -692,24 +692,23 @@ def append_to_shingle_artifact(
             )
             .select("doc_id", F.col("karr.s").alias("sh_arr"))
         )
-        # EVERY affected ∪ delta doc gets an override row — a doc whose
-        # entire kept set crossed the stop cutoff gets a TOMBSTONE
-        # (empty sh_arr) that resolve_kept drops post-merge. Without
-        # it, such a doc never enters the generation, the inner join
-        # above yields no row, and the reader keeps serving its stale
-        # base row with now-stop shingles: build(A)+append(B) would
-        # diverge from build(A∪B) (r7 advice, high).
-        kept_rebuilt = (
-            affected.unionByName(delta_arr.select("doc_id"))
-            .distinct()
-            .join(kept_nonstop, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.coalesce(
-                    "sh_arr", F.expr("CAST(array() AS array<string>)")
-                ).alias("sh_arr"),
-            )
+        # EVERY affected doc gets an override row — one whose entire
+        # kept set crossed the stop cutoff gets a TOMBSTONE (empty
+        # sh_arr) that resolve_kept drops post-merge. Without it, such
+        # a doc never enters the generation, the inner join above
+        # yields no row, and the reader keeps serving its stale base
+        # row with now-stop shingles: build(A)+append(B) would diverge
+        # from build(A∪B) (r7 advice, high). Only AFFECTED docs need
+        # the tombstone — a NEW delta doc has no base row to mask, so
+        # an empty-set delta doc simply gets no row, exactly like the
+        # full build (and doesn't inflate the compaction trigger).
+        tombstones = affected.join(
+            kept_nonstop, "doc_id", "left_anti"
+        ).select(
+            "doc_id",
+            F.expr("CAST(array() AS array<string>)").alias("sh_arr"),
         )
+        kept_rebuilt = kept_nonstop.unionByName(tombstones)
         over_dir = os.path.join(tmp, "kept_over")
         prior_gens = (
             [

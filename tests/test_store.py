@@ -469,7 +469,11 @@ class TestMergeOnReadKept:
             .select("doc_id")
             .collect()
         )
-        assert set(range(1, 21)) <= set(tombs) and 100 in tombs
+        assert set(range(1, 21)) <= set(tombs)
+        # the all-stop DELTA doc gets no row at all — it has no base
+        # row to mask, exactly like the full build
+        over_ids = {r["doc_id"] for r in over.select("doc_id").collect()}
+        assert 100 not in over_ids
 
         def kept_rows(path):
             return sorted(
@@ -485,3 +489,81 @@ class TestMergeOnReadKept:
         )
         # the fillers and the fresh delta doc are still served
         assert 21 in served_ids and 101 in served_ids
+
+    def test_compaction_folds_generations_to_rebuild_equivalent(
+        self, spark, store_dir, tmp_path
+    ):
+        """LSM fold at scale-shape (r7 verdict #6): three appends build
+        generations 1..3; the third pushes DISTINCT overridden docs past
+        half the base, so the fold fires — kept_over disappears, the
+        flat base is rewritten, and the post-compaction logical kept
+        equals a from-scratch rebuild of the full corpus."""
+        from pyspark.sql import functions as F
+
+        from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans.dedup_queries import (
+            append_to_shingle_artifact,
+            build_shingle_artifact,
+            resolve_kept,
+        )
+
+        def letters(i):
+            return "".join(chr(ord("a") + int(c)) for c in str(i))
+
+        def text_of(i):
+            return f"{letters(i)}x {letters(i)}y {letters(i)}z"
+
+        base_rows = [(i, text_of(i)) for i in range(1, 101)]
+        # delta k duplicates base texts [10(k-1)+1 .. 10k]: each append
+        # affects 10 base docs + adds 10 new docs -> 20 fresh distinct
+        # overrides per generation; fold trigger (> 50 = 0.5 x 100)
+        # crosses on the THIRD append (20 -> 40 -> 60)
+        deltas = [
+            [(2000 + 100 * k + j, text_of(10 * (k - 1) + j)) for j in range(1, 11)]
+            for k in (1, 2, 3)
+        ]
+        mk = lambda rows: spark.createDataFrame(rows, "doc_id: bigint, text: string")
+        sf_a = str(tmp_path / "sfA"); os.makedirs(sf_a)
+        mk(base_rows).write.parquet(f"{sf_a}/documents.parquet")
+        sf_full = str(tmp_path / "sfFull"); os.makedirs(sf_full)
+        mk(base_rows + deltas[0] + deltas[1] + deltas[2]).write.parquet(
+            f"{sf_full}/documents.parquet"
+        )
+        store = build_shingle_artifact(spark, sf_a)
+        full = build_shingle_artifact(spark, sf_full)
+
+        def with_twins(rows):
+            d = mk(rows)
+            return d.unionByName(
+                d.select(
+                    (F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.split("text", " ")[0].alias("text"),  # 1 token -> empty set
+                )
+            )
+
+        gens_seen = []
+        for k, delta in enumerate(deltas, start=1):
+            out = str(tmp_path / f"app{k}")
+            store = append_to_shingle_artifact(
+                spark, store, with_twins(delta), out
+            )
+            over = os.path.join(store, "kept_over")
+            if os.path.isdir(over):
+                gens_seen.append(
+                    sorted(
+                        int(e.split("=")[1])
+                        for e in os.listdir(over)
+                        if e.startswith("gen=")
+                    )
+                )
+            else:
+                gens_seen.append(None)
+        assert gens_seen[0] == [1] and gens_seen[1] == [1, 2], gens_seen
+        assert gens_seen[2] is None, "third append must trigger the fold"
+
+        def kept_rows(path):
+            return sorted(
+                (r["doc_id"], tuple(r["sh_arr"]))
+                for r in resolve_kept(spark, path).collect()
+            )
+
+        assert kept_rows(store) == kept_rows(full)
