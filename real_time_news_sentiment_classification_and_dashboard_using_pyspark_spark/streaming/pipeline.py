@@ -64,6 +64,47 @@ def scored_stream(spark: SparkSession, input_dir: str) -> DataFrame:
 SUMMARY_EVERY = 16
 
 
+def _advance_latest_sidecar(metrics_dir: str, batch_id: int) -> None:
+    """Monotonically record the newest committed metrics batch id in a
+    ``_LATEST`` sidecar (underscore prefix: invisible to parquet
+    discovery, like ``_SUCCESS``). Written AFTER the batch's metrics
+    partition lands, so the sidecar is never ahead of committed data;
+    a replayed old batch cannot regress it. This is what lets the
+    restart seed's NON-LOCAL fallback read explicit tail paths instead
+    of paying full partition discovery (r7 verdict #7). Local-FS
+    implementation (atomic tmp+rename); on an object store the
+    equivalent is one small PUT per batch — same cost class — and the
+    sidecar being unwritable simply leaves the generic-scan fallback,
+    so this is an optimization, never a correctness dependency."""
+    import os
+
+    path = os.path.join(metrics_dir, "_LATEST")
+    try:
+        prev = -1
+        try:
+            with open(path) as fh:
+                prev = int(fh.read().strip())
+        except (OSError, ValueError):
+            pass
+        if batch_id > prev:
+            tmp = f"{path}.tmp{os.getpid()}"
+            with open(tmp, "w") as fh:
+                fh.write(str(batch_id))
+            os.replace(tmp, path)
+    except OSError:
+        pass
+
+
+def _read_latest_sidecar(metrics_dir: str) -> int | None:
+    import os
+
+    try:
+        with open(os.path.join(metrics_dir, "_LATEST")) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
 def seed_totals(
     session: SparkSession, output_dir: str
 ) -> tuple[dict[str, int], set[int]]:
@@ -112,6 +153,28 @@ def seed_totals(
             tail = session.read.option("basePath", metrics_dir).parquet(
                 *[os.path.join(metrics_dir, f"batch_id={i}") for i in tail_ids]
             )
+    if tail is None:
+        # generic (non-listdir) path: the _LATEST sidecar plus the
+        # contiguous-commit invariant fully determine the tail dirs, so
+        # the seed reads EXPLICIT paths — no partition discovery at all
+        # (r7 verdict #7: this branch previously re-paid the full
+        # listing it existed to avoid). A sidecar that is stale by a
+        # crash is never AHEAD of committed metrics, and any batch it
+        # misses is also uncommitted in the streaming checkpoint, so
+        # the restarted query replays it idempotently.
+        latest = _read_latest_sidecar(metrics_dir)
+        if latest is not None:
+            if latest <= last:
+                return totals, applied
+            try:
+                tail = session.read.option("basePath", metrics_dir).parquet(
+                    *[
+                        os.path.join(metrics_dir, f"batch_id={i}")
+                        for i in range(last + 1, latest + 1)
+                    ]
+                )
+            except AnalysisException:
+                tail = None  # tampered/missing dirs: full-scan fallback
     if tail is None:
         try:
             m = session.read.parquet(metrics_dir)
@@ -205,6 +268,7 @@ def batch_fanout(
                 .write.mode("overwrite")
                 .parquet(f"{output_dir}/metrics/batch_id={batch_id}")
             )
+            _advance_latest_sidecar(f"{output_dir}/metrics", batch_id)
             if batch_id not in applied:
                 for c, v in counts.items():
                     totals[c] = totals.get(c, 0) + v

@@ -550,7 +550,7 @@ def test_near_dup_replay_not_swallowed_by_own_index_entry(spark):
     assert dropped == other_matched  # dropped iff matched a DIFFERENT doc
 
 
-def test_restart_seed_bounded_by_metrics_summary(spark, tmp_path):
+def test_restart_seed_bounded_by_metrics_summary(spark, tmp_path, monkeypatch):
     """r6 verdict #6: cold-restart seeding against a LONG-LIVED stream's
     sink — 1,200 accumulated per-batch metric dirs, synthesized directly
     (pyarrow) so the test measures the seed path, not a 1,200-batch
@@ -621,6 +621,36 @@ def test_restart_seed_bounded_by_metrics_summary(spark, tmp_path):
     assert seed_fast < seed_full, (seed_fast, seed_full)
     print(f"seed cost: with summary {seed_fast:.2f}s vs full scan {seed_full:.2f}s")
 
+    # GENERIC (non-local) path (r7 verdict #7): with the local listdir
+    # branch disabled, the _LATEST sidecar must bound the tail read to
+    # explicit batch paths — no partition discovery — and recover the
+    # identical state, measurably faster than the 1,200-dir full scan
+    os.makedirs(sd)
+    pq.write_table(
+        pa.table(
+            {
+                "sentiment": ["Positive", "Negative"],
+                "cnt": pa.array([2 * 1185, 1185], "int64"),
+                "last_batch_id": pa.array([1184, 1184], "int64"),
+            }
+        ),
+        os.path.join(sd, "part-0.parquet"),
+    )
+    metrics_dir = os.path.join(out, "metrics")
+    with open(os.path.join(metrics_dir, "_LATEST"), "w") as fh:
+        fh.write(str(n_batches - 1))
+    real_isdir = os.path.isdir
+    monkeypatch.setattr(
+        os.path, "isdir", lambda p: False if p == metrics_dir else real_isdir(p)
+    )
+    t0 = time.time()
+    totals_side, applied_side = seed_totals(spark, out)
+    seed_side = time.time() - t0
+    monkeypatch.undo()
+    assert totals_side == totals_fast and applied_side == applied_fast
+    assert seed_side < seed_full, (seed_side, seed_full)
+    print(f"seed cost: sidecar generic path {seed_side:.2f}s")
+
     # and the streaming closure consumes the seed correctly: applying a
     # NEW batch folds forward; replaying an already-applied batch is a
     # no-op on the totals
@@ -638,3 +668,6 @@ def test_restart_seed_bounded_by_metrics_summary(spark, tmp_path):
         for r in spark.table("global_temp.seed_view").collect()
     }
     assert replay == view
+    # and the fan-out advanced the sidecar monotonically past our seed
+    with open(os.path.join(out, "metrics", "_LATEST")) as fh:
+        assert int(fh.read()) == n_batches
