@@ -95,14 +95,19 @@ shingle AS (
     FROM tok, unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(s)
 ),
-sh AS (
+sh AS MATERIALIZED (
     SELECT doc_id, shingle,
            ('0x' || substr(md5(shingle), 25, 8))::BIGINT AS h32
     FROM shingle
 ),
-sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+sizes AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
 """
 )
+# MATERIALIZED is load-bearing at sweep scale: DuckDB inlines plain
+# CTEs once PER REFERENCE, and every dedup oracle reads ``sh`` 2-5
+# times (signatures + both verify sides) — the union oracle re-paid
+# the full tokenize/shingle corpus five times at sf1 (241 s; 26 s
+# materialized, identical rows).
 
 
 def _corpus(spark, sf_dir) -> DataFrame:
