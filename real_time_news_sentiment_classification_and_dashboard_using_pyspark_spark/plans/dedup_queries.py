@@ -2028,6 +2028,81 @@ def near_dup_candidates_union(spark, sf_dir):
     )
 
 
+SPAN_K = 12  # exact-substring span width (tokens)
+
+
+@register(
+    "exact_span_dedup",
+    oracle=f"""
+WITH {CORPUS_SQL},
+tok AS MATERIALIZED (SELECT doc_id, {TOKS} AS t FROM corpus),
+spans AS MATERIALIZED (
+    SELECT DISTINCT doc_id,
+           ('0x' || substr(md5(s), 25, 8))::BIGINT AS h
+    FROM tok,
+         unnest(list_transform(range(1, greatest(len(t) - {SPAN_K - 1}, 0) + 1),
+                               i -> array_to_string(t[i:i + {SPAN_K - 1}], ' '))) AS u(s)
+),
+keepable AS (
+    SELECT h FROM spans GROUP BY h HAVING count(*) <= {STOP_SHINGLE_DF}
+),
+ks AS MATERIALIZED (SELECT s.doc_id, s.h FROM spans s JOIN keepable USING (h))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared_spans
+FROM ks a JOIN ks b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""",
+    tags=("dedup", "spans", "exact-substring"),
+)
+def exact_span_dedup(spark, sf_dir):
+    """EXACT-SUBSTRING dedup (the suffix-array family of Lee et al.,
+    'Deduplicating Training Data Makes Language Models Better',
+    rendered relationally): two docs are span-duplicates when they
+    share a verbatim {SPAN_K}-token window. Complements the Jaccard
+    family — bag-of-shingles similarity misses a verbatim paragraph
+    pasted into an otherwise-different doc, while a long exact window
+    is insensitive to global token-set drift.
+
+    Spark shape: per-doc DISTINCT rolling {SPAN_K}-gram windows
+    (transform over the token array — one narrow map, no explode until
+    after dedup), each reduced to the family's 32-bit md5 hash so the
+    shuffle carries (doc_id, bigint) rows, never span strings. Spans
+    occurring in more than STOP_SHINGLE_DF docs are boilerplate and
+    dropped BEFORE the self-join (same cutoff policy as the shingle
+    store), so the equi-join on span hash is collision-bounded — work
+    proportional to true sharing, never corpus^2. At 100 TB this is
+    the standard two-shuffle shape: hash-partition by span, then by
+    pair."""
+    c = _corpus(spark, sf_dir)
+    span_expr = (
+        f"array_distinct(if(size(toks) < {SPAN_K}, array(), "
+        f"transform(sequence(1, size(toks) - {SPAN_K - 1}), "
+        f"i -> array_join(slice(toks, i, {SPAN_K}), ' '))))"
+    )
+    spans = c.select(
+        "doc_id", F.explode(F.expr(span_expr)).alias("span")
+    ).select("doc_id", h32_expr("span").alias("h"))
+    keepable = (
+        spans.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= STOP_SHINGLE_DF)
+        .select("h")
+    )
+    ks = spans.join(keepable, "h", "left_semi")
+    a, b = ks.alias("a"), ks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_spans"))
+    )
+
+
 @register(
     "incremental_dedup",
     oracle=f"""

@@ -1591,3 +1591,54 @@ def hybrid_search_rrf(spark, sf_dir):
         fused.withColumn("fused_rank", F.row_number().over(fw))
         .filter(F.col("fused_rank") <= 10)
     )
+
+
+@register(
+    "unigram_logprob_quality",
+    oracle=f"""
+WITH tok AS MATERIALIZED (
+    SELECT doc_id, unnest({TOKS_SQL}) AS word FROM documents
+),
+vocab AS MATERIALIZED (SELECT word, count(*) AS tf FROM tok GROUP BY word),
+tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS n FROM vocab)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(ln(v.tf / tot.n)) / count(*), 4) AS avg_logprob
+FROM tok t JOIN vocab v USING (word) CROSS JOIN tot
+GROUP BY t.doc_id
+""",
+    tags=("text", "quality", "language-model"),
+)
+def unigram_logprob_quality(spark, sf_dir):
+    """Unigram language-model quality score — the cheapest member of
+    the perplexity-filter family every pretraining pipeline runs
+    (CCNet/Gopher filter on LM perplexity; the unigram rendering is
+    its SQL-expressible floor): train the unigram LM on the corpus
+    itself (term frequencies), then score each document by its mean
+    token log-probability. Documents full of rare/garbled tokens score
+    low; formulaic boilerplate scores high — both tails are what a
+    curation pass inspects.
+
+    Scale shape: ONE explode feeds both the vocabulary aggregate and
+    the scoring join (Catalyst reuses the scan); the vocab is keyed by
+    word — the same shuffle BM25/IDF pays — and the corpus total rides
+    in as a broadcast single-row cross join, so no driver-side
+    ``collect`` anywhere. At 100 TB the vocab table is millions of
+    rows against trillions of token rows: hash-join on word,
+    map-side-combined counts, exactly this plan."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("word"))
+    vocab = tok.groupBy("word").agg(F.count(F.lit(1)).alias("tf"))
+    tot = vocab.agg(F.sum("tf").cast("double").alias("n"))
+    return (
+        tok.join(vocab, "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.log(F.col("tf") / F.col("n"))) / F.count(F.lit(1)),
+                4,
+            ).alias("avg_logprob"),
+        )
+    )

@@ -763,3 +763,27 @@ def test_ivf_recall_gradient_on_hard_fixture(spark):
     assert rows[1] < 1.0, "nprobe=1 must lose some cross-cell neighbors"
     assert rows[1] <= rows[2] <= rows[4], f"not monotone: {rows}"
     assert rows[4] > rows[1], f"dial must move: {rows}"
+
+
+def test_exact_span_dedup_finds_planted_twins(spark):
+    """Every planted twin (original minus last 5 tokens) shares all its
+    rolling SPAN_K windows with its original whenever the twin still
+    has >= SPAN_K tokens; the span-dedup pairs must recover nearly all
+    eligible twins, and shared-span counts must be positive."""
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans.dedup_queries import (
+        SPAN_K,
+        spark_toks,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    eligible = docs.selectExpr(
+        f"size({spark_toks('text')}) AS n"
+    ).filter(F.col("n") - 5 >= SPAN_K).count()
+    rows = REGISTRY["exact_span_dedup"].fn(spark, SF).collect()
+    planted = {
+        (r["doc_a"], r["doc_b"])
+        for r in rows
+        if r["doc_b"] == r["doc_a"] + 1000000
+    }
+    assert len(planted) >= 0.9 * eligible, (len(planted), eligible)
+    assert all(r["n_shared_spans"] >= 1 for r in rows)
