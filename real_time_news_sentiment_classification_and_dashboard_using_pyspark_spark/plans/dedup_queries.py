@@ -2082,13 +2082,17 @@ def exact_span_dedup(spark, sf_dir):
     spans = c.select(
         "doc_id", F.explode(F.expr(span_expr)).alias("span")
     ).select("doc_id", h32_expr("span").alias("h"))
-    keepable = (
+    # broadcast the HOT side (winnowing's shape): the boilerplate list
+    # is bounded by construction (few spans exceed df=20), while the
+    # keepable complement is nearly every distinct span — the wrong
+    # side to put in a broadcast at 100 TB
+    hot = (
         spans.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= STOP_SHINGLE_DF)
+        .filter(F.col("df") > STOP_SHINGLE_DF)
         .select("h")
     )
-    ks = spans.join(keepable, "h", "left_semi")
+    ks = spans.join(F.broadcast(hot), "h", "left_anti")
     a, b = ks.alias("a"), ks.alias("b")
     return (
         a.join(
