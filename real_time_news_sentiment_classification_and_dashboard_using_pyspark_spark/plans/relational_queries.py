@@ -3060,3 +3060,43 @@ def nation_year_profit(spark, sf_dir):
     return profit.groupBy("nation", "o_year").agg(
         (F.sum("profit_tenk") / 10000.0).alias("profit")
     )
+
+
+@register(
+    "skew_split_event_spend",
+    oracle="""
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_spend
+FROM events e JOIN orders o ON e.user_id = o.o_custkey
+GROUP BY e.event_type
+""",
+    tags=("join", "skew", "salted"),
+)
+def skew_split_event_spend(spark, sf_dir):
+    """Fact-fact equi-join with an explicit hot-key skew split
+    (operators/skew.py `skew_split_join`) — the manual rendering of
+    AQE's skew-join handling for the case AQE can't see in advance.
+    events x orders on user_id = o_custkey is many-to-many: a user
+    holding x% of events joins every one of their orders, so a hot user
+    multiplies; `hot_keys` routes users holding >= 1% of events through
+    the salted path (left side salted over 16 shards, right side
+    replicated per salt), the long tail takes the plain hash join.
+    Salting only reorders the join's row multiset, so the aggregate —
+    and the oracle, a plain join — are identical to the unsalted plan;
+    that invariance is exactly what makes the split safe to deploy.
+    Money columns aggregate as exact integer cents."""
+    from ..operators.skew import hot_keys, skew_split_join
+
+    left = table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    right = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_totalprice"
+    )
+    hot = hot_keys(left, "user_id", min_share=0.01)
+    j = skew_split_join(left, right, "user_id", hot, n_salts=16)
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        (F.sum(_cents("value")).cast("bigint") / 100.0).alias("total_value"),
+        (F.sum(_cents("o_totalprice")).cast("bigint") / 100.0).alias("total_spend"),
+    )

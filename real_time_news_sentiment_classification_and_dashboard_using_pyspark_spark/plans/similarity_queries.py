@@ -1374,3 +1374,105 @@ def ivf_build_probe(spark, sf_dir):
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+_SEMDEDUP_TAU = 0.35
+_SEMDEDUP_K = 16
+
+
+@register(
+    "semantic_dedup",
+    oracle=f"""
+WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cent AS MATERIALIZED (
+    SELECT vec_id AS centroid_id, emb AS cemb FROM e WHERE vec_id < {_SEMDEDUP_K}
+),
+assign AS MATERIALIZED (
+    SELECT v.vec_id, v.emb, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_cos_sql('v.emb', 'c.cemb')} DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM e v CROSS JOIN cent c
+),
+cells AS MATERIALIZED (
+    SELECT centroid_id AS cell, vec_id, emb,
+           sqrt(list_dot_product(emb, emb)) AS norm
+    FROM assign WHERE rn = 1
+),
+drops AS MATERIALIZED (
+    SELECT DISTINCT b.vec_id
+    FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.emb, b.emb) / (a.norm * b.norm), 6) >= {_SEMDEDUP_TAU}
+)
+SELECT c.cell AS centroid_id,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_dropped,
+       CAST(sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM cells c LEFT JOIN drops d USING (vec_id)
+GROUP BY c.cell
+""",
+    tags=("similarity", "dedup", "semdedup"),
+)
+def semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space coarsely, then deduplicate WITHIN each cluster —
+    a vector v is dropped iff some same-cell vector with a smaller id is
+    within the similarity radius (cos >= 0.35). Clustering makes the
+    quadratic step local: all-pairs cost falls from O(n^2) to
+    O(sum cell_i^2), and each cell is an independent task.
+
+    Plan shape: assignment is one broadcast-centroid pass + per-vector
+    argmax (the ivf_cell_assignment kernel, 16 fixed centroids so the
+    oracle can replay it); the within-cell dedup runs as ONE Arrow
+    applyInPandas kernel per cell — a numpy matmul over the cell's
+    matrix, emitting only the 4-column per-cell summary, so nothing
+    pair-shaped ever shuffles. Scale posture: K scales with corpus size
+    (K ~ n / target_cell_rows) keeping per-task memory (cell_rows)^2
+    bounded; the kernel is the same BLAS shape as the block-grid
+    all-pairs kernel but restricted to cells, which is exactly the
+    SemDeDup trick."""
+    import numpy as np
+    import pandas as pd
+
+    e = _emb_n(spark, sf_dir)
+    cent = e.filter(F.col("vec_id") < _SEMDEDUP_K).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("emb").alias("cemb"),
+        F.col("norm").alias("cnorm"),
+    )
+    assign = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "emb",
+        "centroid_id",
+        _sim(F.col("emb"), F.col("norm"), F.col("cemb"), F.col("cnorm")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("centroid_id"))
+    cells = (
+        assign.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("centroid_id").alias("cell"), "vec_id", "emb")
+    )
+
+    def cell_dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        x = np.array(list(pdf["emb"]), dtype=np.float64)
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        sims = np.round(xn @ xn.T, 6)
+        # strict upper triangle by ascending id: mask[i, j] == True means
+        # the earlier vector i puts j inside the dedup radius
+        mask = np.triu(sims >= _SEMDEDUP_TAU, k=1)
+        dropped = int(mask.any(axis=0).sum())
+        n = len(pdf)
+        return pd.DataFrame(
+            {
+                "centroid_id": [int(pdf["cell"].iloc[0])],
+                "n_vectors": [n],
+                "n_dup_dropped": [dropped],
+                "n_kept": [n - dropped],
+            }
+        )
+
+    return cells.groupBy("cell").applyInPandas(
+        cell_dedup,
+        "centroid_id bigint, n_vectors bigint, n_dup_dropped bigint, n_kept bigint",
+    )

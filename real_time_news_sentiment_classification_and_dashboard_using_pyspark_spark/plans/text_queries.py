@@ -1642,3 +1642,61 @@ def unigram_logprob_quality(spark, sf_dir):
             ).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=r"""
+WITH w AS (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+    FROM documents WHERE text IS NOT NULL
+),
+p AS (
+    SELECT substr(word, CAST(i AS INT), 2) AS pair
+    FROM w, unnest(generate_series(1, length(word) - 1)) AS t(i)
+),
+c AS (
+    SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences FROM p GROUP BY pair
+)
+SELECT pair, n_occurrences,
+       CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair ASC) AS INTEGER) AS rank
+FROM c
+ORDER BY n_occurrences DESC, pair ASC
+LIMIT 20
+""",
+    tags=("text", "tokenize", "bpe"),
+)
+def bpe_pair_counts(spark, sf_dir):
+    """BPE tokenizer training, iteration zero: corpus-wide adjacent
+    symbol-pair frequencies over character-level words — the count
+    whose argmax becomes the first merge rule (Sennrich et al. 2016).
+    Top-20 pairs with a deterministic (count DESC, pair ASC) rank.
+
+    Plan: words are regexp-extracted map-side; each word expands to its
+    length-1 adjacent bigrams via an in-array transform + explode —
+    still map-side. The only shuffle is the pair-keyed aggregate, and
+    the alphabet bounds the key space at <= 26^2, so partial (map-side)
+    aggregation collapses each task's output to <= 676 rows no matter
+    the corpus size; the final top-20 is a TakeOrdered over those keys.
+    At 100 TB this is the exact shape a real BPE trainer's first pass
+    runs per iteration — the pair vocabulary, not the corpus, crosses
+    the wire."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = d.select(
+        F.explode(F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("word")
+    ).filter(F.length("word") >= 2)
+    # the length guard matters: Spark's sequence(1, 0) is DESCENDING
+    # ([1, 0]), so an unguarded one-letter word would emit two bogus
+    # 1-char "pairs" instead of none
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair")
+    )
+    c = pairs.groupBy("pair").agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    return (
+        c.withColumn("rank", F.row_number().over(w).cast("int"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(20)
+    )

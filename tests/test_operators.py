@@ -787,3 +787,77 @@ def test_exact_span_dedup_finds_planted_twins(spark):
     }
     assert len(planted) >= 0.9 * eligible, (len(planted), eligible)
     assert all(r["n_shared_spans"] >= 1 for r in rows)
+
+
+def test_semantic_dedup_matches_numpy_bruteforce(spark):
+    """SemDeDup per-cell summary equals an independent numpy replay of
+    the whole pipeline (assign to nearest of 16 fixed centroids with
+    the rounded-sim/centroid-id tiebreak, drop any vector dominated by
+    a smaller-id same-cell vector at cos >= 0.35), and the radius
+    actually fires on this corpus."""
+    import numpy as np
+
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans.similarity_queries import (
+        _SEMDEDUP_K,
+        _SEMDEDUP_TAU,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    cent = xn[ids < _SEMDEDUP_K]
+    sims_to_cent = np.round(xn @ cent.T, 6)
+    # argmax with (sim DESC, centroid_id ASC) tiebreak
+    cell = np.array(
+        [max(range(_SEMDEDUP_K), key=lambda c: (s[c], -c)) for s in sims_to_cent]
+    )
+    expected = {}
+    for c in range(_SEMDEDUP_K):
+        members = np.nonzero(cell == c)[0]  # ascending vec_id order
+        sims = np.round(xn[members] @ xn[members].T, 6)
+        mask = np.triu(sims >= _SEMDEDUP_TAU, k=1)
+        dropped = int(mask.any(axis=0).sum())
+        expected[c] = (len(members), dropped, len(members) - dropped)
+
+    got = {
+        r["centroid_id"]: (r["n_vectors"], r["n_dup_dropped"], r["n_kept"])
+        for r in REGISTRY["semantic_dedup"].fn(spark, SF).collect()
+    }
+    assert got == {c: v for c, v in expected.items() if v[0] > 0}
+    assert sum(v[1] for v in got.values()) > 0  # the radius fires
+
+
+def test_bpe_pair_counts_matches_python_reference(spark):
+    """The BPE pair table equals a pure-Python recount (regex words,
+    adjacent bigrams) — including the one-letter-word guard: Spark's
+    sequence(1, 0) is descending, so an unguarded implementation emits
+    bogus 1-char pairs."""
+    import re
+    from collections import Counter
+
+    texts = [
+        r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").select("text").collect()
+        if r["text"] is not None
+    ]
+    counts = Counter()
+    for t in texts:
+        for w in re.findall(r"[a-z]+", t.lower()):
+            for i in range(len(w) - 1):
+                counts[w[i : i + 2]] += 1
+    expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+
+    got = [
+        (r["pair"], r["n_occurrences"])
+        for r in REGISTRY["bpe_pair_counts"].fn(spark, SF)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expected
+    assert all(len(p) == 2 for p, _ in got)

@@ -392,3 +392,22 @@ def test_temperature_mixture_flattens_toward_tail(spark):
     for r in rows:
         assert 0 <= r["n_kept"] <= r["n_docs"], r
         assert r["realized_permille"] == (1000 * r["n_kept"]) // r["n_docs"], r
+
+
+def test_bpe_pair_counts_partial_agg_and_topk(spark):
+    """The pair shuffle must carry partially-aggregated (pair, count)
+    rows — bounded by the alphabet at <= 676 keys per task — and the
+    final top-20 must be a TakeOrderedAndProject, not a global sort."""
+    plan = plan_of(spark, "bpe_pair_counts")
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_skew_split_event_spend_uses_salted_hot_path(spark):
+    """The registered skew-split join really routes hot keys through
+    the (key, _salt) shuffle and keeps the events scan down to the
+    three referenced columns."""
+    plan = plan_of(spark, "skew_split_event_spend")
+    assert "_salt" in plan
+    m = re.search(r"ReadSchema: struct<user_id[^>]*>", plan)
+    assert m is not None and "props" not in m.group(0)
