@@ -326,3 +326,107 @@ def multimodal_frame_sample(spark, sf_dir):
         F.sum("n_sampled").cast("bigint").alias("total_sampled"),
         F.sum("frame_signature").cast("bigint").alias("sum_signature"),
     )
+
+
+# --- audio (PCM-shape) ---------------------------------------------------
+
+ENVELOPE_POINTS = 16  # nearest-neighbor decimated energy-envelope length
+
+
+def _audio_envelope_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB audio 'decode': the payload is read as little-endian int16
+    PCM (trailing odd byte dropped) and summarized by an
+    ENVELOPE_POINTS-long nearest-neighbor energy envelope — point i is
+    the squared sample at index (i * n_samples) // POINTS, the 1-D
+    twin of the resize kernel's pixel sampling. Deterministic and
+    byte-position-reproducible in SQL, so the query stays
+    oracle-checkable; a real deployment swaps this for an ffmpeg/
+    soundfile decode + RMS frames with identical Spark-side contracts."""
+    import numpy as np
+
+    idx = np.arange(ENVELOPE_POINTS, dtype=np.int64)
+    for pdf in batches:
+        n_samp, env_sum, env_max = [], [], []
+        for v in pdf["payload"]:
+            n = len(v) // 2
+            if n == 0:
+                n_samp.append(0)
+                env_sum.append(0)
+                env_max.append(0)
+                continue
+            samples = np.frombuffer(v[: 2 * n], dtype="<i2").astype(np.int64)
+            env = samples[(idx * n) // ENVELOPE_POINTS] ** 2
+            n_samp.append(n)
+            env_sum.append(int(env.sum()))
+            env_max.append(int(env.max()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "source": pdf["source"],
+                "n_samples": pd.Series(n_samp, dtype="int64"),
+                "envelope_energy": pd.Series(env_sum, dtype="int64"),
+                "peak_energy": pd.Series(env_max, dtype="int64"),
+            }
+        )
+
+
+@register(
+    "multimodal_audio_envelope",
+    oracle=f"""
+WITH p AS (
+    SELECT source, octet_length(encode(text)) // 2 AS n,
+           hex(encode(text)) AS hx
+    FROM documents
+),
+s AS (
+    SELECT source, n,
+           CASE WHEN n = 0 THEN 0
+                ELSE (SELECT sum(e.sq) FROM (
+                          SELECT power(x.v - CASE WHEN x.v >= 32768 THEN 65536 ELSE 0 END, 2)::BIGINT AS sq
+                          FROM (SELECT ('0x' || substr(p.hx, ((i * p.n) // {ENVELOPE_POINTS}) * 4 + 3, 2)
+                                            || substr(p.hx, ((i * p.n) // {ENVELOPE_POINTS}) * 4 + 1, 2))::BIGINT AS v
+                                FROM unnest(range(0, {ENVELOPE_POINTS})) AS u(i)) x
+                      ) e)
+           END AS env,
+           CASE WHEN n = 0 THEN 0
+                ELSE (SELECT max(e.sq) FROM (
+                          SELECT power(x.v - CASE WHEN x.v >= 32768 THEN 65536 ELSE 0 END, 2)::BIGINT AS sq
+                          FROM (SELECT ('0x' || substr(p.hx, ((i * p.n) // {ENVELOPE_POINTS}) * 4 + 3, 2)
+                                            || substr(p.hx, ((i * p.n) // {ENVELOPE_POINTS}) * 4 + 1, 2))::BIGINT AS v
+                                FROM unnest(range(0, {ENVELOPE_POINTS})) AS u(i)) x
+                      ) e)
+           END AS peak
+    FROM p
+)
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS total_samples,
+       CAST(sum(env) AS BIGINT) AS total_envelope_energy,
+       CAST(max(peak) AS BIGINT) AS max_peak_energy
+FROM s GROUP BY source
+""",
+    tags=("multimodal", "pandas-udf", "audio"),
+)
+def multimodal_audio_envelope(spark, sf_dir):
+    """AUDIO feature extraction through the multimodal path: payloads
+    read as int16 LE PCM, decimated to a 16-point energy envelope per
+    'clip' (the audio twin of the image resize stub — same Arrow batch
+    shape, same narrow schema, same oracle-replayable determinism). The
+    per-source audit sums sample counts and envelope energies and takes
+    the corpus peak; the oracle recomputes every touched sample from
+    hex byte positions, including the little-endian int16 sign
+    convention. Scale: the kernel touches O(POINTS) samples per clip
+    regardless of clip length — ingestion-time feature extraction that
+    never re-shuffles the blob."""
+    pt = payload_table(spark, sf_dir)
+    target = spark.sparkContext.defaultParallelism
+    if pt.rdd.getNumPartitions() < target:
+        pt = pt.repartition(target)
+    f = pt.mapInPandas(
+        _audio_envelope_kernel,
+        "doc_id bigint, source string, n_samples bigint, envelope_energy bigint, peak_energy bigint",
+    )
+    return f.groupBy("source").agg(
+        F.sum("n_samples").cast("bigint").alias("total_samples"),
+        F.sum("envelope_energy").cast("bigint").alias("total_envelope_energy"),
+        F.max("peak_energy").cast("bigint").alias("max_peak_energy"),
+    )

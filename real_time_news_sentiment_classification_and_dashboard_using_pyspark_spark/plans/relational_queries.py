@@ -3100,3 +3100,127 @@ def skew_split_event_spend(spark, sf_dir):
         (F.sum(_cents("value")).cast("bigint") / 100.0).alias("total_value"),
         (F.sum(_cents("o_totalprice")).cast("bigint") / 100.0).alias("total_spend"),
     )
+
+
+def _pagerank_oracle(n_iters: int = 5, d: str = "0.85", leak: str = "0.15") -> str:
+    """Unrolled weighted-PageRank oracle: one LEFT-JOIN step per
+    iteration over the MATERIALIZED normalized edge relation."""
+    sql = """
+WITH edges AS MATERIALIZED (
+    SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS w
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE s.s_nationkey <> c.c_nationkey
+    GROUP BY src, dst
+),
+e AS MATERIALIZED (
+    SELECT src, dst,
+           CAST(w AS DOUBLE) / CAST(sum(w) OVER (PARTITION BY src) AS DOUBLE) AS p
+    FROM edges
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nation),
+nodes AS (SELECT n_nationkey AS node, n_name FROM nation),
+pr0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn)
+"""
+    prev = "pr0"
+    for i in range(1, n_iters + 1):
+        sql += f""",
+pr{i} AS (
+    SELECT nd.node,
+           round({leak} / nn.n + {d} * coalesce(s.m, 0.0), 12) AS pr
+    FROM nodes nd CROSS JOIN nn
+    LEFT JOIN (SELECT e.dst, sum(e.p * {prev}.pr) AS m
+               FROM e JOIN {prev} ON e.src = {prev}.node
+               GROUP BY e.dst) s ON s.dst = nd.node
+)"""
+        prev = f"pr{i}"
+    sql += f"""
+SELECT nd.n_name, round({prev}.pr, 6) AS pagerank,
+       CAST(row_number() OVER (ORDER BY round({prev}.pr, 6) DESC, nd.n_name ASC) AS INTEGER) AS rank
+FROM nodes nd JOIN {prev} ON nd.node = {prev}.node
+"""
+    return sql
+
+
+@register(
+    "nation_trade_pagerank",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "iterative", "join"),
+)
+def nation_trade_pagerank(spark, sf_dir):
+    """Weighted PageRank over the nation trade graph — the engine's
+    iterative-algorithm rendering (the same loop shape as distributed
+    PageRank over a web graph). Edge (i -> j) = supplier-nation i sells
+    to customer-nation j, weighted by exact integer revenue; weights
+    normalize per source; 5 power iterations with damping 0.85.
+    Nodes without out-edges leak their damped mass (the common
+    simplification; the contract is in this docstring and the oracle
+    replays it exactly).
+
+    Plan/scale shape: the O(edges) relation is built ONCE (the Q7 join,
+    fact-fact shuffle shared with every orderkey query), normalized with
+    one keyed aggregate, and cached; each iteration is then one
+    edges-x-pr hash join + one dst-keyed aggregate — pr is O(nodes),
+    the iteration loop never re-reads the fact tables, and at web scale
+    each step is the classic join-agg round with pr co-partitioned by
+    node. Intermediate ranks round at 12dp so cross-engine float-sum
+    ordering can never drift across iterations; the output rounds at
+    6dp."""
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+
+    w_int = F.sum(
+        _cents("l_extendedprice")
+        * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+    ).alias("w")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+        .agg(w_int)
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    e = (
+        edges.join(outw, "src")
+        .select(
+            "src",
+            "dst",
+            (F.col("w").cast("double") / F.col("outw").cast("double")).alias("p"),
+        )
+        .cache()
+    )
+
+    nodes = n.select(F.col("n_nationkey").alias("node"), "n_name")
+    n_nodes = nodes.count()
+    pr = nodes.select("node", F.lit(1.0 / n_nodes).alias("pr"))
+    for _ in range(5):
+        contrib = (
+            e.join(pr, e.src == pr.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("pr")).alias("m"))
+        )
+        pr = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(0.15 / n_nodes) + 0.85 * F.coalesce(F.col("m"), F.lit(0.0)),
+                    12,
+                ).alias("pr"),
+            )
+        )
+    w_rank = Window.orderBy(F.desc("pagerank"), F.asc("n_name"))
+    return (
+        nodes.join(pr, "node")
+        .select("n_name", F.round("pr", 6).alias("pagerank"))
+        .withColumn("rank", F.row_number().over(w_rank).cast("int"))
+    )

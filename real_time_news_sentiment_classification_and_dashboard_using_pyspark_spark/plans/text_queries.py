@@ -1700,3 +1700,62 @@ def bpe_pair_counts(spark, sf_dir):
         .orderBy(F.desc("n_occurrences"), F.asc("pair"))
         .limit(20)
     )
+
+
+@register(
+    "weighted_doc_sample",
+    oracle=r"""
+WITH d AS (
+    SELECT doc_id, source, n_chars,
+           (('0x' || substr(md5('wds_' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+               / 4294967296.0 AS u
+    FROM documents WHERE n_chars > 0
+),
+k AS (
+    SELECT doc_id, source, n_chars,
+           round(ln(u) / n_chars, 9) AS sample_key
+    FROM d
+),
+r AS (
+    SELECT doc_id, source, n_chars, sample_key,
+           CAST(row_number() OVER (ORDER BY sample_key DESC, doc_id ASC) AS INTEGER) AS rank
+    FROM k
+)
+SELECT doc_id, source, n_chars, sample_key, rank FROM r WHERE rank <= 50
+""",
+    tags=("text", "sampling", "curation"),
+)
+def weighted_doc_sample(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement, Efraimidis-Spirakis
+    (2006): each doc draws a deterministic uniform u from an md5 slice
+    and the top-k by ln(u)/weight (weight = n_chars) is an exact
+    weighted sample — longer documents proportionally likelier, rerun-
+    and engine-stable because the 'randomness' is content-keyed (the
+    same coordination-free trick as hash_split_counts/domain_cap_sample,
+    extended to UNEQUAL inclusion probabilities).
+
+    Plan: the key is one map-side expression; the top-50 compiles to
+    TakeOrderedAndProject, so each task forwards at most 50 candidate
+    rows — no global sort, no shuffle of the corpus. The key is rounded
+    to 9dp (abs scale ~1e-4) before ranking with a doc_id tiebreak, so
+    the libm ln() ulp gap between engines can never flip the order.
+    Weighted reservoir sampling at 100 TB is this exact plan: the
+    per-partition heap is the TakeOrdered partial."""
+    d = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("wds_"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    ) / F.lit(4294967296.0)
+    keyed = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(F.log(u) / F.col("n_chars"), 9).alias("sample_key"),
+    )
+    top = keyed.orderBy(F.desc("sample_key"), F.asc("doc_id")).limit(50)
+    w = Window.orderBy(F.desc("sample_key"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

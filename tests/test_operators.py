@@ -861,3 +861,94 @@ def test_bpe_pair_counts_matches_python_reference(spark):
     ]
     assert got == expected
     assert all(len(p) == 2 for p, _ in got)
+
+
+def test_weighted_doc_sample_matches_python_es(spark):
+    """Efraimidis-Spirakis weighted sample replayed in pure Python
+    (hashlib md5 -> uniform -> ln(u)/weight -> top-50) — the engine's
+    sample must be the exact same doc set in the exact same order."""
+    import hashlib
+    import math
+
+    rows = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    )
+    keyed = []
+    for r in rows:
+        if r["n_chars"] <= 0:
+            continue
+        h = int(hashlib.md5(f"wds_{r['doc_id']}".encode()).hexdigest()[:8], 16)
+        u = (h + 1) / 4294967296.0
+        keyed.append((round(math.log(u) / r["n_chars"], 9), r["doc_id"]))
+    expected = [
+        doc for key, doc in sorted(keyed, key=lambda kv: (-kv[0], kv[1]))[:50]
+    ]
+
+    got = [
+        r["doc_id"]
+        for r in REGISTRY["weighted_doc_sample"].fn(spark, SF).orderBy("rank").collect()
+    ]
+    assert got == expected
+
+
+def test_nation_trade_pagerank_is_probability_like(spark):
+    """PageRank sanity pins: one row per nation, a valid rank
+    permutation, every score at least the teleport floor, and total
+    mass in (floor, 1] (mass leaks through out-edge-free nodes by the
+    documented contract, so strictly 1.0 only without leaks)."""
+    rows = REGISTRY["nation_trade_pagerank"].fn(spark, SF).collect()
+    n = len(rows)
+    assert n == 25
+    assert sorted(r["rank"] for r in rows) == list(range(1, n + 1))
+    floor = 0.15 / n
+    assert all(r["pagerank"] >= floor - 1e-6 for r in rows)
+    total = sum(r["pagerank"] for r in rows)
+    assert floor * n - 1e-6 < total <= 1.0 + 1e-6
+    # the graph must actually spread mass: not all scores equal
+    assert len({r["pagerank"] for r in rows}) > 1
+
+
+def test_audio_envelope_matches_python_reference(spark):
+    """The int16-PCM envelope audit equals a per-doc pure-Python replay
+    (little-endian signed samples, (i*n)//16 nearest-neighbor indices,
+    squared energies) summed per source."""
+    import struct
+
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.operators.multimodal import (
+        ENVELOPE_POINTS,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("source", "text")
+        .collect()
+    )
+    agg = {}
+    for r in rows:
+        payload = (r["text"] or "").encode("utf-8")
+        n = len(payload) // 2
+        if n == 0:
+            env_sum = peak = 0
+        else:
+            samples = struct.unpack(f"<{n}h", payload[: 2 * n])
+            env = [
+                samples[(i * n) // ENVELOPE_POINTS] ** 2
+                for i in range(ENVELOPE_POINTS)
+            ]
+            env_sum, peak = sum(env), max(env)
+        cur = agg.setdefault(r["source"], [0, 0, 0])
+        cur[0] += n
+        cur[1] += env_sum
+        cur[2] = max(cur[2], peak)
+
+    got = {
+        r["source"]: [
+            r["total_samples"],
+            r["total_envelope_energy"],
+            r["max_peak_energy"],
+        ]
+        for r in REGISTRY["multimodal_audio_envelope"].fn(spark, SF).collect()
+    }
+    assert got == {k: list(v) for k, v in agg.items()}

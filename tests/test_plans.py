@@ -411,3 +411,12 @@ def test_skew_split_event_spend_uses_salted_hot_path(spark):
     assert "_salt" in plan
     m = re.search(r"ReadSchema: struct<user_id[^>]*>", plan)
     assert m is not None and "props" not in m.group(0)
+
+
+def test_weighted_doc_sample_is_take_ordered(spark):
+    """The weighted top-50 must compile to TakeOrderedAndProject (each
+    task forwards <= 50 candidates) — never a global sort of the
+    corpus."""
+    plan = plan_of(spark, "weighted_doc_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert re.search(r"\bSort\b(?!.*TakeOrdered)", plan.split("TakeOrderedAndProject")[0]) is None
