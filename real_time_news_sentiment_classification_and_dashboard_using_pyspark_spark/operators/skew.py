@@ -88,7 +88,12 @@ def skew_split_join(
     skewed shuffle feeding a non-join operator, or engines/configs with
     AQE off) and as the documented fallback when one key exceeds even a
     split partition."""
-    hot = F.broadcast(hot.select(key))
+    # The hot relation feeds FOUR joins (semi/anti on each side); without
+    # a cache each one re-evaluates the hot-key aggregation — four extra
+    # passes over the fact table at 100 TB. The set is tiny by
+    # definition, so caching it is one partial-agg job, then four
+    # broadcast probes of the cached rows.
+    hot = F.broadcast(hot.select(key).cache())
     left_hot = left.join(hot, key, "left_semi")
     left_cold = left.join(hot, key, "left_anti")
     right_hot = right.join(hot, key, "left_semi")
