@@ -2596,3 +2596,112 @@ def near_dup_keep_representatives(spark, sf_dir):
         F.sum("removed").cast("bigint").alias("n_removed"),
     )
 
+
+
+def _source_overlap_sql() -> str:
+    mins = ",\n           ".join(
+        f"min(({a} * h32 + {b}) % {_P}) AS mh{i}" for i, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    eqsum = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(len(MINHASH_PARAMS))
+    )
+    return f"""
+WITH tok AS (SELECT source, {TOKS} AS t FROM documents),
+h AS MATERIALIZED (
+    SELECT DISTINCT source, ('0x' || substr(md5(s), 25, 8))::BIGINT AS h32
+    FROM tok, unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(s)
+),
+sigs AS (
+    SELECT source,
+           {mins}
+    FROM h GROUP BY source
+),
+sizes AS (SELECT source, count(*) AS sz FROM h GROUP BY source),
+inter AS (
+    SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_inter
+    FROM h a JOIN h b ON a.h32 = b.h32 AND a.source < b.source
+    GROUP BY 1, 2
+),
+est AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           round(({eqsum}) / {float(len(MINHASH_PARAMS))}, 4) AS est_jaccard
+    FROM sigs a JOIN sigs b ON a.source < b.source
+)
+SELECT e.source_a, e.source_b, e.est_jaccard,
+       round(coalesce(i.n_inter, 0)
+             / CAST(sa.sz + sb.sz - coalesce(i.n_inter, 0) AS DOUBLE), 4) AS jaccard
+FROM est e
+LEFT JOIN inter i ON i.source_a = e.source_a AND i.source_b = e.source_b
+JOIN sizes sa ON sa.source = e.source_a
+JOIN sizes sb ON sb.source = e.source_b
+"""
+
+
+@register(
+    "source_overlap_minhash",
+    oracle=_source_overlap_sql(),
+    tags=("dedup", "minhash", "overlap", "eval"),
+)
+def source_overlap_minhash(spark, sf_dir):
+    """Cross-SOURCE corpus-overlap estimation — 'how much of source A is
+    already in source B?', the question a data-mixing pipeline asks
+    before unioning crawls. Each source's distinct 3-token-shingle
+    hash set is sketched into the family's 16-permutation MinHash
+    signature; the estimated Jaccard (fraction of agreeing slots) is
+    reported next to the exact Jaccard so the sketch's error is
+    measurable in-query.
+
+    Scale posture: the signature aggregate collapses each source to ONE
+    row in a single map-side-combined pass (min is algebraic), so the
+    pairwise estimator joins a ~sources-row table against itself —
+    broadcast, never corpus-sized. The exact side is the usual blocked
+    shingle-hash equi-join (keyed on h32, fan-out bounded by hash
+    collisions), present as the eval yardstick; a 100 TB run keeps only
+    the sketch path and prices pairs from signatures alone."""
+    d = table(spark, sf_dir, "documents")
+    sh = (
+        d.select("source", F.expr(SPARK_TOKS).alias("toks"))
+        .select("source", F.explode(F.expr(_SHINGLE_SET_EXPR)).alias("shingle"))
+        .select("source", h32_expr(F.col("shingle")).alias("h32"))
+        .distinct()
+    )
+    sigs = sh.groupBy("source").agg(
+        *[
+            F.min((F.lit(a) * F.col("h32") + F.lit(b)) % F.lit(_P)).alias(f"mh{i}")
+            for i, (a, b) in enumerate(MINHASH_PARAMS)
+        ]
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    n_perm = len(MINHASH_PARAMS)
+    eq = None
+    for i in range(n_perm):
+        term = F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
+        eq = term if eq is None else eq + term
+    est = a.join(F.broadcast(b), F.col("a.source") < F.col("b.source")).select(
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+        F.round(eq / F.lit(float(n_perm)), 4).alias("est_jaccard"),
+    )
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        sa.join(sb, (F.col("sa.h32") == F.col("sb.h32")) & (F.col("sa.source") < F.col("sb.source")))
+        .groupBy(F.col("sa.source").alias("source_a"), F.col("sb.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        est.join(inter, ["source_a", "source_b"], "left")
+        .join(sizes.withColumnRenamed("source", "source_a").withColumnRenamed("sz", "sz_a"), "source_a")
+        .join(sizes.withColumnRenamed("source", "source_b").withColumnRenamed("sz", "sz_b"), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "est_jaccard",
+            F.round(
+                F.coalesce(F.col("n_inter"), F.lit(0))
+                / (F.col("sz_a") + F.col("sz_b") - F.coalesce(F.col("n_inter"), F.lit(0))).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+    )

@@ -1759,3 +1759,107 @@ def weighted_doc_sample(spark, sf_dir):
     top = keyed.orderBy(F.desc("sample_key"), F.asc("doc_id")).limit(50)
     w = Window.orderBy(F.desc("sample_key"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+_LANGID_K = 40
+
+@register(
+    "lang_id_trigram",
+    oracle=f"""
+WITH base AS (
+    SELECT doc_id, lang, lower(text) AS txt,
+           (('0x' || substr(md5('langid_' || CAST(doc_id AS VARCHAR)), 25, 8))::BIGINT
+              % 10) < 7 AS is_train
+    FROM documents WHERE text IS NOT NULL AND length(text) >= 3
+),
+tri AS MATERIALIZED (
+    SELECT doc_id, lang, is_train, t AS tri
+    FROM base, unnest(list_transform(range(1, greatest(length(txt) - 2, 0) + 1),
+                                     i -> substr(txt, CAST(i AS INT), 3))) AS u(t)
+),
+prof AS (
+    SELECT lang AS cand_lang, tri FROM (
+        SELECT lang, tri,
+               row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tri) AS rk
+        FROM tri WHERE is_train GROUP BY lang, tri
+    ) WHERE rk <= {_LANGID_K}
+),
+test AS (SELECT DISTINCT doc_id, lang, tri FROM tri WHERE NOT is_train),
+ov AS (
+    SELECT t.doc_id, t.lang, p.cand_lang, count(*) AS n_hit
+    FROM test t JOIN prof p ON p.tri = t.tri
+    GROUP BY 1, 2, 3
+),
+pred AS (
+    SELECT doc_id, lang, cand_lang,
+           row_number() OVER (PARTITION BY doc_id ORDER BY n_hit DESC, cand_lang) AS rk
+    FROM ov
+)
+SELECT lang AS actual_lang, cand_lang AS pred_lang, count(*) AS n_docs
+FROM pred WHERE rk = 1 GROUP BY 1, 2
+""",
+    tags=("text", "langid", "classify"),
+)
+def lang_id_trigram(spark, sf_dir):
+    """Character-trigram language identifier — the classic n-gram
+    heuristic (Cavnar & Trenkle 1994) a curation pipeline runs before
+    any lang-filtered stage. Trains per-language top-40 trigram
+    profiles on a deterministic md5 70% split, predicts each held-out
+    doc as the language whose profile it shares the most distinct
+    trigrams with (ties broken lexically), and returns the confusion
+    matrix (actual_lang, pred_lang, n_docs).
+
+    Plan shape: the trigram stream is one map-side explode (linear in
+    characters, no Python); the profile is ~langs x 40 rows and is
+    BROADCAST into the scoring join, so the only corpus-sized shuffles
+    are the per-doc distinct and the per-doc argmax window — both keyed
+    on doc_id. At 100 TB the profile stays driver-tiny no matter the
+    corpus, and a saved profile turns scoring into a pure
+    broadcast-join map stage."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") >= 3)
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("langid_"), F.col("doc_id").cast("string"))), 25, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+    )
+    base = d.select(
+        "doc_id", "lang", F.lower(F.col("text")).alias("txt"), (bucket < 7).alias("is_train")
+    )
+    tri = base.select(
+        "doc_id",
+        "lang",
+        "is_train",
+        F.explode(
+            F.expr(
+                "if(length(txt) < 3, array(), "
+                "transform(sequence(1, length(txt) - 2), i -> substring(txt, i, 3)))"
+            )
+        ).alias("tri"),
+    )
+    prof_w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tri"))
+    prof = (
+        tri.filter("is_train")
+        .groupBy("lang", "tri")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(prof_w))
+        .filter(F.col("rk") <= _LANGID_K)
+        .select(F.col("lang").alias("cand_lang"), "tri")
+    )
+    test = tri.filter(~F.col("is_train")).select("doc_id", "lang", "tri").distinct()
+    ov = (
+        test.join(F.broadcast(prof), "tri")
+        .groupBy("doc_id", "lang", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    pick = Window.partitionBy("doc_id").orderBy(F.desc("n_hit"), F.asc("cand_lang"))
+    pred = ov.withColumn("rk", F.row_number().over(pick)).filter(F.col("rk") == 1)
+    return pred.groupBy(
+        F.col("lang").alias("actual_lang"), F.col("cand_lang").alias("pred_lang")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))

@@ -420,3 +420,21 @@ def test_weighted_doc_sample_is_take_ordered(spark):
     plan = plan_of(spark, "weighted_doc_sample")
     assert "TakeOrderedAndProject" in plan
     assert re.search(r"\bSort\b(?!.*TakeOrdered)", plan.split("TakeOrderedAndProject")[0]) is None
+
+
+def test_lang_id_profile_is_broadcast(spark):
+    """The trigram-profile scoring join must broadcast the ~langs x 40
+    profile, never shuffle the corpus-sized trigram stream on tri."""
+    plan = plan_of(spark, "lang_id_trigram")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_source_overlap_sketch_join_is_tiny(spark):
+    """The pairwise estimator joins the one-row-per-source signature
+    table against itself (broadcast NLJ on <); the exact side must be
+    the blocked h32 equi-join — no corpus-sized cartesian anywhere."""
+    plan = plan_of(spark, "source_overlap_minhash")
+    assert "CartesianProduct" not in plan
+    # exact-intersection arm: an equi-join keyed on the shingle hash
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*h32", plan, re.S)
