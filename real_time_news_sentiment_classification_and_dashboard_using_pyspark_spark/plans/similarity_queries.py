@@ -1476,3 +1476,142 @@ def semantic_dedup(spark, sf_dir):
         cell_dedup,
         "centroid_id bigint, n_vectors bigint, n_dup_dropped bigint, n_kept bigint",
     )
+
+
+@register(
+    "pq_knn_rerank",
+    oracle=f"""
+WITH {_E_CTE},
+sub AS (
+    SELECT vec_id, CAST(s AS BIGINT) AS s, list_slice(emb, s * 8 + 1, s * 8 + 8) AS subv
+    FROM e, range(8) t(s)
+),
+centd AS (
+    SELECT label, i, round(avg(x), 6) AS c
+    FROM (SELECT label, i, emb[i + 1] AS x FROM e, range(64) t(i))
+    GROUP BY label, i
+),
+cent AS (
+    SELECT label, CAST(i // 8 AS BIGINT) AS s, array_agg(c ORDER BY i) AS carr
+    FROM centd GROUP BY label, i // 8
+),
+dist AS (
+    SELECT v.vec_id, v.s, c.label,
+           CAST(round(list_sum(list_transform(range(8),
+                    j -> (v.subv[j + 1] - c.carr[j + 1]) ^ 2)) * 1000000) AS BIGINT) AS d_e6
+    FROM sub v JOIN cent c ON c.s = v.s
+),
+code AS (
+    SELECT vec_id, s, label AS code_label FROM (
+        SELECT vec_id, s, label,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d_e6 ASC, label ASC) AS rn
+        FROM dist
+    ) WHERE rn = 1
+),
+adc AS (
+    SELECT qd.vec_id AS query_id, cv.vec_id AS neighbor_id,
+           CAST(sum(qd.d_e6) AS BIGINT) AS adc_e6
+    FROM code cv JOIN dist qd ON qd.s = cv.s AND qd.label = cv.code_label
+    WHERE qd.vec_id < 3 AND cv.vec_id >= 3
+    GROUP BY 1, 2
+),
+shortlist AS (
+    SELECT query_id, neighbor_id, adc_e6,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_e6 ASC, neighbor_id ASC) AS arank
+    FROM adc
+),
+rerank AS (
+    SELECT sl.query_id, sl.neighbor_id, sl.adc_e6,
+           {_cos_sql('qe.emb', 'ce.emb')} AS cos_sim
+    FROM shortlist sl
+    JOIN e qe ON qe.vec_id = sl.query_id
+    JOIN e ce ON ce.vec_id = sl.neighbor_id
+    WHERE sl.arank <= 20
+)
+SELECT query_id, neighbor_id, adc_e6, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+FROM rerank QUALIFY rank <= 5
+""",
+    tags=("similarity", "ann", "quantization", "pq", "topk"),
+)
+def pq_knn_rerank(spark, sf_dir):
+    """Product-quantization ANN (Jegou et al. 2011) with exact rerank —
+    the third compression point on the family's memory/recall dial
+    (float < SQ8 < PQ: 64 doubles -> 8 one-byte codes per vector).
+    The codebook is trained deterministically like ``ivf_build_probe``:
+    8 subspaces x (per-label subvector average) centroids, from one
+    posexplode partial-average pass whose shuffle carries labels x 64
+    partial sums, never vectors. Every vector is encoded to its argmin-
+    L2 centroid per subspace; queries score candidates by ADC
+    (asymmetric distance: sum over subspaces of the query-to-centroid
+    table entry for the candidate's code) in EXACT micro-unit integer
+    math, so the shortlist order is bit-identical on any engine; the
+    top-20 shortlist per query is reranked with exact float cosine and
+    top-5 returned.
+
+    Scale posture: the codebook (labels x 8 x 8 doubles) and the
+    per-query ADC lookup table (queries x 8 x labels ints) are both
+    broadcast; candidate scoring reads ONLY the 8-code representation
+    of the corpus — at 100 TB the float vectors are fetched for the
+    |shortlist| rows alone, everything else is a map-side lookup-sum
+    with partial aggregation over (query, neighbor)."""
+    e = _emb(spark, sf_dir)
+    sub = e.select(
+        "vec_id",
+        F.explode(
+            F.expr("transform(sequence(0, 7), s -> struct(CAST(s AS BIGINT) AS s, slice(emb, s * 8 + 1, 8) AS subv))")
+        ).alias("t"),
+    ).select("vec_id", "t.s", "t.subv")
+    pos = e.select("label", F.posexplode("emb").alias("i", "x"))
+    centd = pos.groupBy("label", "i").agg(F.round(F.avg("x"), 6).alias("c"))
+    cent = (
+        centd.groupBy("label", F.expr("CAST(i div 8 AS BIGINT)").alias("s"))
+        .agg(F.sort_array(F.collect_list(F.struct("i", "c"))).alias("ic"))
+        .select("label", "s", F.expr("transform(ic, t -> t.c)").alias("carr"))
+    )
+    l2 = F.aggregate(
+        F.zip_with(F.col("subv"), F.col("carr"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    dist = sub.join(F.broadcast(cent), "s").select(
+        "vec_id", "s", "label", F.round(l2 * F.lit(1000000.0)).cast("bigint").alias("d_e6")
+    )
+    cw = Window.partitionBy("vec_id", "s").orderBy(F.asc("d_e6"), F.asc("label"))
+    code = (
+        dist.withColumn("rn", F.row_number().over(cw))
+        .filter((F.col("rn") == 1) & (F.col("vec_id") >= 3))
+        .select(F.col("vec_id").alias("neighbor_id"), "s", F.col("label").alias("code_label"))
+    )
+    qdist = dist.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "s", F.col("label").alias("code_label"), "d_e6"
+    )
+    adc = (
+        code.join(F.broadcast(qdist), ["s", "code_label"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d_e6").cast("bigint").alias("adc_e6"))
+    )
+    aw = Window.partitionBy("query_id").orderBy(F.asc("adc_e6"), F.asc("neighbor_id"))
+    shortlist = adc.withColumn("arank", F.row_number().over(aw)).filter(F.col("arank") <= 20)
+    qe = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_fl")
+    )
+    rr = (
+        e.join(F.broadcast(shortlist), e.vec_id == shortlist.neighbor_id)
+        .join(F.broadcast(qe), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_e6",
+            F.round(cosine(F.col("q_fl"), F.col("emb")), 6).alias("cos_sim"),
+        )
+    )
+    rw = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        rr.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "adc_e6", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )

@@ -438,3 +438,11 @@ def test_source_overlap_sketch_join_is_tiny(spark):
     assert "CartesianProduct" not in plan
     # exact-intersection arm: an equi-join keyed on the shingle hash
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*h32", plan, re.S)
+
+
+def test_pq_codebook_and_adc_are_broadcast(spark):
+    """PQ: the codebook join, the ADC lookup join, and the rerank fetch
+    must all broadcast the tiny side; the corpus never self-joins."""
+    plan = plan_of(spark, "pq_knn_rerank")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
