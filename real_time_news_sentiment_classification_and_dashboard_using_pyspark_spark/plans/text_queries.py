@@ -1863,3 +1863,101 @@ def lang_id_trigram(spark, sf_dir):
     return pred.groupBy(
         F.col("lang").alias("actual_lang"), F.col("cand_lang").alias("pred_lang")
     ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+WITH base AS (
+    SELECT doc_id, lang, text,
+           (('0x' || substr(md5('ccnet_' || CAST(doc_id AS VARCHAR)), 25, 8))::BIGINT
+              % 10) < 7 AS is_train
+    FROM documents WHERE text IS NOT NULL
+),
+tok AS MATERIALIZED (
+    SELECT doc_id, lang, is_train, unnest({TOKS_SQL}) AS word FROM base
+),
+lm AS MATERIALIZED (
+    SELECT lang, word, count(*) AS c FROM tok WHERE is_train GROUP BY 1, 2
+),
+stats AS (SELECT lang, CAST(sum(c) + count(*) AS DOUBLE) AS denom FROM lm GROUP BY lang),
+scored AS (
+    SELECT t.doc_id, t.lang,
+           round(sum(ln((coalesce(l.c, 0) + 1) / s.denom)) / count(*), 6) AS lp
+    FROM tok t
+    LEFT JOIN lm l ON l.lang = t.lang AND l.word = t.word
+    JOIN stats s ON s.lang = t.lang
+    GROUP BY 1, 2
+),
+b AS (
+    SELECT lang, lp,
+           ntile(3) OVER (PARTITION BY lang ORDER BY lp DESC, doc_id ASC) AS nt
+    FROM scored
+)
+SELECT lang,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(lp), 4) AS avg_logprob
+FROM b GROUP BY 1, 2
+""",
+    tags=("text", "quality", "language-model", "curation"),
+)
+def ccnet_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): train a
+    per-LANGUAGE add-one-smoothed unigram LM on a deterministic md5 70%
+    split, score every document by mean token log-probability under its
+    own language's LM (unseen tokens get the smoothed floor), and cut
+    each language into head/middle/tail likelihood terciles — the exact
+    shape CCNet uses to keep 'head' web text and drop the garbled tail,
+    rendered with the family's SQL-expressible unigram floor.
+
+    Scale shape: one explode feeds both the LM aggregate and the
+    scoring join (Catalyst reuses the scan); the LM join is keyed on
+    (lang, word) — the same shuffle BM25 pays — and the per-lang
+    denominators ride in as a broadcast ~langs-row table. The tercile
+    ntile is a per-lang global sort here because the oracle needs exact
+    cutpoints; a 100 TB run swaps that one window for approx_percentile
+    cutpoints (two fixed numbers per language, broadcast back), leaving
+    everything else identical."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ccnet_"), F.col("doc_id").cast("string"))), 25, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+    )
+    tok = d.select(
+        "doc_id", "lang", (bucket < 7).alias("is_train"), F.explode(tokens("text")).alias("word")
+    )
+    lm = tok.filter("is_train").groupBy("lang", "word").agg(F.count(F.lit(1)).alias("c"))
+    stats = lm.groupBy("lang").agg(
+        (F.sum("c") + F.count(F.lit(1))).cast("double").alias("denom")
+    )
+    scored = (
+        tok.join(lm, ["lang", "word"], "left")
+        .join(F.broadcast(stats), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.sum(F.log((F.coalesce(F.col("c"), F.lit(0)) + 1) / F.col("denom")))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("lp")
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("lp"), F.asc("doc_id"))
+    b = scored.withColumn("nt", F.ntile(3).over(w))
+    return b.groupBy(
+        "lang",
+        F.when(F.col("nt") == 1, "head")
+        .when(F.col("nt") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg("lp"), 4).alias("avg_logprob"),
+    )
