@@ -1832,27 +1832,25 @@ def lang_id_trigram(spark, sf_dir):
     base = d.select(
         "doc_id", "lang", F.lower(F.col("text")).alias("txt"), (bucket < 7).alias("is_train")
     )
-    tri = base.select(
-        "doc_id",
-        "lang",
-        "is_train",
-        F.explode(
-            F.expr(
-                "if(length(txt) < 3, array(), "
-                "transform(sequence(1, length(txt) - 2), i -> substring(txt, i, 3)))"
-            )
-        ).alias("tri"),
+    tri_arr = (
+        "if(length(txt) < 3, array(), "
+        "transform(sequence(1, length(txt) - 2), i -> substring(txt, i, 3)))"
     )
     prof_w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tri"))
     prof = (
-        tri.filter("is_train")
+        base.filter("is_train")
+        .select("lang", F.explode(F.expr(tri_arr)).alias("tri"))
         .groupBy("lang", "tri")
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("rk", F.row_number().over(prof_w))
         .filter(F.col("rk") <= _LANGID_K)
         .select(F.col("lang").alias("cand_lang"), "tri")
     )
-    test = tri.filter(~F.col("is_train")).select("doc_id", "lang", "tri").distinct()
+    # per-doc DISTINCT is array_distinct BEFORE the explode — map-side,
+    # so the corpus-sized trigram stream never pays a distinct shuffle
+    test = base.filter(~F.col("is_train")).select(
+        "doc_id", "lang", F.explode(F.array_distinct(F.expr(tri_arr))).alias("tri")
+    )
     ov = (
         test.join(F.broadcast(prof), "tri")
         .groupBy("doc_id", "lang", "cand_lang")
