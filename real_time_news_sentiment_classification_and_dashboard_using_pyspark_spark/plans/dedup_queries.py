@@ -2666,11 +2666,16 @@ def source_overlap_minhash(spark, sf_dir):
         .select("source", h32_expr(F.col("shingle")).alias("h32"))
         .distinct()
     )
+    # ONE aggregate carries both the 16 signature mins AND the set size,
+    # and the sizes ride THROUGH the pairwise join — so the corpus-sized
+    # shingle relation feeds exactly 3 subtrees (this aggregate + the
+    # two sides of the exact-intersection join), not 5
     sigs = sh.groupBy("source").agg(
+        F.count(F.lit(1)).alias("sz"),
         *[
             F.min((F.lit(a) * F.col("h32") + F.lit(b)) % F.lit(_P)).alias(f"mh{i}")
             for i, (a, b) in enumerate(MINHASH_PARAMS)
-        ]
+        ],
     )
     a, b = sigs.alias("a"), sigs.alias("b")
     n_perm = len(MINHASH_PARAMS)
@@ -2682,6 +2687,8 @@ def source_overlap_minhash(spark, sf_dir):
         F.col("a.source").alias("source_a"),
         F.col("b.source").alias("source_b"),
         F.round(eq / F.lit(float(n_perm)), 4).alias("est_jaccard"),
+        F.col("a.sz").alias("sz_a"),
+        F.col("b.sz").alias("sz_b"),
     )
     sa, sb = sh.alias("sa"), sh.alias("sb")
     inter = (
@@ -2689,11 +2696,8 @@ def source_overlap_minhash(spark, sf_dir):
         .groupBy(F.col("sa.source").alias("source_a"), F.col("sb.source").alias("source_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
     return (
         est.join(inter, ["source_a", "source_b"], "left")
-        .join(sizes.withColumnRenamed("source", "source_a").withColumnRenamed("sz", "sz_a"), "source_a")
-        .join(sizes.withColumnRenamed("source", "source_b").withColumnRenamed("sz", "sz_b"), "source_b")
         .select(
             "source_a",
             "source_b",
