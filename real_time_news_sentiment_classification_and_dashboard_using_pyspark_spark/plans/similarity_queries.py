@@ -781,17 +781,22 @@ _N_TABLES, _N_BITS = 4, 4
 
 _BANDED_BUCKETS_CTE = f"""
 e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-pos AS (SELECT vec_id, i, emb[i + 1] AS x FROM e, range(64) ti(i)),
+-- sign VECTORS per (table, bit), not exploded sign scalars: the old
+-- pos x bsigns join+group built vectors x tables x bits x 64 rows
+-- (51M at sf1, the whole oracle's budget); one native
+-- list_dot_product per (vector, table, bit) is vectors x 16 rows.
+-- Same sums to float-order; the 6dp round below absorbs that exactly
+-- as everywhere else in the registry.
 bsigns AS (
-    SELECT t, j, i,
-           CASE WHEN ('0x' || substr(md5(CAST(t AS VARCHAR) || '_' || CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 32, 1))::BIGINT % 2 = 1
-                THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS s
-    FROM range({_N_TABLES}) tt(t), range({_N_BITS}) tj(j), range(64) ti2(i)
+    SELECT t, j,
+           list_transform(range(64), i ->
+               CASE WHEN ('0x' || substr(md5(CAST(t AS VARCHAR) || '_' || CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 32, 1))::BIGINT % 2 = 1
+                    THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS sv
+    FROM range({_N_TABLES}) tt(t), range({_N_BITS}) tj(j)
 ),
 bdots AS (
-    SELECT p.vec_id, s.t, s.j, sum(p.x * s.s) AS dot
-    FROM pos p JOIN bsigns s ON p.i = s.i
-    GROUP BY p.vec_id, s.t, s.j
+    SELECT e.vec_id, s.t, s.j, list_dot_product(e.emb, s.sv) AS dot
+    FROM e, bsigns s
 ),
 bbuckets AS (
     SELECT vec_id, t,
@@ -804,16 +809,31 @@ bbuckets AS (
     "lsh_banded_pairs",
     oracle=f"""
 WITH {_BANDED_BUCKETS_CTE},
-en AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+-- bb/en MATERIALIZED: bbuckets is referenced twice (both candidate
+-- sides) and plain CTEs re-inline PER REFERENCE — without this the
+-- whole bdots pipeline runs twice and the sf1 leg blows the sweep's
+-- 300 s oracle budget (r8: 306 s -> fits)
+bb AS MATERIALIZED (SELECT vec_id, t, bucket FROM bbuckets),
+-- verify on PRE-NORMALIZED fixed-size DOUBLE[64] arrays: the sf1 leg
+-- carries ~46M candidate pairs, and one SIMD array_inner_product per
+-- pair is ~40x cheaper than an interpreted list dot + two norm
+-- multiplies (r8: verify 220 s -> ~6 s; the whole oracle now fits the
+-- sweep budget with room). Same cosine to float-rounding; 6dp round
+-- absorbs it per the registry convention.
+en AS MATERIALIZED (
+    SELECT vec_id,
+           list_transform(emb, x -> x / sqrt(list_dot_product(emb, emb)))::DOUBLE[64] AS emb_n
+    FROM e
+),
 cand AS (
     SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-    FROM (SELECT en.vec_id, bk.t, bk.bucket FROM en JOIN bbuckets bk USING (vec_id)) a
-    JOIN (SELECT en.vec_id, bk.t, bk.bucket FROM en JOIN bbuckets bk USING (vec_id)) b
+    FROM bb a
+    JOIN bb b
       ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 ),
 v AS (
     SELECT c.vec_a, c.vec_b,
-           round(list_dot_product(x.emb, y.emb) / (x.nrm * y.nrm), 6) AS cos_sim
+           round(array_inner_product(x.emb_n, y.emb_n), 6) AS cos_sim
     FROM cand c JOIN en x ON c.vec_a = x.vec_id JOIN en y ON c.vec_b = y.vec_id
 )
 SELECT vec_a, vec_b, cos_sim FROM v WHERE cos_sim >= 0.3
