@@ -1635,3 +1635,85 @@ def pq_knn_rerank(spark, sf_dir):
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "adc_e6", "cos_sim", F.col("rank").cast("int").alias("rank"))
     )
+
+
+@register(
+    "mrl_truncation_eval",
+    oracle=f"""
+WITH {_E_CTE},
+et AS (SELECT vec_id, emb, emb[1:16] AS emb16 FROM e),
+fullr AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_cos_sql('q.emb', 'c.emb')} DESC,
+                                       c.vec_id ASC) AS rk
+    FROM et q JOIN et c ON q.vec_id < 5 AND c.vec_id >= 5
+),
+truncr AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_cos_sql('q.emb16', 'c.emb16')} DESC,
+                                       c.vec_id ASC) AS rk
+    FROM et q JOIN et c ON q.vec_id < 5 AND c.vec_id >= 5
+)
+SELECT f.query_id,
+       CAST(count(t.neighbor_id) AS BIGINT) AS overlap_at_10
+FROM (SELECT query_id, neighbor_id FROM fullr WHERE rk <= 10) f
+LEFT JOIN (SELECT query_id, neighbor_id FROM truncr WHERE rk <= 10) t
+  ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+GROUP BY f.query_id
+""",
+    tags=("similarity", "eval", "truncation", "topk"),
+)
+def mrl_truncation_eval(spark, sf_dir):
+    """Matryoshka-truncation retrieval eval (Kusupati et al. 2022):
+    how much of each query's float top-10 survives when vectors are
+    truncated to their first 16 of 64 dimensions — the measurement a
+    pipeline runs before shipping truncated embeddings to cut index
+    memory 4x. Reports overlap@10 per query between the full-width and
+    truncated rankings (both rankings 6dp-rounded with a neighbor-id
+    tiebreak, so the sets are engine-exact).
+
+    Scale: both rankings are the brute-force kernel shape — the 5-row
+    query side broadcasts into the corpus scan twice (once per width;
+    the truncated pass reads the SAME column and slices in-expression,
+    no second materialized index), each per-query top-10 compiles to
+    window-rank over a broadcast-partitioned stream, and the overlap
+    join touches <= 50 rows per arm."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.slice(F.col("emb"), 1, 16).alias("qemb16"),
+    )
+    c = e.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("cemb"),
+        F.slice(F.col("emb"), 1, 16).alias("cemb16"),
+    )
+    joined = c.crossJoin(F.broadcast(q))
+    w = Window.partitionBy("query_id")
+
+    def topk(sim_col, k=10):
+        return (
+            joined.select(
+                "query_id", "neighbor_id", F.round(sim_col, 6).alias("cos_sim")
+            )
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    w.orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+                ),
+            )
+            .filter(F.col("rk") <= k)
+            .select("query_id", "neighbor_id")
+        )
+
+    fullr = topk(cosine(F.col("qemb"), F.col("cemb")))
+    truncr = topk(cosine(F.col("qemb16"), F.col("cemb16")))
+    t = truncr.withColumn("hit", F.lit(1))
+    return (
+        fullr.join(t, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").cast("bigint").alias("overlap_at_10"))
+    )

@@ -1959,3 +1959,99 @@ def ccnet_perplexity_buckets(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.round(F.avg("lp"), 4).alias("avg_logprob"),
     )
+
+
+_CMS_ROWS, _CMS_WIDTH = 4, 256
+
+def _cms_bucket_sql(r: str, w: str) -> str:
+    return (
+        f"('0x' || substr(md5(CAST({r} AS VARCHAR) || '_' || {w}), 25, 8))::BIGINT"
+        f" % {_CMS_WIDTH}"
+    )
+
+
+@register(
+    "countmin_token_freq",
+    oracle=f"""
+WITH tok AS MATERIALIZED (
+    SELECT unnest({TOKS_SQL}) AS word FROM documents
+),
+exact AS (
+    SELECT word, CAST(count(*) AS BIGINT) AS exact_n FROM tok GROUP BY word
+),
+top AS (
+    SELECT word, exact_n,
+           row_number() OVER (ORDER BY exact_n DESC, word ASC) AS rk
+    FROM exact QUALIFY rk <= 20
+),
+cells AS (
+    SELECT r, {_cms_bucket_sql('r', 'word')} AS bucket, CAST(count(*) AS BIGINT) AS cnt
+    FROM tok, range({_CMS_ROWS}) t(r)
+    GROUP BY 1, 2
+),
+est AS (
+    SELECT t.word, t.exact_n, t.rk,
+           min(c.cnt) AS cms_n
+    FROM top t, range({_CMS_ROWS}) h(r)
+    JOIN cells c ON c.r = h.r AND c.bucket = {_cms_bucket_sql('h.r', 't.word')}
+    GROUP BY 1, 2, 3
+)
+SELECT word, exact_n, cms_n, cms_n - exact_n AS overcount
+FROM est
+""",
+    tags=("text", "sketch", "heavy-hitters"),
+)
+def countmin_token_freq(spark, sf_dir):
+    """Count-Min-Sketch heavy hitters (Cormode & Muthukrishnan 2005)
+    with the exact answer alongside: a {_CMS_ROWS}x{_CMS_WIDTH} counter
+    grid over the token stream (md5-derived row hashes, engine-exact),
+    point estimates = min over rows, reported for the exact top-20
+    tokens so the sketch's one-sided overcount is a queryable number.
+
+    Scale posture: the sketch aggregate has a FIXED {_CMS_ROWS * _CMS_WIDTH}-cell
+    key space, so partial aggregation collapses every task's shuffle
+    output to <= {_CMS_ROWS * _CMS_WIDTH} rows no matter the corpus — this is THE
+    frequency sketch you keep when the exact per-token aggregate
+    (millions of distinct keys at 100 TB) is the thing you're trying
+    not to pay. The exact side stays in-query as the yardstick; the
+    estimate join touches 20 x {_CMS_ROWS} broadcast rows."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens("text")).alias("word"))
+    exact = tok.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+    wtop = Window.orderBy(F.desc("exact_n"), F.asc("word"))
+    top = (
+        exact.orderBy(F.desc("exact_n"), F.asc("word"))
+        .limit(20)
+        .withColumn("rk", F.row_number().over(wtop))
+    )
+
+    def bucket_of(r_col, word_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(r_col.cast("string"), F.lit("_"), word_col)), 25, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _CMS_WIDTH
+        )
+
+    rows = F.explode(F.sequence(F.lit(0), F.lit(_CMS_ROWS - 1))).alias("r")
+    cells = (
+        tok.select("word", rows)
+        .select("r", bucket_of(F.col("r"), F.col("word")).alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    probes = top.select(
+        "word", "exact_n", "rk", F.explode(F.sequence(F.lit(0), F.lit(_CMS_ROWS - 1))).alias("r")
+    ).select("word", "exact_n", "rk", "r", bucket_of(F.col("r"), F.col("word")).alias("bucket"))
+    est = (
+        cells.join(F.broadcast(probes), ["r", "bucket"])
+        .groupBy("word", "exact_n", "rk")
+        .agg(F.min("cnt").alias("cms_n"))
+    )
+    return est.select(
+        "word", "exact_n", "cms_n", (F.col("cms_n") - F.col("exact_n")).alias("overcount")
+    )

@@ -446,3 +446,21 @@ def test_pq_codebook_and_adc_are_broadcast(spark):
     plan = plan_of(spark, "pq_knn_rerank")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_countmin_cells_partial_agg(spark):
+    """The CMS grid has a fixed 4x256 key space: the sketch aggregate
+    must show map-side partial aggregation and the probe join must
+    broadcast the 20x4 probe rows."""
+    plan = plan_of(spark, "countmin_token_freq")
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mrl_eval_query_side_broadcast(spark):
+    """Both ranking arms broadcast the 5-row query side; nothing
+    corpus-sized self-joins."""
+    plan = plan_of(spark, "mrl_truncation_eval")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
