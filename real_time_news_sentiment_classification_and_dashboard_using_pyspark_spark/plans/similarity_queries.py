@@ -1498,10 +1498,10 @@ def semantic_dedup(spark, sf_dir):
     )
 
 
-@register(
-    "pq_knn_rerank",
-    oracle=f"""
-WITH {_E_CTE},
+# The PQ train -> encode -> ADC -> shortlist pipeline as a shared CTE
+# block: ``pq_knn_rerank`` reranks the shortlist, ``pq_recall_eval``
+# grades it against exact brute force.
+_PQ_SHORTLIST_CTES = f"""{_E_CTE},
 sub AS (
     SELECT vec_id, CAST(s AS BIGINT) AS s, list_slice(emb, s * 8 + 1, s * 8 + 8) AS subv
     FROM e, range(8) t(s)
@@ -1541,43 +1541,12 @@ shortlist AS (
            row_number() OVER (PARTITION BY query_id
                               ORDER BY adc_e6 ASC, neighbor_id ASC) AS arank
     FROM adc
-),
-rerank AS (
-    SELECT sl.query_id, sl.neighbor_id, sl.adc_e6,
-           {_cos_sql('qe.emb', 'ce.emb')} AS cos_sim
-    FROM shortlist sl
-    JOIN e qe ON qe.vec_id = sl.query_id
-    JOIN e ce ON ce.vec_id = sl.neighbor_id
-    WHERE sl.arank <= 20
-)
-SELECT query_id, neighbor_id, adc_e6, cos_sim,
-       CAST(row_number() OVER (PARTITION BY query_id
-                               ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
-FROM rerank QUALIFY rank <= 5
-""",
-    tags=("similarity", "ann", "quantization", "pq", "topk"),
-)
-def pq_knn_rerank(spark, sf_dir):
-    """Product-quantization ANN (Jegou et al. 2011) with exact rerank —
-    the third compression point on the family's memory/recall dial
-    (float < SQ8 < PQ: 64 doubles -> 8 one-byte codes per vector).
-    The codebook is trained deterministically like ``ivf_build_probe``:
-    8 subspaces x (per-label subvector average) centroids, from one
-    posexplode partial-average pass whose shuffle carries labels x 64
-    partial sums, never vectors. Every vector is encoded to its argmin-
-    L2 centroid per subspace; queries score candidates by ADC
-    (asymmetric distance: sum over subspaces of the query-to-centroid
-    table entry for the candidate's code) in EXACT micro-unit integer
-    math, so the shortlist order is bit-identical on any engine; the
-    top-20 shortlist per query is reranked with exact float cosine and
-    top-5 returned.
+)"""
 
-    Scale posture: the codebook (labels x 8 x 8 doubles) and the
-    per-query ADC lookup table (queries x 8 x labels ints) are both
-    broadcast; candidate scoring reads ONLY the 8-code representation
-    of the corpus — at 100 TB the float vectors are fetched for the
-    |shortlist| rows alone, everything else is a map-side lookup-sum
-    with partial aggregation over (query, neighbor)."""
+
+def _pq_adc_shortlist(spark, sf_dir):
+    """(query_id, neighbor_id, adc_e6, arank <= 20) — the Spark twin of
+    ``_PQ_SHORTLIST_CTES``; see ``pq_knn_rerank`` for the plan notes."""
     e = _emb(spark, sf_dir)
     sub = e.select(
         "vec_id",
@@ -1615,7 +1584,51 @@ def pq_knn_rerank(spark, sf_dir):
         .agg(F.sum("d_e6").cast("bigint").alias("adc_e6"))
     )
     aw = Window.partitionBy("query_id").orderBy(F.asc("adc_e6"), F.asc("neighbor_id"))
-    shortlist = adc.withColumn("arank", F.row_number().over(aw)).filter(F.col("arank") <= 20)
+    return adc.withColumn("arank", F.row_number().over(aw)).filter(F.col("arank") <= 20)
+
+
+@register(
+    "pq_knn_rerank",
+    oracle=f"""
+WITH {_PQ_SHORTLIST_CTES},
+rerank AS (
+    SELECT sl.query_id, sl.neighbor_id, sl.adc_e6,
+           {_cos_sql('qe.emb', 'ce.emb')} AS cos_sim
+    FROM shortlist sl
+    JOIN e qe ON qe.vec_id = sl.query_id
+    JOIN e ce ON ce.vec_id = sl.neighbor_id
+    WHERE sl.arank <= 20
+)
+SELECT query_id, neighbor_id, adc_e6, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+FROM rerank QUALIFY rank <= 5
+""",
+    tags=("similarity", "ann", "quantization", "pq", "topk"),
+)
+def pq_knn_rerank(spark, sf_dir):
+    """Product-quantization ANN (Jegou et al. 2011) with exact rerank —
+    the third compression point on the family's memory/recall dial
+    (float < SQ8 < PQ: 64 doubles -> 8 one-byte codes per vector).
+    The codebook is trained deterministically like ``ivf_build_probe``:
+    8 subspaces x (per-label subvector average) centroids, from one
+    posexplode partial-average pass whose shuffle carries labels x 64
+    partial sums, never vectors. Every vector is encoded to its argmin-
+    L2 centroid per subspace; queries score candidates by ADC
+    (asymmetric distance: sum over subspaces of the query-to-centroid
+    table entry for the candidate's code) in EXACT micro-unit integer
+    math, so the shortlist order is bit-identical on any engine; the
+    top-20 shortlist per query is reranked with exact float cosine and
+    top-5 returned.
+
+    Scale posture: the codebook (labels x 8 x 8 doubles) and the
+    per-query ADC lookup table (queries x 8 x labels ints) are both
+    broadcast; candidate scoring reads ONLY the 8-code representation
+    of the corpus — at 100 TB the float vectors are fetched for the
+    |shortlist| rows alone, everything else is a map-side lookup-sum
+    with partial aggregation over (query, neighbor)."""
+    e = _emb(spark, sf_dir)
+    shortlist = _pq_adc_shortlist(spark, sf_dir)
     qe = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("q_fl")
     )
@@ -1716,4 +1729,66 @@ def mrl_truncation_eval(spark, sf_dir):
         fullr.join(t, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(F.count("hit").cast("bigint").alias("overlap_at_10"))
+    )
+
+
+@register(
+    "pq_recall_eval",
+    oracle=f"""
+WITH {_PQ_SHORTLIST_CTES},
+exact5 AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_cos_sql('q.emb', 'c.emb')} DESC,
+                                       c.vec_id ASC) AS rk
+    FROM e q JOIN e c ON q.vec_id < 3 AND c.vec_id >= 3
+)
+SELECT f.query_id,
+       CAST(count(s.neighbor_id) AS BIGINT) AS hits_at_5,
+       round(count(s.neighbor_id) / 5.0, 4) AS recall_at_5
+FROM (SELECT query_id, neighbor_id FROM exact5 WHERE rk <= 5) f
+LEFT JOIN (SELECT query_id, neighbor_id FROM shortlist WHERE arank <= 20) s
+  ON s.query_id = f.query_id AND s.neighbor_id = f.neighbor_id
+GROUP BY f.query_id
+""",
+    tags=("similarity", "ann", "quantization", "pq", "eval"),
+)
+def pq_recall_eval(spark, sf_dir):
+    """PQ's row on the family recall datasheet (LSH / SimHash / IVF all
+    have one): how many of each query's exact cosine top-5 survive into
+    the 20-deep ADC shortlist — the ceiling on what ``pq_knn_rerank``'s
+    exact rerank can return. 8x8 per-label codebooks are coarse by
+    construction, so this dial is where the compression/recall trade
+    becomes a number instead of a claim.
+
+    Scale: the shortlist arm is the shared integer-ADC pipeline
+    (broadcast codebook + lookup table); the exact arm is the
+    brute-force kernel with the 3-row query side broadcast; the grading
+    join touches <= 15 exact rows vs <= 60 shortlist rows."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    c = e.filter(F.col("vec_id") >= 3).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("cemb")
+    )
+    ew = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(cosine(F.col("qemb"), F.col("cemb")), 6)), F.asc("neighbor_id")
+    )
+    exact5 = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("rk", F.row_number().over(ew))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    hits = _pq_adc_shortlist(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact5.join(hits, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").cast("bigint").alias("hits_at_5"),
+            F.round(F.count("hit") / F.lit(5.0), 4).alias("recall_at_5"),
+        )
     )
