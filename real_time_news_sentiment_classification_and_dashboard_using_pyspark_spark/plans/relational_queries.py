@@ -3224,3 +3224,127 @@ def nation_trade_pagerank(spark, sf_dir):
         .select("n_name", F.round("pr", 6).alias("pagerank"))
         .withColumn("rank", F.row_number().over(w_rank).cast("int"))
     )
+
+
+_BLOOM_M, _BLOOM_K, _BLOOM_PROBES = 4096, 4, 4000
+
+def _bloom_pos_sql(r: str, key: str) -> str:
+    return (
+        f"('0x' || substr(md5(CAST({r} AS VARCHAR) || '_' || CAST({key} AS VARCHAR)), 25, 8))"
+        f"::BIGINT % {_BLOOM_M}"
+    )
+
+
+@register(
+    "bloom_filter_contract",
+    oracle=f"""
+WITH bits AS MATERIALIZED (
+    SELECT DISTINCT {_bloom_pos_sql('r', 'c_custkey')} AS b
+    FROM customer, range({_BLOOM_K}) t(r)
+),
+probes AS (
+    SELECT CAST(p AS BIGINT) AS probe_key, r, {_bloom_pos_sql('r', 'p')} AS b
+    FROM range(1, {_BLOOM_PROBES} + 1) tp(p), range({_BLOOM_K}) t(r)
+),
+hit AS (
+    SELECT p.probe_key,
+           (count(*) = {_BLOOM_K}) AS bloom_hit
+    FROM probes p JOIN bits USING (b)
+    GROUP BY p.probe_key
+    HAVING count(DISTINCT p.r) = {_BLOOM_K}
+),
+graded AS (
+    SELECT tp.p AS probe_key,
+           coalesce(h.bloom_hit, FALSE) AS bloom_hit,
+           EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = tp.p) AS exact_present
+    FROM range(1, {_BLOOM_PROBES} + 1) tp(p)
+    LEFT JOIN hit h ON h.probe_key = tp.p
+)
+SELECT CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(sum(CASE WHEN exact_present THEN 1 ELSE 0 END) AS BIGINT) AS n_present,
+       CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+       CAST(sum(CASE WHEN exact_present AND NOT bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_false_negatives,
+       CAST(sum(CASE WHEN bloom_hit AND NOT exact_present THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_false_positives,
+       round(sum(CASE WHEN bloom_hit AND NOT exact_present THEN 1 ELSE 0 END)
+             / greatest(sum(CASE WHEN NOT exact_present THEN 1 ELSE 0 END), 1)::DOUBLE, 4)
+           AS fp_rate
+FROM graded
+""",
+    tags=("sketch", "bloom", "contract"),
+)
+def bloom_filter_contract(spark, sf_dir):
+    """Bloom-filter membership contract — the sketch family's set-
+    membership member (HLL++ counts, KLL quantiles, CMS frequencies,
+    MinHash similarity all have contract queries; this closes the set).
+    A {_BLOOM_M}-bit / {_BLOOM_K}-hash filter over customer keys is
+    built as the DISTINCT set of md5-derived bit positions (engine-
+    exact, <= {_BLOOM_M} rows however large the build side); a fixed
+    {_BLOOM_PROBES}-key probe sweep is graded against exact membership:
+    ZERO false negatives by construction (the query proves it, not
+    asserts it) and the measured false-positive rate next to the
+    theoretical (1-e^(-kn/m))^k.
+
+    Scale: the bit set is a broadcast <= {_BLOOM_M}-row table no matter
+    the corpus — the 100 TB use is exactly this shape (ship the bits to
+    every scan as a pre-join prune, pay only FP-rate extra rows);
+    the build aggregate partial-collapses to <= {_BLOOM_M} rows per
+    task map-side."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+
+    def pos_of(r_col, key_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            r_col.cast("string"), F.lit("_"), key_col.cast("string")
+                        )
+                    ),
+                    25,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _BLOOM_M
+        )
+
+    rs = F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("r")
+    bits = (
+        cust.select("c_custkey", rs)
+        .select(pos_of(F.col("r"), F.col("c_custkey")).alias("b"))
+        .distinct()
+    )
+    probes = (
+        spark.range(1, _BLOOM_PROBES + 1)
+        .select(F.col("id").alias("probe_key"), rs)
+        .select("probe_key", "r", pos_of(F.col("r"), F.col("probe_key")).alias("b"))
+    )
+    matched = (
+        probes.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "b", "left")
+        .groupBy("probe_key")
+        .agg((F.count("hit") == _BLOOM_K).alias("bloom_hit"))
+    )
+    exact = cust.select(F.col("c_custkey").alias("probe_key"), F.lit(True).alias("exact_present"))
+    graded = (
+        matched.join(exact, "probe_key", "left")
+        .select(
+            "bloom_hit",
+            F.coalesce("exact_present", F.lit(False)).alias("exact_present"),
+        )
+    )
+    b, x = F.col("bloom_hit"), F.col("exact_present")
+    return graded.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum(F.when(x, 1).otherwise(0)).cast("bigint").alias("n_present"),
+        F.sum(F.when(b, 1).otherwise(0)).cast("bigint").alias("n_bloom_hits"),
+        F.sum(F.when(x & ~b, 1).otherwise(0)).cast("bigint").alias("n_false_negatives"),
+        F.sum(F.when(b & ~x, 1).otherwise(0)).cast("bigint").alias("n_false_positives"),
+        F.round(
+            F.sum(F.when(b & ~x, 1).otherwise(0))
+            / F.greatest(F.sum(F.when(~x, 1).otherwise(0)), F.lit(1)).cast("double"),
+            4,
+        ).alias("fp_rate"),
+    )
