@@ -2037,12 +2037,17 @@ def countmin_token_freq(spark, sf_dir):
             % _CMS_WIDTH
         )
 
+    # cells from the per-WORD counts, not the raw token stream: summing
+    # exact_n per (row, bucket) is the identical counter grid, but the
+    # 4x explode runs over the vocab relation (millions of rows at
+    # 100 TB) instead of the token stream (trillions) — and Catalyst
+    # reuses the one word-keyed aggregate both arms need
     rows = F.explode(F.sequence(F.lit(0), F.lit(_CMS_ROWS - 1))).alias("r")
     cells = (
-        tok.select("word", rows)
-        .select("r", bucket_of(F.col("r"), F.col("word")).alias("bucket"))
+        exact.select("word", "exact_n", rows)
+        .select("r", bucket_of(F.col("r"), F.col("word")).alias("bucket"), "exact_n")
         .groupBy("r", "bucket")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .agg(F.sum("exact_n").cast("bigint").alias("cnt"))
     )
     probes = top.select(
         "word", "exact_n", "rk", F.explode(F.sequence(F.lit(0), F.lit(_CMS_ROWS - 1))).alias("r")
