@@ -952,3 +952,32 @@ def test_audio_envelope_matches_python_reference(spark):
         for r in REGISTRY["multimodal_audio_envelope"].fn(spark, SF).collect()
     }
     assert got == {k: list(v) for k, v in agg.items()}
+
+
+def test_countmin_estimates_dominate_exact(spark):
+    """CMS point estimates are one-sided: cms_n >= exact_n for every
+    reported token (the min-over-rows can only overcount), and the
+    overcount column is their exact difference."""
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans import (
+        REGISTRY,
+    )
+
+    rows = REGISTRY["countmin_token_freq"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.cms_n >= r.exact_n, (r.word, r.cms_n, r.exact_n)
+        assert r.overcount == r.cms_n - r.exact_n
+
+
+def test_bloom_contract_no_false_negatives(spark):
+    """The Bloom membership grade must show zero false negatives at any
+    scale — a false negative means the filter construction is broken,
+    not merely lossy."""
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans import (
+        REGISTRY,
+    )
+
+    (row,) = REGISTRY["bloom_filter_contract"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert row.n_false_negatives == 0
+    assert row.n_bloom_hits >= row.n_present
+    assert row.n_probes == 4000
