@@ -54,7 +54,7 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     import numpy as np
 
     for pdf in batches:
-        vals = pdf["payload"].tolist()
+        vals = [v or b"" for v in pdf["payload"]]  # NULL payload -> empty
         lens = np.fromiter((len(v) for v in vals), dtype=np.int64, count=len(vals))
         flat = np.frombuffer(b"".join(vals), dtype=np.uint8).astype(np.int64)
         ends = np.cumsum(lens)
@@ -165,6 +165,7 @@ def _resize_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out_bytes, out_len, out_sum = [], [], []
         for v in pdf["payload"]:
+            v = v or b""  # NULL payload -> empty
             if len(v) == 0:
                 out_bytes.append(b"")
                 out_len.append(0)
@@ -258,6 +259,7 @@ def _frame_sample_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
     for pdf in batches:
         n_frames, n_sampled, sig = [], [], []
         for v in pdf["payload"]:
+            v = v or b""  # NULL payload -> empty
             nf = len(v) // FRAME_BYTES
             if nf == 0:
                 n_frames.append(0)
@@ -348,6 +350,7 @@ def _audio_envelope_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
     for pdf in batches:
         n_samp, env_sum, env_max = [], [], []
         for v in pdf["payload"]:
+            v = v or b""  # NULL payload rows summarize as empty clips
             n = len(v) // 2
             if n == 0:
                 n_samp.append(0)

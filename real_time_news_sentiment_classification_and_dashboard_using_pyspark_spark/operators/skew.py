@@ -89,11 +89,16 @@ def skew_split_join(
     AQE off) and as the documented fallback when one key exceeds even a
     split partition."""
     # The hot relation feeds FOUR joins (semi/anti on each side); without
-    # a cache each one re-evaluates the hot-key aggregation — four extra
-    # passes over the fact table at 100 TB. The set is tiny by
-    # definition, so caching it is one partial-agg job, then four
-    # broadcast probes of the cached rows.
-    hot = F.broadcast(hot.select(key).cache())
+    # materialization each one re-evaluates the hot-key aggregation —
+    # four extra passes over the fact table at 100 TB. The set is tiny
+    # by definition, so it is localCheckpoint-ed once (eager, one
+    # partial-agg job) and the four joins broadcast-probe the stored
+    # rows. localCheckpoint, not cache(): checkpoint blocks are released
+    # by the ContextCleaner as soon as this plan is garbage-collected,
+    # while cache() pins a CacheManager entry until an explicit
+    # unpersist — in a long-lived session running many such joins the
+    # cached hot sets would otherwise accumulate until LRU pressure.
+    hot = F.broadcast(hot.select(key).localCheckpoint(eager=True))
     left_hot = left.join(hot, key, "left_semi")
     left_cold = left.join(hot, key, "left_anti")
     right_hot = right.join(hot, key, "left_semi")

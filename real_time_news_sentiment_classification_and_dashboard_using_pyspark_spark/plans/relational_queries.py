@@ -3189,15 +3189,18 @@ def nation_trade_pagerank(spark, sf_dir):
         .agg(w_int)
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
-    e = (
-        edges.join(outw, "src")
-        .select(
-            "src",
-            "dst",
-            (F.col("w").cast("double") / F.col("outw").cast("double")).alias("p"),
-        )
-        .cache()
-    )
+    # localCheckpoint, not cache(): the edge relation is re-probed once
+    # per iteration, so it must be materialized, but a cache() entry
+    # would pin executor storage until an explicit unpersist that a
+    # lazy plan-builder can never safely issue (the consuming action
+    # happens after we return).  Checkpoint blocks are released by the
+    # ContextCleaner when the plan is garbage-collected, and the lineage
+    # truncation is exactly what an iterative loop wants anyway.
+    e = edges.join(outw, "src").select(
+        "src",
+        "dst",
+        (F.col("w").cast("double") / F.col("outw").cast("double")).alias("p"),
+    ).localCheckpoint(eager=True)
 
     nodes = n.select(F.col("n_nationkey").alias("node"), "n_name")
     n_nodes = nodes.count()

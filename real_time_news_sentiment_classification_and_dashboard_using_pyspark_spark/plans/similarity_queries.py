@@ -1476,8 +1476,12 @@ def semantic_dedup(spark, sf_dir):
     def cell_dedup(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id")
         x = np.array(list(pdf["emb"]), dtype=np.float64)
-        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
-        sims = np.round(xn @ xn.T, 6)
+        # dot / (norm_a * norm_b), NOT normalize-then-dot: this replays
+        # the oracle's float sequence (round(dot / (na * nb), 6)) so a
+        # pair landing exactly on a 6dp rounding boundary cannot flip
+        # dropped/kept between engines.
+        norms = np.sqrt(np.einsum("ij,ij->i", x, x))
+        sims = np.round((x @ x.T) / np.outer(norms, norms), 6)
         # strict upper triangle by ascending id: mask[i, j] == True means
         # the earlier vector i puts j inside the dedup radius
         mask = np.triu(sims >= _SEMDEDUP_TAU, k=1)
@@ -1518,7 +1522,8 @@ cent AS (
 dist AS (
     SELECT v.vec_id, v.s, c.label,
            CAST(round(list_sum(list_transform(range(8),
-                    j -> (v.subv[j + 1] - c.carr[j + 1]) ^ 2)) * 1000000) AS BIGINT) AS d_e6
+                    j -> (v.subv[j + 1] - c.carr[j + 1])
+                         * (v.subv[j + 1] - c.carr[j + 1]))) * 1000000) AS BIGINT) AS d_e6
     FROM sub v JOIN cent c ON c.s = v.s
 ),
 code AS (
