@@ -18,6 +18,7 @@ from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.p
 )
 
 SF0_001 = "/root/testdata/sf0.001"
+SF0_01 = "/root/testdata/sf0.01"
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -32,5 +33,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
 
-def oracle_sql() -> dict[str, str]:
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+def oracle_sql(sf_dir: str = SF0_01) -> dict[str, str]:
+    """DuckDB oracle per query. Most oracles are static ANSI SQL; a few
+    derive a literal-VALUES oracle from per-corpus committed artifacts
+    (the MLlib prediction pin) and are registered as callables of
+    sf_dir — resolved here against the driver's sf0.01 contract by
+    default. A callable returning None (no pin for this corpus yet)
+    falls back to the rows-only contract by omission."""
+    out: dict[str, str] = {}
+    for name, q in REGISTRY.items():
+        sql = q.oracle(sf_dir) if callable(q.oracle) else q.oracle
+        if sql is not None:
+            out[name] = sql
+    return out

@@ -189,32 +189,64 @@ def write_prediction_fingerprint(
     spark: SparkSession, sf_dir: str, model: PipelineModel
 ) -> None:
     """Predict over the corpus once and pin the prediction vector:
-    fingerprint sum, row count, and the per-class agreement rates (the
-    band a future run must reproduce exactly — inference is
-    deterministic JVM arithmetic over a committed model)."""
+    fingerprint sum, row count, the corpus agreement count, AND the
+    per-lexicon-class (n_docs, n_agree) table (the band a future run
+    must reproduce exactly — inference is deterministic JVM arithmetic
+    over a committed model). The per-class table is what lets
+    ``mllib_sentiment_agreement`` emit a literal-VALUES DuckDB oracle
+    and graduate from the rows-only contract to the full hash check."""
     import json
     import os
 
     docs = score_text_expr(table(spark, sf_dir, "documents"), "text")
     pred = predict_sentiment(model, docs, "text")
-    row = pred.agg(
-        F.sum(prediction_fingerprint_expr()).alias("fingerprint"),
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(
-            (F.col("ml_sentiment") == F.col("sentiment")).cast("int")
-        ).alias("n_agree"),
-    ).head()
+    by_class = (
+        pred.groupBy("sentiment")
+        .agg(
+            F.sum(prediction_fingerprint_expr()).alias("h"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("ml_sentiment") == F.col("sentiment")).cast("int")
+            ).alias("n_agree"),
+        )
+        .collect()
+    )
     path = _model_path(sf_dir)
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, PREDHASH_FILE), "w") as fh:
         json.dump(
             {
-                "fingerprint": int(row["fingerprint"]),
-                "n_docs": int(row["n_docs"]),
-                "n_agree": int(row["n_agree"]),
+                "fingerprint": sum(int(r["h"]) for r in by_class),
+                "n_docs": sum(int(r["n_docs"]) for r in by_class),
+                "n_agree": sum(int(r["n_agree"]) for r in by_class),
+                "classes": sorted(
+                    [
+                        {
+                            "sentiment": r["sentiment"],
+                            "n_docs": int(r["n_docs"]),
+                            "n_agree": int(r["n_agree"]),
+                        }
+                        for r in by_class
+                    ],
+                    key=lambda d: d["sentiment"],
+                ),
             },
             fh,
         )
+
+
+def expected_agreement_table(sf_dir: str):
+    """The committed per-class (sentiment, n_docs, n_agree) table for
+    this corpus's fitted model, or None when the registry has no pin or
+    a pre-classes pin (both mean: fall back to the rows-only contract
+    until ``write_prediction_fingerprint`` runs)."""
+    try:
+        pin = expected_prediction_fingerprint(sf_dir)
+    except OSError:  # corpus dir missing/unreadable -> unfingerprintable
+        return None
+    if not pin or "classes" not in pin:
+        return None
+    return pin["classes"]
 
 
 def predict_sentiment(model: PipelineModel, df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -31,7 +31,11 @@ SparkFn = Callable[[SparkSession, str], DataFrame]
 class Query:
     name: str
     fn: SparkFn
-    oracle: str | None
+    # str: static ANSI SQL.  Callable[[sf_dir], str | None]: oracle SQL
+    # derived from per-corpus committed artifacts (e.g. the MLlib pin's
+    # literal-VALUES table); returning None means "no pin yet for this
+    # corpus — rows-only until the first run writes it".
+    oracle: str | Callable[[str], str | None] | None
     tags: tuple[str, ...] = field(default_factory=tuple)
     doc: str = ""
 
@@ -39,7 +43,11 @@ class Query:
 REGISTRY: dict[str, Query] = {}
 
 
-def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+def register(
+    name: str,
+    oracle: str | Callable[[str], str | None] | None = None,
+    tags: tuple[str, ...] = (),
+):
     def deco(fn: SparkFn) -> SparkFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")

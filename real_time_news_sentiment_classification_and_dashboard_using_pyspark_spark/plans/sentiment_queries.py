@@ -135,9 +135,37 @@ def top_polar_docs(spark, sf_dir):
     )
 
 
+def _mllib_agreement_oracle(sf_dir: str) -> str | None:
+    """Literal-VALUES oracle derived from the committed prediction pin
+    (r8 verdict #1): MLlib inference itself is not ANSI-SQL-expressible,
+    but the fitted model AND its full prediction vector are committed
+    artifacts, so the expected 3-row per-class table is a constant of
+    the (corpus, model) pair. Emitting those constants as the oracle
+    upgrades this query from the rows-only contract to the full
+    rowcount+schema+hash check; the in-plan ``__PREDHASH_MISMATCH__``
+    sentinel keeps model drift visible — a drifted model appends a 4th
+    row and fails the rowcount gate, never silently re-pins. Returns
+    None (rows-only) only for a corpus whose first train hasn't written
+    the pin yet."""
+    from ..functions.ml import expected_agreement_table
+
+    classes = expected_agreement_table(sf_dir)
+    if not classes:
+        return None
+    rows = ", ".join(
+        f"('{c['sentiment']}', {int(c['n_docs'])}, {int(c['n_agree'])})"
+        for c in classes
+    )
+    return (
+        "SELECT sentiment, CAST(n_docs AS BIGINT) AS n_docs, "
+        "CAST(n_agree AS BIGINT) AS n_agree "
+        f"FROM (VALUES {rows}) AS t(sentiment, n_docs, n_agree)"
+    )
+
+
 @register(
     "mllib_sentiment_agreement",
-    oracle=None,  # MLlib model output is not ANSI-SQL-expressible -> rows-only check
+    oracle=_mllib_agreement_oracle,
     tags=("sentiment", "mllib"),
 )
 def mllib_sentiment_agreement(spark, sf_dir):

@@ -106,10 +106,13 @@ def compare_one(
     import threading
 
     qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
     sdf = qs[name](spark, sf_dir)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
+    # Resolve oracles AFTER the Spark side ran: callable oracles read
+    # per-corpus committed pins, and on a fresh corpus the first Spark
+    # run is what writes them (train_on_documents).
+    oracles = entry_mod.oracle_sql(sf_dir)
     if name not in oracles:
         if not scols:
             return ("rows-only query produced no columns", len(srows))
@@ -175,7 +178,7 @@ def main():
 
     spark = get_spark("oracle-check")
     con = duck_con(sf_dir)
-    oracles = entry_mod.oracle_sql()
+    oracles = entry_mod.oracle_sql(sf_dir)
 
     names = wanted or list(entry_mod.queries())
     n_pass = n_fail = 0

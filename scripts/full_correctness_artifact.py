@@ -91,7 +91,6 @@ def main() -> None:
     names = select_queries(args.family)
     spark = get_spark("full-correctness")
     spark.sparkContext.setLogLevel("ERROR")
-    oracles = entry_mod.oracle_sql()
     artifact: dict = {
         "generated_by": "scripts/full_correctness_artifact.py",
         "compare": "rowcount + column names + order-insensitive values "
@@ -103,6 +102,9 @@ def main() -> None:
     exit_code = 0
     for sf_dir in SF_DIRS:
         con = duck_con(sf_dir)
+        # per-corpus: callable oracles (MLlib literal-VALUES pin) resolve
+        # against this sf_dir's committed artifacts
+        oracles = entry_mod.oracle_sql(sf_dir)
         queries: dict = {}
         n_pass = n_fail = n_rows_only = 0
         for name in names:

@@ -115,3 +115,32 @@ def test_prediction_pin_mismatch_fires_sentinel(spark, monkeypatch):
     marks = [r for r in rows if r["sentiment"] == "__PREDHASH_MISMATCH__"]
     assert len(rows) == 4 and len(marks) == 1
     assert marks[0]["n_docs"] == real["fingerprint"]  # the recomputed hash
+
+
+def test_mllib_literal_oracle_matches_pin_and_spark(spark):
+    """r8 verdict #1: the agreement query is hash-checkable — its
+    callable oracle emits the committed per-class table as literal
+    VALUES, DuckDB returns exactly the rows the Spark plan computes,
+    and a corpus with no pin yields None (rows-only fallback)."""
+    import duckdb
+
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.functions import ml
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans.sentiment_queries import (
+        _mllib_agreement_oracle,
+        mllib_sentiment_agreement,
+    )
+
+    sql = _mllib_agreement_oracle(SF)
+    assert sql is not None and "VALUES" in sql
+    duck = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    got = sorted(
+        (r["sentiment"], r["n_docs"], r["n_agree"])
+        for r in mllib_sentiment_agreement(spark, SF).collect()
+    )
+    assert duck == got
+    # per-class pins sum to the corpus-level pin (internal consistency)
+    pin = ml.expected_prediction_fingerprint(SF)
+    assert sum(c["n_agree"] for c in pin["classes"]) == pin["n_agree"]
+    assert sum(c["n_docs"] for c in pin["classes"]) == pin["n_docs"]
+    # a pin-less corpus degrades to rows-only, never a wrong oracle
+    assert _mllib_agreement_oracle("/nonexistent/corpus") is None
