@@ -1797,3 +1797,585 @@ def pq_recall_eval(spark, sf_dir):
             F.round(F.count("hit") / F.lit(5.0), 4).alias("recall_at_5"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Lloyd-trained PQ codebook + IVF-PQ composition (r8 verdict #2/#3)
+#
+# The v1 PQ family above keys its codebook on the 10 corpus labels, so
+# same-label candidates collapse to one code and ADC cannot rank within
+# a label (measured recall@5 0.0/0.2/0.6). The v2 codebook decouples k
+# from labels (k=64 centroids per subspace), trains with deterministic
+# Lloyd iterations, and scales the ADC shortlist with corpus size —
+# recall@5 >= 0.6 for every query on every fixture (PERF.md dial table).
+#
+# Cross-engine exactness: every subvector element is quantized ONCE to
+# integer micro-units (round(x*1e6) as int64); from there the entire
+# train/encode/ADC pipeline is exact int64 arithmetic, so Spark and
+# DuckDB agree BIT-FOR-BIT with no float-sequence replay needed. That
+# exactness is what lets the oracle use DuckDB's vectorized
+# array_inner_product expansion (|v|^2+|c|^2-2<v,c>) while Spark runs a
+# zip_with difference-square fold — different evaluation orders, same
+# integers (all intermediates stay below 2^53, so even the DOUBLE-typed
+# oracle path is exact; bounds audited in the CTE builder docstring).
+# Cluster means round at integer precision: round(sum/count) where sum
+# is exact — the one float division per centroid dim, identical on both
+# engines. Empty clusters keep their previous centroid.
+# ---------------------------------------------------------------------------
+
+_PQ_LLOYD_K = 64
+_PQ_LLOYD_ITERS = 2
+_IVFPQ_NPROBE = 3
+
+
+def _pq_lloyd_shortlist_depth(n_candidates: int) -> int:
+    """ADC shortlist depth for the Lloyd-PQ family: max(64,
+    ceil(0.9*sqrt(n))). Measured dial (PERF.md): 64 at n<=5k and
+    ~0.9*sqrt(n) beyond keeps recall@5 >= 0.6 for every query at every
+    fixture while the exact-rerank cost stays O(sl) vector fetches."""
+    import math
+
+    return max(64, math.ceil(0.9 * math.sqrt(max(n_candidates, 1))))
+
+
+def _embeddings_candidate_count(sf_dir: str) -> int:
+    """Candidate-row count (vec_id >= 3) straight from the parquet
+    footer statistics — used by the CALLABLE oracles to derive the same
+    shortlist depth the Spark plan computes from its own count()."""
+    import os
+
+    import duckdb
+
+    path = f"{sf_dir}/embeddings.parquet"
+    if os.path.isdir(path):
+        path = f"{path}/*.parquet"
+    return duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{path}') WHERE vec_id >= 3"
+    ).fetchone()[0]
+
+
+def _sub_e6(spark, sf_dir) -> DataFrame:
+    """(vec_id, s, subv) with subv = the s-th 8-dim subvector quantized
+    to int64 micro-units — the single float->int boundary of the
+    Lloyd-PQ pipeline."""
+    e = _emb(spark, sf_dir)
+    return e.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 7), s -> struct(CAST(s AS BIGINT) AS s,"
+                " transform(slice(emb, s * 8 + 1, 8),"
+                " x -> CAST(round(x * 1000000) AS BIGINT)) AS subv))"
+            )
+        ).alias("t"),
+    ).select("vec_id", "t.s", "t.subv")
+
+
+def _l2_int(a: Column, b: Column) -> Column:
+    """Exact int64 squared L2 between two bigint arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_lloyd_codebook(
+    spark, sf_dir, k: int = _PQ_LLOYD_K, iters: int = _PQ_LLOYD_ITERS
+) -> DataFrame:
+    """Train the (s, cid, carr) codebook: seed from the k lowest
+    candidate vec_ids (cid IS the seed vec_id — any deterministic total
+    order works for tie-breaks, so no row_number window is needed),
+    then `iters` Lloyd rounds of exact-integer argmin assignment +
+    round(sum/count) means. Each round's centroid relation (k*8 rows)
+    is localCheckpoint-ed: it feeds the next round's broadcast join
+    twice, the blocks are ContextCleaner-freed, and lineage stays flat
+    — the same iterative-loop pattern as nation_trade_pagerank.
+
+    Scale: per round ONE broadcast join (n*8 x k rows, map-side) + one
+    (vec_id, s)-keyed partial-agg argmin + one (s, cid, j)-keyed mean —
+    nothing larger than the corpus ever shuffles, and the codebook
+    itself is k x 8 rows."""
+    sub = _sub_e6(spark, sf_dir)
+    cand = sub.filter(F.col("vec_id") >= 3)
+    seed_ids = cand.select("vec_id").distinct().orderBy("vec_id").limit(k)
+    cent = (
+        cand.join(F.broadcast(seed_ids), "vec_id")
+        .select(F.col("vec_id").alias("cid"), "s", F.col("subv").alias("carr"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        dist = cand.join(F.broadcast(cent), "s").select(
+            "vec_id", "s", "cid", _l2_int(F.col("subv"), F.col("carr")).alias("d")
+        )
+        asg = (
+            dist.groupBy("vec_id", "s")
+            .agg(F.min(F.struct("d", "cid")).alias("m"))
+            .select("vec_id", "s", F.col("m.cid").alias("cid"))
+        )
+        means = (
+            asg.join(cand, ["vec_id", "s"])
+            .select("s", "cid", F.posexplode("subv").alias("j", "x"))
+            .groupBy("s", "cid", "j")
+            .agg(
+                F.round(F.sum("x").cast("double") / F.count(F.lit(1)))
+                .cast("bigint")
+                .alias("c")
+            )
+            .groupBy("s", "cid")
+            .agg(F.array_sort(F.collect_list(F.struct("j", "c"))).alias("jc"))
+            .select("s", "cid", F.col("jc.c").alias("marr"))
+        )
+        cent = (
+            cent.join(means, ["s", "cid"], "left")
+            .select("s", "cid", F.coalesce(F.col("marr"), F.col("carr")).alias("carr"))
+            .localCheckpoint(eager=True)
+        )
+    return cent
+
+
+def _pq_lloyd_codes_qdist(spark, sf_dir, cent) -> tuple[DataFrame, DataFrame]:
+    """Encode candidates against the final codebook and build the
+    per-query ADC lookup table — one broadcast-codebook pass over the
+    quantized subvectors, split by role."""
+    sub = _sub_e6(spark, sf_dir)
+    dist = sub.join(F.broadcast(cent), "s").select(
+        "vec_id", "s", "cid", _l2_int(F.col("subv"), F.col("carr")).alias("d")
+    )
+    codes = (
+        dist.filter(F.col("vec_id") >= 3)
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d", "cid")).alias("m"))
+        .select(
+            F.col("vec_id").alias("neighbor_id"), "s", F.col("m.cid").alias("cid")
+        )
+    )
+    qdist = dist.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "s", "cid", "d"
+    )
+    return codes, qdist
+
+
+def _pq_lloyd_shortlist_df(spark, sf_dir) -> DataFrame:
+    """(query_id, neighbor_id, adc_d, arank <= sl) over the FULL
+    candidate set — the Lloyd-PQ twin of ``_pq_adc_shortlist``."""
+    n_cand = _emb(spark, sf_dir).filter(F.col("vec_id") >= 3).count()
+    sl = _pq_lloyd_shortlist_depth(n_cand)
+    cent = _pq_lloyd_codebook(spark, sf_dir)
+    codes, qdist = _pq_lloyd_codes_qdist(spark, sf_dir, cent)
+    adc = (
+        codes.join(F.broadcast(qdist), ["s", "cid"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").cast("bigint").alias("adc_d"))
+    )
+    aw = Window.partitionBy("query_id").orderBy(F.asc("adc_d"), F.asc("neighbor_id"))
+    return adc.withColumn("arank", F.row_number().over(aw)).filter(
+        F.col("arank") <= sl
+    )
+
+
+def _pq_lloyd_base_ctes(k: int = _PQ_LLOYD_K, iters: int = _PQ_LLOYD_ITERS) -> str:
+    """DuckDB CTE block ending in ``codes``/``qdist`` — the bit-exact
+    oracle twin of the Spark Lloyd-PQ pipeline above, via the
+    vectorized inner-product expansion.
+
+    Exactness audit (int64-valued DOUBLEs stay exact below 2^53):
+    element |x| <= ~6e6 micro-units, ipv = sum of 8 squares <= 2.9e14,
+    d = ipv+ipc-2<v,c> <= 1.2e15, all < 9e15; the ADC sum over 8
+    subspaces runs in BIGINT after the cast."""
+    parts = [
+        _E_CTE.replace("e AS (", "e AS MATERIALIZED (") + ",",
+        """
+subx AS MATERIALIZED (
+    SELECT vec_id, CAST(s AS BIGINT) AS s,
+           list_transform(list_slice(emb, s * 8 + 1, s * 8 + 8),
+                          x -> round(x * 1000000))::DOUBLE[8] AS subv
+    FROM e, range(8) t(s)
+),
+subi AS MATERIALIZED (
+    SELECT vec_id, s, subv, array_inner_product(subv, subv) AS ipv FROM subx
+),""",
+        f"""
+seeds AS (SELECT DISTINCT vec_id FROM e WHERE vec_id >= 3 ORDER BY vec_id LIMIT {k}),
+cent0 AS MATERIALIZED (
+    -- carr: LIST copy for the empty-cluster coalesce (DuckDB cannot
+    -- CASE/COALESCE fixed arrays); carrf: DOUBLE[8] for inner products
+    SELECT v.vec_id AS cid, v.s, v.subv::DOUBLE[] AS carr, v.subv AS carrf,
+           v.ipv AS ipc
+    FROM subi v JOIN seeds sd ON sd.vec_id = v.vec_id
+),""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""
+asg{t} AS MATERIALIZED (
+    SELECT vec_id, s, cid FROM (
+        SELECT v.vec_id, v.s, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id, v.s
+                   ORDER BY CAST(v.ipv + c.ipc
+                             - 2 * array_inner_product(v.subv, c.carrf) AS BIGINT) ASC,
+                            c.cid ASC) AS rn
+        FROM subi v JOIN cent{t - 1} c ON c.s = v.s
+        WHERE v.vec_id >= 3)
+    WHERE rn = 1
+),
+cm{t} AS MATERIALIZED (
+    SELECT a.s, a.cid, j.j,
+           round(CAST(sum(v.subv[j.j + 1]) AS DOUBLE) / count(*)) AS c
+    FROM asg{t} a JOIN subi v USING (vec_id, s), range(8) j(j)
+    GROUP BY 1, 2, 3
+),
+cent{t} AS MATERIALIZED (
+    SELECT s, cid, carr, carr::DOUBLE[8] AS carrf,
+           array_inner_product(carr::DOUBLE[8], carr::DOUBLE[8]) AS ipc FROM (
+        SELECT p.s, p.cid, coalesce(m.carr, p.carr) AS carr
+        FROM cent{t - 1} p LEFT JOIN (
+            SELECT s, cid, array_agg(c ORDER BY j) AS carr
+            FROM cm{t} GROUP BY s, cid) m USING (s, cid))
+),""",
+        )
+    parts.append(
+        f"""
+dist AS MATERIALIZED (
+    SELECT v.vec_id, v.s, c.cid,
+           CAST(v.ipv + c.ipc - 2 * array_inner_product(v.subv, c.carrf) AS BIGINT) AS d
+    FROM subi v JOIN cent{iters} c ON c.s = v.s
+),
+codes AS MATERIALIZED (
+    SELECT vec_id AS neighbor_id, s, cid FROM (
+        SELECT vec_id, s, cid,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, cid ASC) AS rn
+        FROM dist WHERE vec_id >= 3)
+    WHERE rn = 1
+),
+qdist AS MATERIALIZED (SELECT vec_id AS query_id, s, cid, d FROM dist WHERE vec_id < 3)""",
+    )
+    return "".join(parts)
+
+
+def _pq_lloyd_ctes(sl: int, k: int = _PQ_LLOYD_K, iters: int = _PQ_LLOYD_ITERS) -> str:
+    """Base CTEs + full-candidate ADC shortlist (the Lloyd twin of
+    ``_PQ_SHORTLIST_CTES``'s tail)."""
+    return (
+        _pq_lloyd_base_ctes(k, iters)
+        + f""",
+adc AS MATERIALIZED (
+    SELECT qd.query_id, cv.neighbor_id, CAST(sum(qd.d) AS BIGINT) AS adc_d
+    FROM codes cv JOIN qdist qd ON qd.s = cv.s AND qd.cid = cv.cid
+    GROUP BY 1, 2
+),
+shortlist AS MATERIALIZED (
+    SELECT query_id, neighbor_id, adc_d,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_d ASC, neighbor_id ASC) AS arank
+    FROM adc
+)
+-- shortlist depth {sl}
+"""
+    )
+
+
+def _pq_lloyd_recall_oracle(sf_dir: str) -> str:
+    sl = _pq_lloyd_shortlist_depth(_embeddings_candidate_count(sf_dir))
+    return (
+        "WITH "
+        + _pq_lloyd_ctes(sl)
+        + f""",
+exact5 AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round({_cos_sql('q.emb', 'c.emb')}, 6) DESC,
+                                       c.vec_id ASC) AS rk
+    FROM e q JOIN e c ON q.vec_id < 3 AND c.vec_id >= 3
+)
+SELECT f.query_id,
+       CAST(count(s.neighbor_id) AS BIGINT) AS hits_at_5,
+       round(count(s.neighbor_id) / 5.0, 4) AS recall_at_5
+FROM (SELECT query_id, neighbor_id FROM exact5 WHERE rk <= 5) f
+LEFT JOIN (SELECT query_id, neighbor_id FROM shortlist WHERE arank <= {sl}) s
+  ON s.query_id = f.query_id AND s.neighbor_id = f.neighbor_id
+GROUP BY f.query_id
+"""
+    )
+
+
+@register(
+    "pq_lloyd_recall_eval",
+    oracle=_pq_lloyd_recall_oracle,
+    tags=("similarity", "ann", "quantization", "pq", "lloyd", "eval"),
+)
+def pq_lloyd_recall_eval(spark, sf_dir):
+    """The Lloyd-PQ row on the family recall datasheet: how many of
+    each query's exact cosine top-5 survive the scale-adaptive ADC
+    shortlist. This is the r8 "move the PQ recall dial" deliverable —
+    codebook k=64 decoupled from the 10 corpus labels, 2 deterministic
+    Lloyd iterations, shortlist max(64, 0.9*sqrt(n)): recall@5 >= 0.6
+    for EVERY query on every fixture vs v1's 0.0/0.2/0.6 (PERF.md dial
+    table prices the surrounding grid points).
+
+    Scale posture identical to pq_recall_eval: broadcast codebook +
+    lookup table, candidates touched only through their 8-code
+    representation, exact arm priced separately as the measurement."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    c = e.filter(F.col("vec_id") >= 3).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("cemb")
+    )
+    ew = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(cosine(F.col("qemb"), F.col("cemb")), 6)), F.asc("neighbor_id")
+    )
+    exact5 = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("rk", F.row_number().over(ew))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    hits = _pq_lloyd_shortlist_df(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact5.join(hits, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").cast("bigint").alias("hits_at_5"),
+            F.round(F.count("hit") / F.lit(5.0), 4).alias("recall_at_5"),
+        )
+    )
+
+
+def _coarse_cells_and_routes(spark, sf_dir, nprobe: int):
+    """Train per-label coarse centroids (the ivf_build_probe build
+    step), assign candidates to their nearest cell, route each query to
+    its nprobe nearest cells. Returns (cells, routes) DataFrames."""
+    e = _emb_n(spark, sf_dir)
+    pos = e.select("label", F.posexplode("emb").alias("i", "x"))
+    centd = pos.groupBy("label", "i").agg(F.round(F.avg("x"), 6).alias("c"))
+    cent = (
+        centd.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("karr"))
+        .select(F.col("label").alias("cl"), F.col("karr.c").alias("cemb"))
+        .withColumn("cnorm", F.sqrt(dot(F.col("cemb"), F.col("cemb"))))
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cl",
+        _sim(F.col("emb"), F.col("norm"), F.col("cemb"), F.col("cnorm")).alias("cs"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cl"))
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    cells = (
+        ranked.filter((F.col("rn") == 1) & (F.col("vec_id") >= 3))
+        .select(F.col("vec_id").alias("neighbor_id"), F.col("cl").alias("cell"))
+    )
+    routes = (
+        ranked.filter((F.col("rn") <= nprobe) & (F.col("vec_id") < 3))
+        .select(F.col("vec_id").alias("query_id"), F.col("cl").alias("cell"))
+    )
+    return cells, routes
+
+
+def _ivfpq_shortlist_df(spark, sf_dir, sl: int) -> DataFrame:
+    """(query_id, neighbor_id, adc_d, arank) with ADC restricted to the
+    routed cells' members — the IVF-PQ composition core."""
+    cells, routes = _coarse_cells_and_routes(spark, sf_dir, _IVFPQ_NPROBE)
+    pairs = routes.join(cells, "cell").select("query_id", "neighbor_id")
+    cent = _pq_lloyd_codebook(spark, sf_dir)
+    codes, qdist = _pq_lloyd_codes_qdist(spark, sf_dir, cent)
+    adcr = (
+        codes.join(F.broadcast(pairs), "neighbor_id")
+        .join(F.broadcast(qdist), ["query_id", "s", "cid"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").cast("bigint").alias("adc_d"))
+    )
+    aw = Window.partitionBy("query_id").orderBy(F.asc("adc_d"), F.asc("neighbor_id"))
+    return adcr.withColumn("arank", F.row_number().over(aw)).filter(
+        F.col("arank") <= sl
+    )
+
+
+def _ivfpq_ctes(sl: int, nprobe: int = _IVFPQ_NPROBE) -> str:
+    """Base Lloyd-PQ CTEs + coarse routing + cell-restricted ADC
+    shortlist (``slst``)."""
+    return (
+        _pq_lloyd_base_ctes()
+        + f""",
+pos AS (SELECT label, vec_id, i, emb[i + 1] AS x FROM e, range(64) t(i)),
+centd AS (SELECT label, i, round(avg(x), 6) AS c FROM pos GROUP BY label, i),
+ccent AS MATERIALIZED (
+    SELECT label AS cl, array_agg(c ORDER BY i) AS cemb FROM centd GROUP BY label
+),
+cellr AS MATERIALIZED (
+    SELECT vec_id, cl,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY {_cos_sql('v.emb', 'c.cemb')} DESC,
+                                       c.cl ASC) AS rn
+    FROM e v CROSS JOIN ccent c
+),
+pairs AS MATERIALIZED (
+    SELECT r.vec_id AS query_id, v.vec_id AS neighbor_id
+    FROM (SELECT vec_id, cl FROM cellr WHERE vec_id < 3 AND rn <= {nprobe}) r
+    JOIN (SELECT vec_id, cl FROM cellr WHERE vec_id >= 3 AND rn = 1) v
+      ON v.cl = r.cl
+),
+adcr AS MATERIALIZED (
+    SELECT p.query_id, p.neighbor_id, CAST(sum(qd.d) AS BIGINT) AS adc_d
+    FROM pairs p
+    JOIN codes cv ON cv.neighbor_id = p.neighbor_id
+    JOIN qdist qd ON qd.query_id = p.query_id AND qd.s = cv.s AND qd.cid = cv.cid
+    GROUP BY 1, 2
+),
+slst AS MATERIALIZED (
+    SELECT query_id, neighbor_id, adc_d,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_d ASC, neighbor_id ASC) AS arank
+    FROM adcr
+)
+-- shortlist depth {sl}
+"""
+    )
+
+
+def _ivfpq_topk_oracle(sf_dir: str) -> str:
+    sl = _pq_lloyd_shortlist_depth(_embeddings_candidate_count(sf_dir))
+    return (
+        "WITH "
+        + _ivfpq_ctes(sl)
+        + f""",
+rerank AS (
+    SELECT sl.query_id, sl.neighbor_id, sl.adc_d,
+           round({_cos_sql('qe.emb', 'ce.emb')}, 6) AS cos_sim
+    FROM slst sl
+    JOIN e qe ON qe.vec_id = sl.query_id
+    JOIN e ce ON ce.vec_id = sl.neighbor_id
+    WHERE sl.arank <= {sl}
+)
+SELECT query_id, neighbor_id, adc_d, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+FROM rerank QUALIFY rank <= 5
+"""
+    )
+
+
+@register(
+    "ivfpq_topk",
+    oracle=_ivfpq_topk_oracle,
+    tags=("similarity", "ann", "ivf", "pq", "lloyd", "topk"),
+)
+def ivfpq_topk(spark, sf_dir):
+    """IVF-PQ — the production ANN composition (r8 verdict #2): coarse
+    per-label centroids route each query to its nprobe=3 nearest cells;
+    ONLY those cells' members are ADC-scored through their 8-code
+    Lloyd-PQ representation; the scale-adaptive shortlist is reranked
+    with exact float cosine and top-5 returned.
+
+    Scale posture — this is the shape a 100 TB vector store actually
+    serves: the coarse routing prunes the candidate set to
+    nprobe/n_cells of the corpus BEFORE any distance work; ADC then
+    touches one byte-per-subspace codes, not vectors; full floats are
+    fetched for |shortlist| rows only. Everything small (codebook,
+    routing table, per-query ADC lookup) broadcasts; the only
+    corpus-sized relations are the code table and the one partial-agg
+    sum per (query, neighbor). Recall vs brute force is priced by
+    ``ivfpq_recall_eval`` next door — routing loss compounds with
+    quantization loss, which is exactly the dial a deployment tunes
+    with nprobe."""
+    n_cand = _emb(spark, sf_dir).filter(F.col("vec_id") >= 3).count()
+    sl = _pq_lloyd_shortlist_depth(n_cand)
+    e = _emb(spark, sf_dir)
+    short = _ivfpq_shortlist_df(spark, sf_dir, sl)
+    qe = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_fl")
+    )
+    rr = (
+        e.join(F.broadcast(short), e.vec_id == short.neighbor_id)
+        .join(F.broadcast(qe), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_d",
+            F.round(cosine(F.col("q_fl"), F.col("emb")), 6).alias("cos_sim"),
+        )
+    )
+    rw = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        rr.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_d",
+            "cos_sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def _ivfpq_recall_oracle(sf_dir: str) -> str:
+    sl = _pq_lloyd_shortlist_depth(_embeddings_candidate_count(sf_dir))
+    return (
+        "WITH "
+        + _ivfpq_ctes(sl)
+        + f""",
+exact5 AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round({_cos_sql('q.emb', 'c.emb')}, 6) DESC,
+                                       c.vec_id ASC) AS rk
+    FROM e q JOIN e c ON q.vec_id < 3 AND c.vec_id >= 3
+)
+SELECT f.query_id,
+       CAST(count(s.neighbor_id) AS BIGINT) AS hits_at_5,
+       round(count(s.neighbor_id) / 5.0, 4) AS recall_at_5
+FROM (SELECT query_id, neighbor_id FROM exact5 WHERE rk <= 5) f
+LEFT JOIN (SELECT query_id, neighbor_id FROM slst WHERE arank <= {sl}) s
+  ON s.query_id = f.query_id AND s.neighbor_id = f.neighbor_id
+GROUP BY f.query_id
+"""
+    )
+
+
+@register(
+    "ivfpq_recall_eval",
+    oracle=_ivfpq_recall_oracle,
+    tags=("similarity", "ann", "ivf", "pq", "lloyd", "eval"),
+)
+def ivfpq_recall_eval(spark, sf_dir):
+    """IVF-PQ's row on the family recall datasheet: exact cosine top-5
+    (over ALL candidates, not just probed cells) vs the cell-restricted
+    ADC shortlist — so the number prices the COMPOUND loss of coarse
+    routing x quantization that a production deployment actually pays.
+    Compare against ``pq_lloyd_recall_eval`` (no routing) to read the
+    routing loss alone, and against ``ivf_recall_eval`` (no
+    quantization) for the other axis."""
+    e = _emb(spark, sf_dir)
+    n_cand = e.filter(F.col("vec_id") >= 3).count()
+    sl = _pq_lloyd_shortlist_depth(n_cand)
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    c = e.filter(F.col("vec_id") >= 3).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("cemb")
+    )
+    ew = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(cosine(F.col("qemb"), F.col("cemb")), 6)), F.asc("neighbor_id")
+    )
+    exact5 = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("rk", F.row_number().over(ew))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    hits = _ivfpq_shortlist_df(spark, sf_dir, sl).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact5.join(hits, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").cast("bigint").alias("hits_at_5"),
+            F.round(F.count("hit") / F.lit(5.0), 4).alias("recall_at_5"),
+        )
+    )
