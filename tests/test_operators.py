@@ -1045,3 +1045,55 @@ def test_pq_lloyd_codebook_is_integer_exact_and_stable(spark):
     assert a == b
     assert all(len(v) == 8 for v in a.values())
     assert all(isinstance(x, int) and abs(x) < 10_000_000 for v in a.values() for x in v)
+
+
+def test_lsh_near_dup_kernel_matches_join_rendering(spark):
+    """r8 verdict #4: the bucket-grouped Arrow-kernel rendering of
+    lsh_near_dup_pairs must return EXACTLY the pair set of the
+    reference join+zip_with rendering (same buckets, same verify
+    threshold) — the re-render changed the physical plan, not the
+    semantics. Also pins the bits dial: inactive at fixture sizes
+    (8 bits up to n=20480), stepping up beyond."""
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans.similarity_queries import (
+        _emb_n,
+        _lsh_bits,
+        _lsh_buckets,
+        _sim,
+        lsh_near_dup_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in lsh_near_dup_pairs(spark, SF).collect()
+    }
+    bk = _lsh_buckets(spark, SF)
+    en = _emb_n(spark, SF).join(bk, "vec_id")
+    a = en.select(
+        "bucket",
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("ea"),
+        F.col("norm").alias("na"),
+    )
+    b = en.select(
+        "bucket",
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("eb"),
+        F.col("norm").alias("nb"),
+    )
+    ref = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            _sim(F.col("ea"), F.col("na"), F.col("eb"), F.col("nb")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+        .collect()
+    }
+    assert set(got) == set(ref)
+    assert all(abs(got[k] - ref[k]) < 1e-9 for k in got)
+    assert _lsh_bits(500) == 8 and _lsh_bits(20000) == 8
+    assert _lsh_bits(200_000) == 12 and _lsh_bits(2_000_000) == 15
