@@ -2060,3 +2060,198 @@ def countmin_token_freq(spark, sf_dir):
     return est.select(
         "word", "exact_n", "cms_n", (F.col("cms_n") - F.col("exact_n")).alias("overcount")
     )
+
+
+# ---------------------------------------------------------------------------
+# Full BPE merge training loop (r8 verdict #5) — the third iterative
+# template after connected-components and PageRank.
+# ---------------------------------------------------------------------------
+
+_BPE_MERGE_ITERS = 10
+
+
+def _bpe_merge_iter_ctes(iters: int = _BPE_MERGE_ITERS) -> str:
+    """Unrolled MATERIALIZED CTEs for the merge loop (the PageRank
+    oracle pattern). Greedy left-to-right merge application is pure
+    relational algebra: matches of rule (L, R) can only overlap when
+    L = R (an overlap at rows i, i+1 forces s_{i+1} = R = L), so
+    non-equal rules merge every match independently while equal rules
+    merge odd positions within each maximal run of L (gaps-and-islands
+    + parity). Every operation is integer/string — the two engines
+    agree bit-for-bit with no rounding convention needed."""
+    parts = [
+        """
+w AS MATERIALIZED (
+    SELECT word, CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+          FROM documents WHERE text IS NOT NULL)
+    GROUP BY word
+),
+seq0 AS MATERIALIZED (
+    SELECT word, CAST(i AS BIGINT) AS rn, substr(word, CAST(i AS INT), 1) AS sym
+    FROM w, unnest(generate_series(1, length(word))) t(i)
+)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+pc{t} AS MATERIALIZED (
+    SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        SELECT word, sym AS l,
+               lead(sym) OVER (PARTITION BY word ORDER BY rn) AS r
+        FROM seq{t - 1}) p
+    JOIN w USING (word)
+    WHERE r IS NOT NULL
+    GROUP BY 1, 2
+),
+best{t} AS MATERIALIZED (
+    SELECT l, r, cnt FROM pc{t} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+),
+m{t} AS MATERIALIZED (
+    SELECT word, rn, sym, l, r,
+           (nxt IS NOT NULL AND sym = l AND nxt = r
+            AND (l <> r OR pir % 2 = 1)) AS ms
+    FROM (
+        SELECT word, rn, sym, nxt, l, r,
+               row_number() OVER (PARTITION BY word, isl, grp ORDER BY rn) AS pir
+        FROM (
+            SELECT s.word, s.rn, s.sym,
+                   lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.rn) AS nxt,
+                   b.l, b.r, (s.sym = b.l) AS isl,
+                   s.rn - row_number() OVER (PARTITION BY s.word, s.sym = b.l
+                                             ORDER BY s.rn) AS grp
+            FROM seq{t - 1} s CROSS JOIN best{t} b))
+),
+seq{t} AS MATERIALIZED (
+    SELECT word, row_number() OVER (PARTITION BY word ORDER BY rn) AS rn,
+           CASE WHEN ms THEN sym || r ELSE sym END AS sym
+    FROM (SELECT word, rn, sym, r, ms,
+                 coalesce(lag(ms) OVER (PARTITION BY word ORDER BY rn), false) AS consumed
+          FROM m{t})
+    WHERE NOT consumed
+)""",
+        )
+    return "".join(parts)
+
+
+_BPE_MERGE_ORACLE = (
+    "WITH "
+    + _bpe_merge_iter_ctes()
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS INT) AS it, l AS left_sym, r AS right_sym,"
+        f" l || r AS merged, cnt AS n_occurrences FROM best{t}"
+        for t in range(1, _BPE_MERGE_ITERS + 1)
+    )
+)
+
+
+@register(
+    "bpe_merge_train",
+    oracle=_BPE_MERGE_ORACLE,
+    tags=("text", "tokenize", "bpe", "iterative"),
+)
+def bpe_merge_train(spark, sf_dir):
+    """FULL BPE training loop (Sennrich et al. 2016) — 10 merge
+    iterations over the character-split word vocabulary: count adjacent
+    symbol pairs weighted by word frequency, take the argmax as the
+    merge rule, apply it greedily left-to-right, repeat. Output: one
+    row per learned rule. ``bpe_pair_counts`` is this loop's iteration
+    zero; this is the engine's third iterative-algorithm template
+    (after pointer-halving CC and PageRank).
+
+    Merge application is PURE relational algebra (no UDF, no regex
+    lookarounds): matches of rule (L, R) can only overlap when L = R —
+    a match at rows i and i+1 forces s_{i+1} = R = L — so L <> R rules
+    merge every match independently, and L = R rules merge the
+    odd-parity positions of each maximal L-run (gaps-and-islands row
+    grouping + row_number parity). All arithmetic is integer/string,
+    so the DuckDB oracle (the same loop unrolled as MATERIALIZED CTEs)
+    matches bit-for-bit.
+
+    Scale posture: the ONE corpus-scale pass is corpus -> word vocab
+    (map-side tokenize + bounded groupBy); every iteration then runs on
+    the vocab-sized symbol table (|vocab| x avg_len rows — at 100 TB a
+    few million rows vs trillions of corpus tokens, the reason real BPE
+    trainers operate on the vocabulary). Per iteration: the pair-count
+    shuffle is bounded by the live symbol-pair vocabulary (partial agg
+    collapses each task to that), the argmax is a TakeOrdered(1), and
+    the merge application is two word-keyed window passes; the symbol
+    table is localCheckpoint-ed per round (flat lineage,
+    ContextCleaner-freed) exactly like the PageRank edge relation."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    wv = (
+        d.select(
+            F.explode(
+                F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+    seq = wv.select(
+        "word",
+        F.posexplode(F.expr("split(word, '')")).alias("i", "sym"),
+    ).select("word", (F.col("i") + 1).cast("bigint").alias("rn"), "sym")
+    seq = seq.localCheckpoint(eager=True)
+
+    w_word = Window.partitionBy("word").orderBy("rn")
+    rules = []
+    for t in range(1, _BPE_MERGE_ITERS + 1):
+        pc = (
+            seq.withColumn("r", F.lead("sym").over(w_word))
+            .filter(F.col("r").isNotNull())
+            .join(wv, "word")
+            .groupBy(F.col("sym").alias("l"), "r")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+        best = (
+            pc.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        rules.append(
+            best.select(
+                F.lit(t).cast("int").alias("it"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.concat("l", "r").alias("merged"),
+                F.col("cnt").alias("n_occurrences"),
+            )
+        )
+        isl = F.col("sym") == F.col("l")
+        w_isl = Window.partitionBy("word", isl).orderBy("rn")
+        base = (
+            seq.crossJoin(F.broadcast(best))
+            .withColumn("nxt", F.lead("sym").over(w_word))
+            .withColumn("isl", isl)
+            .withColumn("grp", F.col("rn") - F.row_number().over(w_isl))
+        )
+        w_run = Window.partitionBy("word", "isl", "grp").orderBy("rn")
+        marked = base.withColumn("pir", F.row_number().over(w_run)).withColumn(
+            "ms",
+            F.col("nxt").isNotNull()
+            & (F.col("sym") == F.col("l"))
+            & (F.col("nxt") == F.col("r"))
+            & ((F.col("l") != F.col("r")) | (F.col("pir") % 2 == 1)),
+        )
+        seq = (
+            marked.withColumn(
+                "consumed",
+                F.coalesce(F.lag("ms").over(w_word), F.lit(False)),
+            )
+            .filter(~F.col("consumed"))
+            .select(
+                "word",
+                F.row_number().over(w_word).cast("bigint").alias("rn"),
+                F.when(F.col("ms"), F.concat("sym", "r"))
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionByName(r)
+    return out

@@ -162,3 +162,70 @@ class TestHashing:
         )
         fps = [r["f"] for r in df.select(stable_fingerprint("v").alias("f")).collect()]
         assert fps[0] == fps[1]  # same distinct token set -> same fingerprint
+
+
+def test_bpe_merge_train_matches_reference_implementation(spark, tmp_path):
+    """The relational greedy-merge loop must reproduce a plain-Python
+    BPE trainer (Sennrich-style: count adjacent pairs weighted by word
+    freq, argmax with (count desc, pair asc) ties, greedy left-to-right
+    apply) on a corpus crafted to exercise the L == R overlap-run case
+    ('aaaa' runs) and multi-char merged symbols."""
+    import pandas as pd
+
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans.text_queries import (
+        _BPE_MERGE_ITERS,
+        bpe_merge_train,
+    )
+
+    texts = [
+        "aaaa aaaa banana bananas",
+        "low lower lowest low low",
+        "aaa abab abab cccc",
+        "banana low aaaa",
+    ]
+    sf = tmp_path / "bpe_corpus"
+    sf.mkdir()
+    pd.DataFrame({"doc_id": range(len(texts)), "text": texts}).to_parquet(
+        sf / "documents.parquet"
+    )
+
+    def ref_bpe(words, iters):
+        vocab = {}
+        for w in words:
+            vocab[w] = vocab.get(w, 0) + 1
+        seqs = {w: list(w) for w in vocab}
+        rules = []
+        for _ in range(iters):
+            counts = {}
+            for w, syms in seqs.items():
+                for i in range(len(syms) - 1):
+                    counts[(syms[i], syms[i + 1])] = (
+                        counts.get((syms[i], syms[i + 1]), 0) + vocab[w]
+                    )
+            if not counts:
+                break
+            (l, r), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            rules.append((l, r, cnt))
+            for w, syms in seqs.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                seqs[w] = out
+        return rules
+
+    import re
+
+    words = [t for s in texts for t in re.findall(r"[a-z]+", s.lower())]
+    expected = ref_bpe(words, _BPE_MERGE_ITERS)
+    got = sorted(
+        (r["it"], r["left_sym"], r["right_sym"], r["n_occurrences"])
+        for r in bpe_merge_train(spark, str(sf)).collect()
+    )
+    assert got == [
+        (i + 1, l, r, c) for i, (l, r, c) in enumerate(expected)
+    ], (got, expected)
