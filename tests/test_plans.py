@@ -464,3 +464,47 @@ def test_mrl_eval_query_side_broadcast(spark):
     plan = plan_of(spark, "mrl_truncation_eval")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_no_unexplained_global_windows_in_window_tagged_plans(spark):
+    """r8 verdict #6: any UNPARTITIONED Window must be fed by an
+    aggregate/limit (bounded cardinality) or carry a written
+    justification in plan_audit.KNOWN_GLOBAL_WINDOWS. Exercised over
+    every registry query that could plausibly compile a Window
+    (window/topk/rank/eval tags plus the two known exceptions) — the
+    full-surface sweep is PLANS.md's GW column."""
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans.plan_audit import (
+        KNOWN_GLOBAL_WINDOWS,
+        unpartitioned_window_flags,
+    )
+
+    window_tags = {"window", "topk", "rank", "eval", "ntile", "iterative"}
+    names = [
+        n
+        for n, q in REGISTRY.items()
+        if (set(q.tags) & window_tags) or n in KNOWN_GLOBAL_WINDOWS
+    ]
+    assert len(names) >= 20, names  # the tag net must actually catch queries
+    offenders = {}
+    for n in names:
+        flags = unpartitioned_window_flags(plan_of(spark, n))
+        if flags and n not in KNOWN_GLOBAL_WINDOWS:
+            offenders[n] = flags
+    assert not offenders, offenders
+
+
+def test_global_window_detector_sees_both_shapes(spark):
+    """The detector itself: acctbal_quartiles (global ntile over a
+    scan) MUST flag; event_type_pct (global sum over an aggregate)
+    MUST clear; latest_event_per_user (partitioned window) has no
+    unpartitioned window at all."""
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans.plan_audit import (
+        _unpartitioned_window_ids,
+        unpartitioned_window_flags,
+    )
+
+    assert unpartitioned_window_flags(plan_of(spark, "acctbal_quartiles"))
+    pct = plan_of(spark, "event_type_pct")
+    assert _unpartitioned_window_ids(pct)  # global window present...
+    assert not unpartitioned_window_flags(pct)  # ...but aggregate-fed
+    assert not _unpartitioned_window_ids(plan_of(spark, "latest_event_per_user"))
