@@ -474,7 +474,13 @@ def ivf_topk_probe(spark, sf_dir):
         .select("vec_id", F.col("centroid_id").alias("cell"))
     )
     # cache: the cell assignment feeds BOTH sides of the probe join
-    cells = e.join(cell_of, "vec_id").select("vec_id", "emb", "norm", "cell").cache()
+    # localCheckpoint, not cache(): referenced by both the query and the
+    # probe side of one plan, but a cache() entry would pin storage
+    # until an unpersist a lazy plan-builder can never safely issue;
+    # checkpoint blocks are ContextCleaner-freed with the plan.
+    cells = e.join(cell_of, "vec_id").select(
+        "vec_id", "emb", "norm", "cell"
+    ).localCheckpoint(eager=True)
     q = cells.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qemb"),
@@ -1270,7 +1276,13 @@ def ivf_recall_eval(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("centroid_id").alias("cell"))
     )
-    cells = e.join(cell_of, "vec_id").select("vec_id", "emb", "norm", "cell").cache()
+    # localCheckpoint, not cache(): referenced by both the query and the
+    # probe side of one plan, but a cache() entry would pin storage
+    # until an unpersist a lazy plan-builder can never safely issue;
+    # checkpoint blocks are ContextCleaner-freed with the plan.
+    cells = e.join(cell_of, "vec_id").select(
+        "vec_id", "emb", "norm", "cell"
+    ).localCheckpoint(eager=True)
     # queries DISJOINT from the centroid set (r7 verdict #4): with
     # queries ⊂ centroids, a query IS its own cell's center, its true
     # neighbors align with its own cell on ANY geometry, and the
@@ -1461,7 +1473,13 @@ def ivf_build_probe(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("centroid_label").alias("cell"))
     )
-    cells = e.join(cell_of, "vec_id").select("vec_id", "emb", "norm", "cell").cache()
+    # localCheckpoint, not cache(): referenced by both the query and the
+    # probe side of one plan, but a cache() entry would pin storage
+    # until an unpersist a lazy plan-builder can never safely issue;
+    # checkpoint blocks are ContextCleaner-freed with the plan.
+    cells = e.join(cell_of, "vec_id").select(
+        "vec_id", "emb", "norm", "cell"
+    ).localCheckpoint(eager=True)
     q = cells.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qemb"),
