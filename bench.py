@@ -207,18 +207,30 @@ def main() -> None:
     # carrying raw single-run noise — nation_supplier_roster printed
     # 1.40s on the busy closing host vs the judge's 0.42s median.
     runs_per_query = 3
+    # SPARK_GRAFT_BENCH_ONLY=q1,q2,... restricts the run to a curated
+    # subset — used for the extra-scale (sf10) measurements where a
+    # handful of eval harnesses (exact-ground-truth recall arms,
+    # all-pairs block grids) are deliberately quadratic and priced
+    # separately. Unset = the full registry, unchanged.
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    only = {s.strip() for s in only_env.split(",") if s.strip()} if only_env else None
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
     for name, q in REGISTRY.items():
+        if only is not None and name not in only:
+            continue
         runs = sorted(run_once(q) for _ in range(runs_per_query))
         timings[name] = round(runs[len(runs) // 2], 3)
         timings_min[name] = round(runs[0], 3)
 
     cal_runs = sorted(calibration_probe() for _ in range(runs_per_query))
 
-    stream_sec, n_articles, stream_runs = bench_streaming(spark, sf_dir)
-    timings["streaming_pipeline"] = round(stream_sec, 3)
-    timings_min["streaming_pipeline"] = round(min(stream_runs), 3)
+    if only is None or "streaming_pipeline" in only:
+        stream_sec, n_articles, stream_runs = bench_streaming(spark, sf_dir)
+        timings["streaming_pipeline"] = round(stream_sec, 3)
+        timings_min["streaming_pipeline"] = round(min(stream_runs), 3)
+    else:
+        stream_sec, n_articles, stream_runs = None, 0, []
 
     total = round(sum(timings.values()), 3)
     print(
@@ -233,9 +245,17 @@ def main() -> None:
                 "calibration_sec": round(cal_runs[len(cal_runs) // 2], 3),
                 "calibration_min": round(cal_runs[0], 3),
                 "sf": sf,
-                "streaming_articles_per_sec": round(n_articles / stream_sec, 1),
-                "streaming_articles_per_drain": n_articles,
-                "streaming_run_secs": stream_runs,
+                **(
+                    {
+                        "streaming_articles_per_sec": round(
+                            n_articles / stream_sec, 1
+                        ),
+                        "streaming_articles_per_drain": n_articles,
+                        "streaming_run_secs": stream_runs,
+                    }
+                    if stream_sec is not None
+                    else {"bench_only": sorted(only)}
+                ),
                 "n_queries": len(timings),
             }
         )
