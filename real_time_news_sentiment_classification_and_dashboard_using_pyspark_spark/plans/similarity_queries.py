@@ -2488,3 +2488,220 @@ def ivfpq_recall_eval(spark, sf_dir):
             F.round(F.count("hit") / F.lit(5.0), 4).alias("recall_at_5"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Full-vector Lloyd k-means over document embeddings — the curation-side
+# clustering primitive (topic balancing, SemDeDup cell discovery, mixture
+# auditing all start from "k-means the corpus embeddings").
+
+_KMEANS_K = 8
+_KMEANS_ITERS = 3
+
+
+def _emb_e6(spark, sf_dir) -> DataFrame:
+    """(vec_id, label, v) with the FULL 64-d vector quantized to int64
+    micro-units — the single float->int boundary of the k-means
+    pipeline (same convention as the Lloyd-PQ family; element |x| <=
+    ~1e6, so a 64-term squared distance tops out near 2^46 and every
+    distance is exact in both BIGINT and DOUBLE)."""
+    return _emb(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(emb, x -> CAST(round(x * 1000000) AS BIGINT))"
+        ).alias("v"),
+    )
+
+
+def _kmeans_centroids(
+    spark, sf_dir, k: int = _KMEANS_K, iters: int = _KMEANS_ITERS
+) -> DataFrame:
+    """Train (cid, carr): seed from the k lowest vec_ids, then `iters`
+    Lloyd rounds of exact-integer argmin assignment + round(sum/count)
+    coordinate means. Per round: ONE broadcast join (n x k rows,
+    map-side), one vec_id-keyed partial-agg argmin, one (cid, j)-keyed
+    mean — nothing wider than the corpus shuffles and the centroid
+    relation is k rows. Each round's centroids are localCheckpoint-ed
+    (eager): re-probed next round, ContextCleaner-freed, flat lineage —
+    the nation_trade_pagerank / Lloyd-PQ iterative-loop pattern."""
+    ev = _emb_e6(spark, sf_dir)
+    seeds = ev.select("vec_id").orderBy("vec_id").limit(k)
+    cent = (
+        ev.join(F.broadcast(seeds), "vec_id")
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("carr"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        asg = (
+            ev.crossJoin(F.broadcast(cent))
+            .select("vec_id", "cid", _l2_int(F.col("v"), F.col("carr")).alias("d"))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d", "cid")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cid"))
+        )
+        means = (
+            asg.join(ev, "vec_id")
+            .select("cid", F.posexplode("v").alias("j", "x"))
+            .groupBy("cid", "j")
+            .agg(
+                F.round(F.sum("x").cast("double") / F.count(F.lit(1)))
+                .cast("bigint")
+                .alias("c")
+            )
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("j", "c"))).alias("jc"))
+            .select("cid", F.col("jc.c").alias("marr"))
+        )
+        cent = (
+            cent.join(means, "cid", "left")
+            .select("cid", F.coalesce(F.col("marr"), F.col("carr")).alias("carr"))
+            .localCheckpoint(eager=True)
+        )
+    return cent
+
+
+def _kmeans_ctes(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
+    """DuckDB CTE block ending in ``fasg`` (vec_id, label, cid, d) —
+    the bit-exact oracle twin of the Spark k-means above via the
+    inner-product expansion (d = ipv + ipc - 2<v,c>; all quantities are
+    int64-exact DOUBLEs, so the different evaluation order cannot
+    diverge)."""
+    parts = [
+        _E_CTE.replace("e AS (", "e AS MATERIALIZED (") + ",",
+        """
+vq AS MATERIALIZED (
+    SELECT vec_id, label,
+           list_transform(emb, x -> round(x * 1000000))::DOUBLE[64] AS v
+    FROM e
+),
+vi AS MATERIALIZED (
+    SELECT vec_id, label, v, array_inner_product(v, v) AS ipv FROM vq
+),""",
+        f"""
+kseeds AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT {k}),
+kc0 AS MATERIALIZED (
+    -- carr: LIST copy for the empty-cluster coalesce (DuckDB cannot
+    -- CASE/COALESCE fixed arrays); carrf: DOUBLE[64] for inner products
+    SELECT v.vec_id AS cid, v.v::DOUBLE[] AS carr, v.v AS carrf, v.ipv AS ipc
+    FROM vi v JOIN kseeds s ON s.vec_id = v.vec_id
+),""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""
+kasg{t} AS MATERIALIZED (
+    SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY CAST(v.ipv + c.ipc
+                             - 2 * array_inner_product(v.v, c.carrf) AS BIGINT) ASC,
+                            c.cid ASC) AS rn
+        FROM vi v CROSS JOIN kc{t - 1} c)
+    WHERE rn = 1
+),
+kcm{t} AS MATERIALIZED (
+    SELECT a.cid, j.j,
+           round(CAST(sum(v.v[j.j + 1]) AS DOUBLE) / count(*)) AS c
+    FROM kasg{t} a JOIN vi v USING (vec_id), range(64) j(j)
+    GROUP BY 1, 2
+),
+kc{t} AS MATERIALIZED (
+    SELECT cid, carr, carr::DOUBLE[64] AS carrf,
+           array_inner_product(carr::DOUBLE[64], carr::DOUBLE[64]) AS ipc FROM (
+        SELECT p.cid, coalesce(m.carr, p.carr) AS carr
+        FROM kc{t - 1} p LEFT JOIN (
+            SELECT cid, array_agg(c ORDER BY j) AS carr
+            FROM kcm{t} GROUP BY cid) m USING (cid))
+),""",
+        )
+    parts.append(
+        f"""
+fasg AS MATERIALIZED (
+    SELECT vec_id, label, cid, d FROM (
+        SELECT v.vec_id, v.label, c.cid,
+               CAST(v.ipv + c.ipc
+                    - 2 * array_inner_product(v.v, c.carrf) AS BIGINT) AS d,
+               row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY CAST(v.ipv + c.ipc
+                             - 2 * array_inner_product(v.v, c.carrf) AS BIGINT) ASC,
+                            c.cid ASC) AS rn
+        FROM vi v CROSS JOIN kc{iters} c)
+    WHERE rn = 1
+)""",
+    )
+    return "".join(parts)
+
+
+@register(
+    "kmeans_doc_clusters",
+    oracle=f"""
+WITH {_kmeans_ctes()},
+lab AS (
+    SELECT cid, label, count(*) AS n,
+           row_number() OVER (PARTITION BY cid
+               ORDER BY count(*) DESC, label ASC) AS rn
+    FROM fasg GROUP BY cid, label
+)
+SELECT f.cid AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(round(CAST(sum(f.d) AS DOUBLE) / count(*)) AS BIGINT) AS mean_sqdist,
+       any_value(l.label) AS top_label,
+       CAST(any_value(l.n) AS BIGINT) AS top_label_n
+FROM fasg f JOIN (SELECT cid, label, n FROM lab WHERE rn = 1) l USING (cid)
+GROUP BY f.cid
+""",
+    tags=("similarity", "clustering", "iterative"),
+)
+def kmeans_doc_clusters(spark, sf_dir):
+    """Full-vector Lloyd k-means over the corpus embeddings (k=8, 3
+    exact-integer iterations) — the curation-side clustering primitive
+    (topic balancing / mixture auditing / SemDeDup cell discovery).
+    Output: per-cluster size, mean squared distance to the final
+    centroid (micro-unit^2, the inertia/k diagnostic), and the majority
+    label with its count (cluster "purity" at a glance).
+
+    Exactness: vectors are quantized ONCE to int64 micro-units; every
+    distance, argmin and round(sum/count) mean is then integer-exact on
+    both engines, so Spark's zip_with fold and DuckDB's inner-product
+    expansion cannot diverge (the Lloyd-PQ convention). Scale shape:
+    per iteration one broadcast of k=8 centroids against the corpus
+    (map-side), one vec_id-keyed argmin agg and one (cid, j)-keyed
+    mean whose key space is k x 64 — the corpus never shuffles, and at
+    100 TB with a bigger k the centroid relation is still tiny."""
+    ev = _emb_e6(spark, sf_dir)
+    cent = _kmeans_centroids(spark, sf_dir)
+    fasg = (
+        ev.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "label", "cid", _l2_int(F.col("v"), F.col("carr")).alias("d")
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.min(F.struct("d", "cid")).alias("m"))
+        .select("vec_id", "label", F.col("m.cid").alias("cid"), F.col("m.d").alias("d"))
+    )
+    lw = Window.partitionBy("cid").orderBy(F.desc("n"), F.asc("label"))
+    lab = (
+        fasg.groupBy("cid", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(lw))
+        .filter(F.col("rn") == 1)
+        .select("cid", F.col("label").alias("top_label"), F.col("n").alias("top_label_n"))
+    )
+    return (
+        fasg.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(F.sum("d").cast("double") / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("mean_sqdist"),
+        )
+        .join(F.broadcast(lab), "cid")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_vecs",
+            "mean_sqdist",
+            "top_label",
+            F.col("top_label_n").cast("bigint").alias("top_label_n"),
+        )
+    )

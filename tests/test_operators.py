@@ -1097,3 +1097,25 @@ def test_lsh_near_dup_kernel_matches_join_rendering(spark):
     assert all(abs(got[k] - ref[k]) < 1e-9 for k in got)
     assert _lsh_bits(500) == 8 and _lsh_bits(20000) == 8
     assert _lsh_bits(200_000) == 12 and _lsh_bits(2_000_000) == 15
+
+
+def test_kmeans_doc_clusters_partitions_corpus(spark):
+    """k-means invariants: exactly k clusters, cluster sizes partition
+    the corpus (every vector assigned exactly once), majority-label
+    counts bounded by cluster size, and a second run reproduces the
+    table bit-for-bit (the cross-engine oracle rests on integer-exact
+    determinism)."""
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans.similarity_queries import (
+        _KMEANS_K,
+        _emb,
+        kmeans_doc_clusters,
+    )
+
+    rows = kmeans_doc_clusters(spark, SF).collect()
+    assert len(rows) == _KMEANS_K
+    n = _emb(spark, SF).count()
+    assert sum(r["n_vecs"] for r in rows) == n
+    assert all(1 <= r["top_label_n"] <= r["n_vecs"] for r in rows)
+    assert all(r["mean_sqdist"] >= 0 for r in rows)
+    again = kmeans_doc_clusters(spark, SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
