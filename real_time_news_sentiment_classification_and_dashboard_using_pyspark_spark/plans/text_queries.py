@@ -2255,3 +2255,152 @@ def bpe_merge_train(spark, sf_dir):
     for r in rules[1:]:
         out = out.unionByName(r)
     return out
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score every raw document by
+# how much more likely its hashed-ngram features are under the TARGET
+# distribution than under the RAW distribution, then keep the top of the
+# ranking. The hashed-ngram LMs make the whole thing two bounded aggregates.
+
+_DSIR_BUCKETS = 512
+_DSIR_TARGET_LANG = "en"
+_DSIR_TOPK = 25
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+WITH t AS MATERIALIZED (
+    SELECT doc_id, lang, {TOKS_SQL} AS t
+    FROM documents WHERE text IS NOT NULL
+),
+feats AS MATERIALIZED (
+    SELECT doc_id, lang,
+           ('0x' || substr(md5(f), 25, 8))::BIGINT % {_DSIR_BUCKETS} AS b
+    FROM (
+        SELECT doc_id, lang,
+               unnest(list_concat(
+                   t,
+                   list_transform(range(1, len(t)),
+                                  i -> t[i] || '_' || t[i + 1]))) AS f
+        FROM t)
+),
+alln AS MATERIALIZED (SELECT b, count(*) AS cnt_a FROM feats GROUP BY b),
+tgt AS (
+    SELECT b, count(*) AS cnt_t FROM feats
+    WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b
+),
+tots AS (
+    SELECT count(*) AS tot_a,
+           sum(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS tot_t
+    FROM feats
+),
+lr AS (
+    SELECT a.b,
+           ln(CAST(coalesce(g.cnt_t, 0) + 1 AS DOUBLE)
+              / CAST(tot_t + {_DSIR_BUCKETS} AS DOUBLE))
+         - ln(CAST(a.cnt_a + 1 AS DOUBLE)
+              / CAST(tot_a + {_DSIR_BUCKETS} AS DOUBLE)) AS lr
+    FROM alln a LEFT JOIN tgt g USING (b) CROSS JOIN tots
+),
+s AS (
+    SELECT f.doc_id, any_value(f.lang) AS lang,
+           CAST(count(*) AS BIGINT) AS n_feats,
+           round(sum(l.lr), 4) AS dsir_logweight
+    FROM feats f JOIN lr l USING (b)
+    GROUP BY f.doc_id
+)
+SELECT doc_id, lang, n_feats, dsir_logweight,
+       CAST(row_number() OVER (ORDER BY dsir_logweight DESC, doc_id ASC)
+            AS INTEGER) AS rank
+FROM s ORDER BY dsir_logweight DESC, doc_id ASC LIMIT {_DSIR_TOPK}
+""",
+    tags=("text", "curation", "importance-sampling"),
+)
+def dsir_importance_weights(spark, sf_dir):
+    """DSIR importance weights: hashed unigram+bigram features (md5 ->
+    512 buckets), Laplace-smoothed bucket LMs for the target (lang =
+    'en') and raw (whole corpus) distributions, per-doc importance =
+    sum of feature log-ratios ln(p/q); top-25 documents by weight —
+    the selection step every "pick pretraining data that looks like
+    the target domain" pipeline runs.
+
+    Scale shape: ONE explode feeds both LMs; the bucket space bounds
+    every aggregate at B=512 rows regardless of corpus size (map-side
+    partial agg collapses each task to <=B rows), so the only
+    corpus-sized shuffle is the per-doc score aggregate — the same
+    doc_id key every quality score pays. The log-ratio table rides in
+    as a broadcast; the final ranking is a TakeOrdered over rounded
+    scores with a doc_id tie-break. Cross-engine: identical md5 bucket
+    hash, identical double division inside ln; summation order is
+    absorbed by round(,4) (the unigram_logprob convention)."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "lang", tokens("text").alias("t"))
+    )
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.expr(
+            "transform(sequence(1, size(t) - 1),"
+            " i -> concat(element_at(t, i), '_', element_at(t, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.concat(F.col("t"), bigrams)).alias("f"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("f"), 25, 8), 16, 10).cast("bigint")
+            % _DSIR_BUCKETS
+        ).alias("b"),
+    )
+    alln = feats.groupBy("b").agg(F.count(F.lit(1)).alias("cnt_a"))
+    tgt = (
+        feats.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cnt_t"))
+    )
+    tots = feats.agg(
+        F.count(F.lit(1)).alias("tot_a"),
+        F.sum(
+            F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("tot_t"),
+    )
+    lr = (
+        alln.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce("cnt_t", F.lit(0)) + 1).cast("double")
+                    / (F.col("tot_t") + _DSIR_BUCKETS).cast("double")
+                )
+                - F.log(
+                    (F.col("cnt_a") + 1).cast("double")
+                    / (F.col("tot_a") + _DSIR_BUCKETS).cast("double")
+                )
+            ).alias("lr"),
+        )
+    )
+    s = (
+        feats.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.round(F.sum("lr"), 4).alias("dsir_logweight"),
+        )
+    )
+    w = Window.orderBy(F.desc("dsir_logweight"), F.asc("doc_id"))
+    return (
+        s.orderBy(F.desc("dsir_logweight"), F.asc("doc_id"))
+        .limit(_DSIR_TOPK)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("doc_id", "lang", "n_feats", "dsir_logweight", "rank")
+    )

@@ -1119,3 +1119,23 @@ def test_kmeans_doc_clusters_partitions_corpus(spark):
     assert all(r["mean_sqdist"] >= 0 for r in rows)
     again = kmeans_doc_clusters(spark, SF).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_dsir_top_weights_prefer_target_lang(spark):
+    """The importance ranking must actually select for the target
+    distribution: every top-ranked doc scores positive (closer to the
+    en LM than the raw mixture) and the top-25 is overwhelmingly the
+    target language; ranks are dense 1..25 on a deterministic order."""
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans.text_queries import (
+        _DSIR_TARGET_LANG,
+        _DSIR_TOPK,
+        dsir_importance_weights,
+    )
+
+    rows = dsir_importance_weights(spark, SF).collect()
+    assert [r["rank"] for r in rows] == list(range(1, _DSIR_TOPK + 1)) or sorted(
+        r["rank"] for r in rows
+    ) == list(range(1, _DSIR_TOPK + 1))
+    n_target = sum(1 for r in rows if r["lang"] == _DSIR_TARGET_LANG)
+    assert n_target >= int(0.8 * _DSIR_TOPK), [(r["lang"], r["dsir_logweight"]) for r in rows]
+    assert all(r["dsir_logweight"] > 0 for r in rows)
