@@ -2404,3 +2404,75 @@ def dsir_importance_weights(spark, sf_dir):
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .select("doc_id", "lang", "n_feats", "dsir_logweight", "rank")
     )
+
+
+_N_SHARDS = 16
+
+
+@register(
+    "training_shard_manifest",
+    oracle=f"""
+WITH m AS (
+    SELECT ('0x' || substr(md5('shard_' || CAST(doc_id AS VARCHAR)), 25, 8))::BIGINT
+               % {_N_SHARDS} AS shard,
+           doc_id,
+           n_chars,
+           len({TOKS_SQL}) AS n_tokens,
+           ('0x' || substr(md5(text), 25, 8))::BIGINT AS c32
+    FROM documents
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT)        AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT)   AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT)    AS total_chars,
+       min(doc_id)                     AS min_doc_id,
+       max(doc_id)                     AS max_doc_id,
+       CAST(sum(c32) AS BIGINT)        AS shard_fingerprint
+FROM m GROUP BY shard
+""",
+    tags=("curation", "shard", "manifest"),
+)
+def training_shard_manifest(spark, sf_dir):
+    """Training-shard manifest: every document is assigned to one of 16
+    shards by a salted md5 bucket of its key (coordination-free, rerun-
+    and engine-stable — the hash_split_counts trick), and the manifest
+    rolls up per shard the numbers a training launcher actually reads:
+    doc count, token budget, byte budget, key range, and an order-
+    insensitive content fingerprint (sum of per-doc 32-bit content
+    hashes — n * 2^32 stays far under 2^53, so it is exact on both
+    engines and catches any dropped/duplicated/mutated doc at a glance
+    when two pipeline runs diff their manifests).
+
+    Scale shape: pure map + 16-group aggregate; every column partial-
+    aggregates map-side, so each task ships <=16 rows no matter the
+    corpus size. At 100 TB the same `shard` expression is the
+    repartition key for the actual shard write
+    (df.repartition("shard").write.partitionBy("shard")), and this
+    query is its free byproduct."""
+    d = table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shard_"), F.col("doc_id").cast("string"))), 25, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _N_SHARDS
+    )
+    c32 = F.conv(F.substring(F.md5("text"), 25, 8), 16, 10).cast("bigint")
+    m = d.select(
+        shard.alias("shard"),
+        "doc_id",
+        "n_chars",
+        F.size(tokens("text")).alias("n_tokens"),
+        c32.alias("c32"),
+    )
+    return m.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.sum("c32").cast("bigint").alias("shard_fingerprint"),
+    )

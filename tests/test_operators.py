@@ -1139,3 +1139,27 @@ def test_dsir_top_weights_prefer_target_lang(spark):
     n_target = sum(1 for r in rows if r["lang"] == _DSIR_TARGET_LANG)
     assert n_target >= int(0.8 * _DSIR_TOPK), [(r["lang"], r["dsir_logweight"]) for r in rows]
     assert all(r["dsir_logweight"] > 0 for r in rows)
+
+
+def test_training_shard_manifest_partitions_and_fingerprints(spark):
+    """Manifest invariants: the 16 shards partition the corpus exactly
+    (doc counts, token and char budgets sum to the corpus totals), the
+    fingerprint is order-insensitive content identity (two runs agree
+    bit-for-bit), and no shard is empty at fixture size."""
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans.text_queries import (
+        _N_SHARDS,
+        training_shard_manifest,
+    )
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.sources.tables import (
+        table,
+    )
+
+    rows = training_shard_manifest(spark, SF).collect()
+    assert len(rows) == _N_SHARDS
+    d = table(spark, SF, "documents")
+    n, chars = d.count(), d.agg({"n_chars": "sum"}).first()[0]
+    assert sum(r["n_docs"] for r in rows) == n
+    assert sum(r["total_chars"] for r in rows) == chars
+    assert all(r["n_docs"] >= 1 for r in rows)
+    again = {r["shard"]: r["shard_fingerprint"] for r in training_shard_manifest(spark, SF).collect()}
+    assert again == {r["shard"]: r["shard_fingerprint"] for r in rows}
