@@ -2287,15 +2287,19 @@ feats AS MATERIALIZED (
                                   i -> t[i] || '_' || t[i + 1]))) AS f
         FROM t)
 ),
-alln AS MATERIALIZED (SELECT b, count(*) AS cnt_a FROM feats GROUP BY b),
+db AS MATERIALIZED (
+    SELECT doc_id, any_value(lang) AS lang, b, count(*) AS cnt
+    FROM feats GROUP BY doc_id, b
+),
+alln AS MATERIALIZED (SELECT b, sum(cnt) AS cnt_a FROM db GROUP BY b),
 tgt AS (
-    SELECT b, count(*) AS cnt_t FROM feats
+    SELECT b, sum(cnt) AS cnt_t FROM db
     WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b
 ),
 tots AS (
-    SELECT count(*) AS tot_a,
-           sum(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS tot_t
-    FROM feats
+    SELECT sum(cnt) AS tot_a,
+           sum(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN cnt ELSE 0 END) AS tot_t
+    FROM db
 ),
 lr AS (
     SELECT a.b,
@@ -2307,9 +2311,9 @@ lr AS (
 ),
 s AS (
     SELECT f.doc_id, any_value(f.lang) AS lang,
-           CAST(count(*) AS BIGINT) AS n_feats,
-           round(sum(l.lr), 4) AS dsir_logweight
-    FROM feats f JOIN lr l USING (b)
+           CAST(sum(f.cnt) AS BIGINT) AS n_feats,
+           round(sum(f.cnt * l.lr), 4) AS dsir_logweight
+    FROM db f JOIN lr l USING (b)
     GROUP BY f.doc_id
 )
 SELECT doc_id, lang, n_feats, dsir_logweight,
@@ -2327,15 +2331,17 @@ def dsir_importance_weights(spark, sf_dir):
     the selection step every "pick pretraining data that looks like
     the target domain" pipeline runs.
 
-    Scale shape: ONE explode feeds both LMs; the bucket space bounds
-    every aggregate at B=512 rows regardless of corpus size (map-side
-    partial agg collapses each task to <=B rows), so the only
-    corpus-sized shuffle is the per-doc score aggregate — the same
-    doc_id key every quality score pays. The log-ratio table rides in
-    as a broadcast; the final ranking is a TakeOrdered over rounded
-    scores with a doc_id tie-break. Cross-engine: identical md5 bucket
-    hash, identical double division inside ln; summation order is
-    absorbed by round(,4) (the unigram_logprob convention)."""
+    Scale shape: the corpus-sized tokenize+hash explode runs ONCE into
+    the per-doc bucket histogram (doc_id, b, cnt) — <=B rows per doc,
+    10-50x smaller than the token stream — which is localCheckpoint-ed
+    (eager, ContextCleaner-freed) and feeds all four consumers: both
+    LMs (bucket space bounds each aggregate at B=512 rows via map-side
+    partial agg), the totals row, and the scoring join. The log-ratio
+    table rides in as a broadcast; the final ranking is a TakeOrdered
+    over rounded scores with a doc_id tie-break. Cross-engine:
+    identical md5 bucket hash, identical double division inside ln,
+    identical cnt*lr terms; summation order is absorbed by round(,4)
+    (the unigram_logprob convention)."""
     d = (
         table(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
@@ -2360,16 +2366,21 @@ def dsir_importance_weights(spark, sf_dir):
             % _DSIR_BUCKETS
         ).alias("b"),
     )
-    alln = feats.groupBy("b").agg(F.count(F.lit(1)).alias("cnt_a"))
-    tgt = (
-        feats.filter(F.col("lang") == _DSIR_TARGET_LANG)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("cnt_t"))
+    db = (
+        feats.groupBy("doc_id", "b")
+        .agg(F.any_value("lang").alias("lang"), F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
-    tots = feats.agg(
-        F.count(F.lit(1)).alias("tot_a"),
+    alln = db.groupBy("b").agg(F.sum("cnt").alias("cnt_a"))
+    tgt = (
+        db.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.sum("cnt").alias("cnt_t"))
+    )
+    tots = db.agg(
+        F.sum("cnt").alias("tot_a"),
         F.sum(
-            F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)
+            F.when(F.col("lang") == _DSIR_TARGET_LANG, F.col("cnt")).otherwise(0)
         ).alias("tot_t"),
     )
     lr = (
@@ -2390,11 +2401,11 @@ def dsir_importance_weights(spark, sf_dir):
         )
     )
     s = (
-        feats.join(F.broadcast(lr), "b")
+        db.join(F.broadcast(lr), "b")
         .groupBy("doc_id", "lang")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
-            F.round(F.sum("lr"), 4).alias("dsir_logweight"),
+            F.sum("cnt").cast("bigint").alias("n_feats"),
+            F.round(F.sum(F.col("cnt") * F.col("lr")), 4).alias("dsir_logweight"),
         )
     )
     w = Window.orderBy(F.desc("dsir_logweight"), F.asc("doc_id"))
