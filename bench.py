@@ -216,12 +216,22 @@ def main() -> None:
     only = {s.strip() for s in only_env.split(",") if s.strip()} if only_env else None
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
+    import gc
+
     for name, q in REGISTRY.items():
         if only is not None and name not in only:
             continue
         runs = sorted(run_once(q) for _ in range(runs_per_query))
         timings[name] = round(runs[len(runs) // 2], 3)
         timings_min[name] = round(runs[0], 3)
+        # Isolate queries from each other's leftovers: dropping the
+        # dead py4j DataFrame refs promptly lets ContextCleaner release
+        # localCheckpoint blocks / broadcasts / shuffle files between
+        # queries instead of mid-measurement — without this, the r9
+        # closing run showed the dedup pair family 1.5-3x slower deep
+        # into the 164-query session than in isolation, with a clean
+        # calibration probe (not host noise; accumulated session state).
+        gc.collect()
 
     cal_runs = sorted(calibration_probe() for _ in range(runs_per_query))
 
