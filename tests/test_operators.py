@@ -1163,3 +1163,28 @@ def test_training_shard_manifest_partitions_and_fingerprints(spark):
     assert all(r["n_docs"] >= 1 for r in rows)
     again = {r["shard"]: r["shard_fingerprint"] for r in training_shard_manifest(spark, SF).collect()}
     assert again == {r["shard"]: r["shard_fingerprint"] for r in rows}
+
+
+def test_quality_classifier_train_is_exact_and_consistent(spark):
+    """GD training invariants: one row per language, doc counts sum to
+    the corpus, predicted-target counts and correctness bounded by the
+    group size, mean probability strictly inside (0, 1e6) micro-units,
+    and a second training run reproduces the table bit-for-bit (the
+    unrolled-CTE oracle rests on integer-exact determinism)."""
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans.text_queries import (
+        quality_classifier_train,
+    )
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.sources.tables import (
+        table,
+    )
+
+    rows = quality_classifier_train(spark, SF).collect()
+    d = table(spark, SF, "documents")
+    assert len(rows) == d.select("lang").distinct().count()
+    assert sum(r["n_docs"] for r in rows) == d.count()
+    for r in rows:
+        assert 0 <= r["n_predicted_target"] <= r["n_docs"]
+        assert 0 <= r["n_correct"] <= r["n_docs"]
+        assert 0 < r["mean_p6"] < 1_000_000
+    again = quality_classifier_train(spark, SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
