@@ -2179,6 +2179,31 @@ def bpe_merge_train(spark, sf_dir):
     the merge application is two word-keyed window passes; the symbol
     table is localCheckpoint-ed per round (flat lineage,
     ContextCleaner-freed) exactly like the PageRank edge relation."""
+    wv, bests, _seqs = _bpe_train(spark, sf_dir)
+    rules = [
+        best.select(
+            F.lit(t).cast("int").alias("it"),
+            F.col("l").alias("left_sym"),
+            F.col("r").alias("right_sym"),
+            F.concat("l", "r").alias("merged"),
+            F.col("cnt").alias("n_occurrences"),
+        )
+        for t, best in enumerate(bests, start=1)
+    ]
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _bpe_train(spark, sf_dir, iters: int = _BPE_MERGE_ITERS):
+    """Run the merge-training loop once and hand back every round's
+    materialized state: the word vocabulary ``wv`` (word, freq), the
+    chosen rule per round ``bests`` (1-indexed), and the symbol table
+    after each round ``seqs`` (seqs[t] = table after t merges, seqs[0]
+    = the character split). Everything is eagerly localCheckpoint-ed,
+    so consumers (`bpe_merge_train`, `bpe_compression_curve`) read flat
+    materialized relations instead of replaying window chains."""
     d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     wv = (
         d.select(
@@ -2197,8 +2222,9 @@ def bpe_merge_train(spark, sf_dir):
     seq = seq.localCheckpoint(eager=True)
 
     w_word = Window.partitionBy("word").orderBy("rn")
-    rules = []
-    for t in range(1, _BPE_MERGE_ITERS + 1):
+    bests = []
+    seqs = [seq]
+    for t in range(1, iters + 1):
         pc = (
             seq.withColumn("r", F.lead("sym").over(w_word))
             .filter(F.col("r").isNotNull())
@@ -2211,15 +2237,7 @@ def bpe_merge_train(spark, sf_dir):
             .limit(1)
             .localCheckpoint(eager=True)
         )
-        rules.append(
-            best.select(
-                F.lit(t).cast("int").alias("it"),
-                F.col("l").alias("left_sym"),
-                F.col("r").alias("right_sym"),
-                F.concat("l", "r").alias("merged"),
-                F.col("cnt").alias("n_occurrences"),
-            )
-        )
+        bests.append(best)
         isl = F.col("sym") == F.col("l")
         w_isl = Window.partitionBy("word", isl).orderBy("rn")
         base = (
@@ -2251,10 +2269,8 @@ def bpe_merge_train(spark, sf_dir):
             )
             .localCheckpoint(eager=True)
         )
-    out = rules[0]
-    for r in rules[1:]:
-        out = out.unionByName(r)
-    return out
+        seqs.append(seq)
+    return wv, bests, seqs
 
 
 # --------------------------------------------------------------------------
@@ -2734,3 +2750,60 @@ def quality_classifier_train(spark, sf_dir):
             .alias("mean_p6"),
         )
     )
+
+
+_BPE_CURVE_ORACLE = (
+    "WITH "
+    + _bpe_merge_iter_ctes()
+    + ",\ntw AS (SELECT CAST(sum(freq) AS DOUBLE) AS t FROM w)\n"
+    + "\nUNION ALL\n".join(
+        f"""SELECT CAST({t} AS INT) AS it,
+       CAST(sum(w2.freq) AS BIGINT) AS total_tokens,
+       CAST(count(DISTINCT s.sym) AS BIGINT) AS n_distinct_symbols,
+       round(CAST(sum(w2.freq) AS DOUBLE) / (SELECT t FROM tw), 4)
+           AS tokens_per_word
+FROM seq{t} s JOIN w w2 USING (word)"""
+        for t in range(0, _BPE_MERGE_ITERS + 1)
+    )
+)
+
+
+@register(
+    "bpe_compression_curve",
+    oracle=_BPE_CURVE_ORACLE,
+    tags=("text", "tokenize", "bpe", "iterative"),
+)
+def bpe_compression_curve(spark, sf_dir):
+    """The tokenizer-training acceptance curve: corpus token count,
+    live symbol-vocabulary size and tokens-per-word fertility after
+    EACH of the 10 BPE merges (iteration 0 = the character split) —
+    the plot a tokenizer team reads to pick its merge budget
+    (diminishing compression per added vocabulary entry).
+
+    Reuses `bpe_merge_train`'s loop verbatim (`_bpe_train`): every
+    round's symbol table is already eagerly localCheckpoint-ed, so the
+    11 measurements each read one flat vocab-sized relation — one
+    word-keyed join against the frequency table and a symbol-distinct
+    aggregate, never a corpus re-scan (corpus -> vocab remains the
+    single corpus-scale pass). Integer counts + one rounded double
+    ratio make the unrolled-CTE oracle exact."""
+    wv, _bests, seqs = _bpe_train(spark, sf_dir)
+    tw = wv.agg(F.sum("freq").cast("double").alias("tw"))
+    rows = []
+    for t, seq in enumerate(seqs):
+        rows.append(
+            seq.join(wv, "word")
+            .crossJoin(F.broadcast(tw))
+            .agg(
+                F.lit(t).cast("int").alias("it"),
+                F.sum("freq").cast("bigint").alias("total_tokens"),
+                F.countDistinct("sym").cast("bigint").alias("n_distinct_symbols"),
+                F.round(
+                    F.sum("freq").cast("double") / F.any_value("tw"), 4
+                ).alias("tokens_per_word"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

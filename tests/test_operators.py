@@ -1188,3 +1188,24 @@ def test_quality_classifier_train_is_exact_and_consistent(spark):
         assert 0 < r["mean_p6"] < 1_000_000
     again = quality_classifier_train(spark, SF).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_bpe_compression_curve_is_monotone(spark):
+    """Merges only ever shrink the corpus: total tokens and fertility
+    are non-increasing across the 11 curve points, iteration 0 equals
+    the raw character count, and the symbol vocabulary never shrinks
+    by more than it grows (each merge adds one symbol; sources may
+    disappear when fully consumed)."""
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans.text_queries import (
+        _BPE_MERGE_ITERS,
+        bpe_compression_curve,
+    )
+
+    rows = sorted(bpe_compression_curve(spark, SF).collect(), key=lambda r: r["it"])
+    assert [r["it"] for r in rows] == list(range(_BPE_MERGE_ITERS + 1))
+    toks = [r["total_tokens"] for r in rows]
+    assert all(a >= b for a, b in zip(toks, toks[1:]))
+    assert toks[0] > toks[-1]
+    tpw = [r["tokens_per_word"] for r in rows]
+    assert all(a >= b for a, b in zip(tpw, tpw[1:]))
+    assert all(r["n_distinct_symbols"] >= 1 for r in rows)
