@@ -219,6 +219,12 @@ def write_prediction_fingerprint(
                 "fingerprint": sum(int(r["h"]) for r in by_class),
                 "n_docs": sum(int(r["n_docs"]) for r in by_class),
                 "n_agree": sum(int(r["n_agree"]) for r in by_class),
+                # NULL-sentiment groups are excluded from the pin (the
+                # classifier coalesces null->Neutral so none should
+                # exist; a defensive exclusion beats a TypeError from
+                # sorting None against str, and beats rendering an
+                # unquoted Python `None` into the literal-VALUES
+                # oracle). ADVICE r9.
                 "classes": sorted(
                     [
                         {
@@ -227,6 +233,7 @@ def write_prediction_fingerprint(
                             "n_agree": int(r["n_agree"]),
                         }
                         for r in by_class
+                        if r["sentiment"] is not None
                     ],
                     key=lambda d: d["sentiment"],
                 ),
@@ -242,7 +249,10 @@ def expected_agreement_table(sf_dir: str):
     until ``write_prediction_fingerprint`` runs)."""
     try:
         pin = expected_prediction_fingerprint(sf_dir)
-    except OSError:  # corpus dir missing/unreadable -> unfingerprintable
+    except (OSError, ValueError):
+        # corpus dir missing/unreadable, or a truncated/corrupt
+        # predhash.json (json.JSONDecodeError is a ValueError) ->
+        # unfingerprintable; fall back to rows-only. ADVICE r9.
         return None
     if not pin or "classes" not in pin:
         return None

@@ -98,6 +98,15 @@ def skew_split_join(
     # while cache() pins a CacheManager entry until an explicit
     # unpersist — in a long-lived session running many such joins the
     # cached hot sets would otherwise accumulate until LRU pressure.
+    # Trade-off (engine-wide, applies to every localCheckpoint in this
+    # package): checkpoint blocks are stored NON-reliably on executors
+    # with lineage truncated, so losing an executor (or a dynamic-
+    # allocation scale-down) after the checkpoint makes the downstream
+    # job unrecoverable, and eager=True runs a real Spark job at
+    # plan-build time. On a cluster with dynamic allocation use
+    # reliable checkpoint() to a DFS dir, or cache()+unpersist with an
+    # explicit lifecycle, where recomputability matters more than
+    # driver-memory hygiene.
     hot = F.broadcast(hot.select(key).localCheckpoint(eager=True))
     left_hot = left.join(hot, key, "left_semi")
     left_cold = left.join(hot, key, "left_anti")

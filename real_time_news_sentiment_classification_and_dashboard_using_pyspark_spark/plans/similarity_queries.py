@@ -522,18 +522,28 @@ def _lsh_bits(n_vectors: int) -> int:
     return max(8, math.ceil(math.log2(max(n_vectors, 1) / 80.0)))
 
 
-def _embeddings_total_count(sf_dir: str) -> int:
+def _embeddings_total_count(sf_dir: str) -> int | None:
     """Total embeddings row count from the parquet footer — used by
     CALLABLE oracles to derive the same adaptive parameters the Spark
-    plan computes from its own count()."""
+    plan computes from its own count().
+
+    Returns None when the parquet is missing/unreadable so a callable
+    oracle can degrade that ONE query to the rows-only contract instead
+    of raising through the whole oracle_sql() map (ADVICE r9, medium).
+    """
     import os
 
     import duckdb
 
     path = f"{sf_dir}/embeddings.parquet"
-    if os.path.isdir(path):
-        path = f"{path}/*.parquet"
-    return duckdb.sql(f"SELECT count(*) FROM read_parquet('{path}')").fetchone()[0]
+    try:
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        return duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{path}')"
+        ).fetchone()[0]
+    except (OSError, duckdb.Error):
+        return None
 
 
 def _lsh_buckets_cte(bits: int = 8) -> str:
@@ -636,29 +646,48 @@ def _lsh_buckets_np(spark, sf_dir, bits: int = 8) -> DataFrame:
     return e.mapInPandas(_kernel, "vec_id bigint, bucket bigint")
 
 
-@register(
-    "hyperplane_lsh_buckets",
-    oracle=f"""
-WITH {_LSH_BUCKETS_CTE}
+def _hyperplane_lsh_buckets_oracle(sf_dir: str) -> str | None:
+    n = _embeddings_total_count(sf_dir)
+    if n is None:  # unreadable corpus -> rows-only fallback
+        return None
+    return f"""
+WITH {_lsh_buckets_cte(_lsh_bits(n))}
 SELECT bucket, count(*) AS n_vectors
 FROM buckets GROUP BY bucket
-""",
+"""
+
+
+@register(
+    "hyperplane_lsh_buckets",
+    oracle=_hyperplane_lsh_buckets_oracle,
     tags=("similarity", "ann", "lsh"),
 )
 def hyperplane_lsh_buckets(spark, sf_dir):
-    """Random-hyperplane (SimHash-for-vectors) LSH: 8 md5-seeded +-1
-    hyperplanes -> 8 sign bits -> 256 buckets; report occupancy. This is
-    the embedding-space blocking structure: near-cosine vectors agree on
-    most sign bits, so candidate pairs come from same/adjacent buckets
-    instead of the O(n^2) loop. The hyperplanes are derived from md5
-    parity so both engines build the identical family with no RNG."""
-    return _lsh_buckets(spark, sf_dir).groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_vectors")
+    """Random-hyperplane (SimHash-for-vectors) LSH: md5-seeded +-1
+    hyperplanes -> sign bits -> 2^bits buckets; report occupancy. This
+    is the embedding-space blocking structure: near-cosine vectors agree
+    on most sign bits, so candidate pairs come from same/adjacent
+    buckets instead of the O(n^2) loop. The hyperplanes are derived from
+    md5 parity so both engines build the identical family with no RNG.
+
+    Bits follow the SAME occupancy dial as ``lsh_near_dup_pairs``
+    (``_lsh_bits``: 8 at every fixture <= 20,480 vectors, stepping up
+    at scale), so this occupancy report always describes the dedup
+    query's actual blocking structure (ADVICE r9 — previously pinned at
+    8 while the pair query adapted)."""
+    n = _emb(spark, sf_dir).count()
+    return (
+        _lsh_buckets_np(spark, sf_dir, _lsh_bits(n))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
 
 
-def _lsh_near_dup_oracle(sf_dir: str) -> str:
-    bits = _lsh_bits(_embeddings_total_count(sf_dir))
+def _lsh_near_dup_oracle(sf_dir: str) -> str | None:
+    n = _embeddings_total_count(sf_dir)
+    if n is None:  # unreadable corpus -> rows-only fallback
+        return None
+    bits = _lsh_bits(n)
     return f"""
 WITH {_lsh_buckets_cte(bits)},
 en AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
@@ -1947,20 +1976,26 @@ def _pq_lloyd_shortlist_depth(n_candidates: int) -> int:
     return max(64, math.ceil(0.9 * math.sqrt(max(n_candidates, 1))))
 
 
-def _embeddings_candidate_count(sf_dir: str) -> int:
+def _embeddings_candidate_count(sf_dir: str) -> int | None:
     """Candidate-row count (vec_id >= 3) straight from the parquet
     footer statistics — used by the CALLABLE oracles to derive the same
-    shortlist depth the Spark plan computes from its own count()."""
+    shortlist depth the Spark plan computes from its own count().
+
+    Returns None on missing/unreadable parquet (rows-only fallback for
+    that one query; see _embeddings_total_count)."""
     import os
 
     import duckdb
 
     path = f"{sf_dir}/embeddings.parquet"
-    if os.path.isdir(path):
-        path = f"{path}/*.parquet"
-    return duckdb.sql(
-        f"SELECT count(*) FROM read_parquet('{path}') WHERE vec_id >= 3"
-    ).fetchone()[0]
+    try:
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        return duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{path}') WHERE vec_id >= 3"
+        ).fetchone()[0]
+    except (OSError, duckdb.Error):
+        return None
 
 
 def _sub_e6(spark, sf_dir) -> DataFrame:
@@ -2184,8 +2219,11 @@ shortlist AS MATERIALIZED (
     )
 
 
-def _pq_lloyd_recall_oracle(sf_dir: str) -> str:
-    sl = _pq_lloyd_shortlist_depth(_embeddings_candidate_count(sf_dir))
+def _pq_lloyd_recall_oracle(sf_dir: str) -> str | None:
+    n = _embeddings_candidate_count(sf_dir)
+    if n is None:  # unreadable corpus -> rows-only fallback
+        return None
+    sl = _pq_lloyd_shortlist_depth(n)
     return (
         "WITH "
         + _pq_lloyd_ctes(sl)
@@ -2346,8 +2384,11 @@ slst AS MATERIALIZED (
     )
 
 
-def _ivfpq_topk_oracle(sf_dir: str) -> str:
-    sl = _pq_lloyd_shortlist_depth(_embeddings_candidate_count(sf_dir))
+def _ivfpq_topk_oracle(sf_dir: str) -> str | None:
+    n = _embeddings_candidate_count(sf_dir)
+    if n is None:  # unreadable corpus -> rows-only fallback
+        return None
+    sl = _pq_lloyd_shortlist_depth(n)
     return (
         "WITH "
         + _ivfpq_ctes(sl)
@@ -2422,8 +2463,11 @@ def ivfpq_topk(spark, sf_dir):
     )
 
 
-def _ivfpq_recall_oracle(sf_dir: str) -> str:
-    sl = _pq_lloyd_shortlist_depth(_embeddings_candidate_count(sf_dir))
+def _ivfpq_recall_oracle(sf_dir: str) -> str | None:
+    n = _embeddings_candidate_count(sf_dir)
+    if n is None:  # unreadable corpus -> rows-only fallback
+        return None
+    sl = _pq_lloyd_shortlist_depth(n)
     return (
         "WITH "
         + _ivfpq_ctes(sl)

@@ -2697,7 +2697,17 @@ def quality_classifier_train(spark, sf_dir):
     float boundary is the micro-quantized sigmoid (identical double
     expression on both engines, rounded straight back to int64), so z,
     residuals, gradients and updates are integer-exact and the unrolled
-    MATERIALIZED-CTE oracle matches bit-for-bit. Scale shape: the
+    MATERIALIZED-CTE oracle matches bit-for-bit. Platform assumption
+    (ADVICE r9): unlike the Lloyd/k-means family, whose only float op
+    (IEEE division) is correctly rounded, the sigmoid boundary calls
+    exp() — java.lang.Math.exp vs C++ std::exp — which is NOT
+    guaranteed correctly rounded; the parity claim holds empirically on
+    this JVM/libstdc++ pair (and exp() agreed bit-for-bit in every r9
+    probe), but a last-ulp divergence landing a p-value exactly on a
+    0.5-micro-unit boundary on another platform could flip one
+    quantized sigmoid by 1 and cascade through the 3 iterations. A
+    platform-robust variant would widen the quantization step so a
+    1-ulp exp() difference cannot cross a rounding boundary. Scale shape: the
     corpus tokenizes ONCE into the checkpointed (doc, bucket, cnt)
     histogram; per iteration the <=256-row weight table broadcasts,
     the z/residual aggregates reuse the doc_id key, and the gradient
