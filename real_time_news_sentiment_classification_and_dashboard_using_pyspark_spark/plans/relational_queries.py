@@ -3351,3 +3351,186 @@ def bloom_filter_contract(spark, sf_dir):
             4,
         ).alias("fp_rate"),
     )
+
+
+@register(
+    "shipmode_priority_counts",
+    oracle="""
+SELECT l.l_returnflag || '-' || l.l_linestatus AS ship_mode,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+""",
+    tags=("join", "conditional-agg", "tpch-q12"),
+)
+def shipmode_priority_counts(spark, sf_dir):
+    """TPC-H Q12 shape: per ship mode, how many lines belong to
+    high-priority vs low-priority orders, restricted to one ship year —
+    the conditional-aggregation-after-join pattern (sum(CASE WHEN ...)).
+    The testdata lineitem carries no l_shipmode column, so the mode
+    dimension is the (returnflag, linestatus) pair — same cardinality
+    class (6 modes), same shape. Scale: the year predicate pushes into
+    the lineitem parquet scan (~1/6 of rows survive before the join);
+    both sides are fact tables so this is the one intentional
+    fact-fact shuffle join on orderkey, and the aggregate collapses to
+    6 groups map-side before the final 6-row exchange."""
+    l = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .select(
+            "l_orderkey",
+            F.concat_ws("-", "l_returnflag", "l_linestatus").alias("ship_mode"),
+        )
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("ship_mode")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+@register(
+    "large_volume_customers",
+    oracle="""
+WITH big AS (
+    SELECT l_orderkey,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 300
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) / 100.0 AS o_totalprice,
+       b.sum_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+    tags=("join", "having", "in-subquery", "tpch-q18"),
+)
+def large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    line quantity exceeds 300, with the owning customer — the
+    IN-subquery-against-grouped-HAVING pattern. Catalyst's decorrelated
+    rendering: the lineitem aggregate+HAVING produces a tiny keyed
+    relation (0.3% of orders), which then BROADCASTS into orders — the
+    IN-list never round-trips through the driver — and the surviving
+    handful of orders broadcast-joins customer. One lineitem shuffle
+    (the per-order quantity agg, map-side partials first); zero
+    full-width fact shuffles. Quantities are integral by data contract,
+    so the sum is exact BIGINT on both engines; o_totalprice re-rounds
+    through integer cents (house pattern)."""
+    l = table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.round("l_quantity").cast("bigint")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            (_cents("o_totalprice") / 100.0).alias("o_totalprice"),
+            F.col("sum_qty").cast("bigint").alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "excess_stock_suppliers",
+    oracle="""
+WITH sp AS (
+    SELECT l.l_suppkey, l.l_partkey,
+           CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS total_qty,
+           CAST(sum(CASE WHEN l.l_shipdate >= TIMESTAMP '1997-01-01'
+                          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+                    THEN CAST(round(l.l_quantity) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS qty_1997
+    FROM lineitem l GROUP BY 1, 2
+),
+qual_parts AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+qual_supp AS (
+    SELECT DISTINCT sp.l_suppkey
+    FROM sp JOIN qual_parts qp ON qp.p_partkey = sp.l_partkey
+    WHERE sp.total_qty > 2 * sp.qty_1997
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_3'
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM qual_supp)
+""",
+    tags=("semi", "join", "tpch-q20"),
+)
+def excess_stock_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (suppliers with excess stock): the nested
+    semi-join chain — part-name filter -> per-(supplier, part) shipped
+    quantities -> qualifying suppliers -> supplier filtered to one
+    nation. The testdata has no partsupp table, so availability is
+    proxied by all-time shipped quantity and the Q20 predicate
+    availqty > 0.5 * year_qty becomes total_qty > 2 * qty_1997 (most of
+    the part's movement lies OUTSIDE the focal year). Scale: one
+    lineitem shuffle for the (suppkey, partkey) aggregate with the
+    year split computed as a conditional sum in the SAME pass (no
+    second scan); the 8-row part-name filter broadcasts into the
+    aggregate output; the distinct supplier set is tiny and
+    broadcast-SEMI-joins supplier; nation (25 rows) broadcasts. No
+    step materializes more than |supplier| rows past the first agg."""
+    l = table(spark, sf_dir, "lineitem")
+    in_1997 = (F.col("l_shipdate") >= "1997-01-01") & (
+        F.col("l_shipdate") < "1998-01-01"
+    )
+    qty_i = F.round("l_quantity").cast("bigint")
+    sp = l.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(qty_i).alias("total_qty"),
+        F.sum(F.when(in_1997, qty_i).otherwise(F.lit(0))).alias("qty_1997"),
+    )
+    qual_parts = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    qual_supp = (
+        sp.join(F.broadcast(qual_parts), sp.l_partkey == F.col("p_partkey"))
+        .filter(F.col("total_qty") > 2 * F.col("qty_1997"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = (
+        table(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_3")
+        .select("n_nationkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey"))
+        .join(
+            F.broadcast(qual_supp),
+            s.s_suppkey == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+    )
