@@ -2709,3 +2709,88 @@ def source_overlap_minhash(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming store maintenance (r9 verdict #2)
+# ---------------------------------------------------------------------------
+
+@register(
+    "streaming_dedup_index",
+    oracle=SHINGLES_SQL
+    + f""",
+dfq AS MATERIALIZED (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+SELECT CAST((SELECT count(*) FROM corpus) AS BIGINT)            AS n_docs,
+       CAST((SELECT count(*) FROM sh) AS BIGINT)                AS n_shingle_rows,
+       CAST((SELECT count(*) FROM dfq) AS BIGINT)               AS n_distinct_shingles,
+       CAST((SELECT count(*) FROM dfq WHERE df > {STOP_SHINGLE_DF}) AS BIGINT)
+           AS n_stop_shingles,
+       CAST((SELECT count(DISTINCT s2.doc_id) FROM sh s2
+             JOIN dfq USING (shingle) WHERE dfq.df <= {STOP_SHINGLE_DF}) AS BIGINT)
+           AS n_kept_docs,
+       CAST(4 * (SELECT count(DISTINCT doc_id) FROM sh) AS BIGINT) AS n_band_rows
+""",
+    tags=("dedup", "streaming", "build", "incremental"),
+)
+def streaming_dedup_index(spark, sf_dir):
+    """Streaming maintenance of the shingle/LSH store, priced end to
+    end (the bench row r9 verdict #2 asks for): the corpus is landed as
+    parquet files, an availableNow file stream drains it ONE FILE PER
+    MICRO-BATCH, and each batch folds into the persisted store via
+    ``append_to_shingle_artifact`` inside ``foreachBatch``
+    (streaming/dedup_index.py) — per-doc tables append, ``df``
+    sum-merges, ``kept`` takes a merge-on-read override generation. The
+    returned audit row is computed FROM THE FINAL STORE (meta counts
+    advanced incrementally across batches + stop/kept/bands table
+    counts), so the oracle — which recomputes the same numbers from the
+    raw corpus in one shot — verifies that batch-by-batch maintenance
+    converges to the batch build. Table-level equality (every store
+    table bit-equal to ``build_shingle_artifact``'s) is pinned by
+    tests/test_streaming_dedup_index.py.
+
+    Scale posture: this is the production shape of read-time dedup
+    (reference streamlit_app.py:147) — the index advances with the
+    crawl; per-batch cost is delta tokenize/signature CPU + an
+    O(distinct shingles) df merge + an O(delta reach) kept override,
+    never a corpus rebuild; maxFilesPerTrigger is the knob bounding
+    batch size."""
+    import os
+    import shutil
+
+    from ..streaming.dedup_index import (
+        current_store_path,
+        start_dedup_index_stream,
+    )
+
+    root = _artifact_path(sf_dir) + "_stream"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    inp = os.path.join(root, "input")
+    docs = _corpus(spark, sf_dir).select(
+        "doc_id", F.concat_ws(" ", "toks").alias("text")
+    )
+    docs.repartition(2).write.parquet(inp)
+    q = start_dedup_index_stream(
+        spark,
+        inp,
+        os.path.join(root, "store"),
+        os.path.join(root, "ckpt"),
+        available_now=True,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    cur = current_store_path(os.path.join(root, "store"))
+    meta = spark.read.parquet(os.path.join(cur, "meta")).head()
+    n_stop = spark.read.parquet(os.path.join(cur, "stop")).count()
+    n_kept = resolve_kept(spark, cur).count()
+    n_bands = spark.read.parquet(os.path.join(cur, "bands")).count()
+    return spark.range(1).select(
+        F.lit(meta["n_docs"]).cast("bigint").alias("n_docs"),
+        F.lit(meta["n_shingle_rows"]).cast("bigint").alias("n_shingle_rows"),
+        F.lit(meta["n_distinct_shingles"])
+        .cast("bigint")
+        .alias("n_distinct_shingles"),
+        F.lit(n_stop).cast("bigint").alias("n_stop_shingles"),
+        F.lit(n_kept).cast("bigint").alias("n_kept_docs"),
+        F.lit(n_bands).cast("bigint").alias("n_band_rows"),
+    )

@@ -1,3 +1,9 @@
+from .dedup_index import (
+    current_store_path,
+    dedup_index_fanout,
+    init_empty_shingle_store,
+    start_dedup_index_stream,
+)
 from .pipeline import (
     batch_fanout,
     dedup_within_watermark,
@@ -9,9 +15,13 @@ from .pipeline import (
 
 __all__ = [
     "batch_fanout",
+    "current_store_path",
+    "dedup_index_fanout",
     "dedup_within_watermark",
+    "init_empty_shingle_store",
     "scored_stream",
     "session_counts",
+    "start_dedup_index_stream",
     "start_pipeline",
     "windowed_counts",
 ]
