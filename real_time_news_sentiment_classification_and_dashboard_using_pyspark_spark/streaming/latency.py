@@ -1,0 +1,209 @@
+"""Per-micro-batch latency instrumentation (r9 verdict #5).
+
+Throughput (articles/s, bench.py) says nothing about how long one
+article WAITS: end-to-end latency = file landed -> sink committed,
+which includes trigger queueing — the number a freshness SLA is
+written against. This module instruments it two ways:
+
+- ``LatencyListener``: a ``StreamingQueryListener`` capturing every
+  micro-batch's engine-side numbers (batchId, input rows,
+  ``durationMs`` phases — addBatch, triggerExecution, latestOffset…)
+  straight from the progress events, no sink cooperation needed.
+- ``measure_e2e_latency``: a closed-loop harness that lands one file
+  at a time (recording the land wall-clock), maps each file to the
+  micro-batch that consumed it via cumulative input rows, and takes
+  commit time = progress.timestamp (trigger start, UTC) +
+  triggerExecution — so e2e = commit - land includes the trigger wait
+  a real deployment pays. p50/p99 summarized per trigger setting.
+
+The listener is pure observation (addListener/removeListener around
+the run); the pipeline under test is the production
+``start_pipeline`` fan-out, unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from datetime import datetime, timezone
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+class LatencyListener(StreamingQueryListener):
+    """Collects one dict per micro-batch progress event."""
+
+    def __init__(self) -> None:
+        self.progress: list[dict] = []
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802 (listener API)
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        # go through the JSON form: stable across pyspark versions and
+        # keeps this listener free of JVM-object attribute drift
+        p = json.loads(event.progress.json)
+        self.progress.append(
+            {
+                "batchId": p.get("batchId"),
+                "timestamp": p.get("timestamp"),
+                "numInputRows": p.get("numInputRows", 0),
+                "durationMs": p.get("durationMs", {}),
+            }
+        )
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+
+def _parse_ts(ts: str) -> float:
+    """Progress timestamps are UTC ISO-8601 (e.g.
+    2026-08-15T12:00:00.123Z) -> epoch seconds."""
+    return (
+        datetime.fromisoformat(ts.replace("Z", "+00:00"))
+        .astimezone(timezone.utc)
+        .timestamp()
+    )
+
+
+def _pctl(vals: list[float], q: float) -> float:
+    """Nearest-rank percentile (deterministic, no interpolation)."""
+    if not vals:
+        return float("nan")
+    s = sorted(vals)
+    idx = min(len(s) - 1, max(0, int(round(q * (len(s) - 1)))))
+    return s[idx]
+
+
+def summarize_batches(progress: list[dict]) -> dict:
+    """p50/p99 of the engine-side phases over non-empty batches."""
+    rows = [p for p in progress if p.get("numInputRows", 0) > 0]
+    out: dict[str, float] = {"n_batches": len(rows)}
+    for phase in ("addBatch", "triggerExecution"):
+        vals = [
+            float(p["durationMs"].get(phase, 0)) / 1000.0
+            for p in rows
+            if phase in p.get("durationMs", {})
+        ]
+        out[f"{phase}_p50_s"] = round(_pctl(vals, 0.50), 3)
+        out[f"{phase}_p99_s"] = round(_pctl(vals, 0.99), 3)
+    return out
+
+
+def measure_e2e_latency(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    *,
+    n_files: int = 12,
+    rows_per_file: int = 200,
+    trigger_seconds: int = 1,
+    land_gap_seconds: float = 0.0,
+    timeout_seconds: float = 300.0,
+    warmup_files: int = 1,
+) -> dict:
+    """Land ``n_files`` article files one at a time into a LIVE
+    processingTime-triggered ``start_pipeline`` query and measure each
+    file's end-to-end latency (land wall-clock -> that batch's commit).
+    ``warmup_files`` are landed and fully committed FIRST and excluded
+    from the percentiles — the first trigger pays one-time stream
+    initialization (source listing setup, restart seed, plan compile)
+    that would otherwise contaminate every steady-state sample.
+    Returns {"e2e_p50_s", "e2e_p99_s", "e2e_latencies_s", engine-side
+    summary, "trigger_seconds"}."""
+    import os
+
+    from .pipeline import start_pipeline
+
+    os.makedirs(input_dir, exist_ok=True)
+    listener = LatencyListener()
+    spark.streams.addListener(listener)
+    q = start_pipeline(
+        spark,
+        input_dir,
+        output_dir,
+        checkpoint_dir,
+        trigger_seconds=trigger_seconds,
+    )
+    lands: list[tuple[int, float]] = []  # (cumulative_rows, land_time)
+    lat: list[float] = []
+
+    def _land(i: int) -> None:
+        tmp = os.path.join(input_dir, f".file_{i}.json.tmp")
+        with open(tmp, "w") as fh:
+            for j in range(rows_per_file):
+                fh.write(
+                    json.dumps(
+                        {
+                            "id": f"f{i}_{j}",
+                            "title": f"t {i} {j}",
+                            "description": f"good news {i} {j}"
+                            if j % 2
+                            else f"bad news {i} {j}",
+                            "url": f"http://x/{i}/{j}",
+                            "publishedAt": "2025-11-21T20:06:38Z",
+                            "lang": "en",
+                            "fetched_at": "2025-11-22T13:52:00.000000",
+                        }
+                    )
+                    + "\n"
+                )
+        # atomic visibility: the file source must never list a
+        # half-written file
+        os.rename(tmp, os.path.join(input_dir, f"file_{i}.json"))
+
+    def _wait_committed(rows: int, deadline: float) -> None:
+        while time.time() < deadline:
+            if sum(p["numInputRows"] for p in listener.progress) >= rows:
+                return
+            time.sleep(0.05)
+        raise TimeoutError("stream did not drain within timeout")
+
+    try:
+        cum = 0
+        for i in range(warmup_files):
+            _land(i)
+            cum += rows_per_file
+        _wait_committed(cum, time.time() + timeout_seconds)
+        for i in range(warmup_files, warmup_files + n_files):
+            _land(i)
+            cum += rows_per_file
+            lands.append((cum, time.time()))
+            if land_gap_seconds:
+                time.sleep(land_gap_seconds)
+        # wait until every landed row is committed
+        _wait_committed(cum, time.time() + timeout_seconds)
+    finally:
+        q.stop()
+        spark.streams.removeListener(listener)
+    # map each file to the first batch whose cumulative committed rows
+    # reach the file's cumulative landed rows
+    prog = sorted(listener.progress, key=lambda p: p["batchId"])
+    running = 0
+    commits: list[tuple[int, float]] = []  # (cum_rows_through_batch, commit_time)
+    for p in prog:
+        running += p["numInputRows"]
+        commit = _parse_ts(p["timestamp"]) + (
+            float(p["durationMs"].get("triggerExecution", 0)) / 1000.0
+        )
+        commits.append((running, commit))
+    for cum_rows, land_t in lands:
+        for crows, ctime in commits:
+            if crows >= cum_rows:
+                lat.append(max(0.0, ctime - land_t))
+                break
+    out = {
+        "trigger_seconds": trigger_seconds,
+        "n_files": n_files,
+        "rows_per_file": rows_per_file,
+        "e2e_p50_s": round(_pctl(lat, 0.50), 3),
+        "e2e_p99_s": round(_pctl(lat, 0.99), 3),
+        "e2e_latencies_s": [round(v, 3) for v in lat],
+    }
+    out.update(summarize_batches(listener.progress))
+    return out

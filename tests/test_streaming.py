@@ -671,3 +671,30 @@ def test_restart_seed_bounded_by_metrics_summary(spark, tmp_path, monkeypatch):
     # and the fan-out advanced the sidecar monotonically past our seed
     with open(os.path.join(out, "metrics", "_LATEST")) as fh:
         assert int(fh.read()) == n_batches
+
+
+def test_latency_listener_wiring(spark, tmp_path):
+    """r9 verdict #5 regression guard: the StreamingQueryListener
+    harness captures per-micro-batch progress (batchId, rows,
+    durationMs phases) and the e2e measurement maps every landed file
+    to a commit with a positive latency."""
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.streaming.latency import (
+        measure_e2e_latency,
+    )
+
+    r = measure_e2e_latency(
+        spark,
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        n_files=3,
+        rows_per_file=50,
+        trigger_seconds=1,
+        land_gap_seconds=0.2,
+    )
+    assert r["n_batches"] >= 1
+    assert len(r["e2e_latencies_s"]) == 3  # every file mapped to a commit
+    assert all(v > 0 for v in r["e2e_latencies_s"])
+    assert r["e2e_p50_s"] > 0 and r["e2e_p99_s"] >= r["e2e_p50_s"]
+    # engine-side phases came through the listener, not the sink
+    assert r["addBatch_p50_s"] > 0 and r["triggerExecution_p50_s"] > 0
