@@ -23,6 +23,7 @@ from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark i
     get_spark,
 )
 from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.charts import (  # noqa: E402
+    bar_svg,
     histogram_svg,
     pie_svg,
 )
@@ -87,7 +88,9 @@ def main() -> None:  # pragma: no cover - interactive
     left, right = st.columns(2)
     left.markdown(pie_svg(m["class_counts"]), unsafe_allow_html=True)
     right.markdown(histogram_svg(m["histogram"]), unsafe_allow_html=True)
-    st.bar_chart(m["class_counts"])
+    # count-ordered bar (streamlit_app.py:260-284 parity) — engine SVG,
+    # not st.bar_chart, so order/labels/colors match the reference
+    st.markdown(bar_svg(m["class_counts"]), unsafe_allow_html=True)
     st.subheader("Recent headlines")
     st.table(m["top_headlines"])
 

@@ -65,19 +65,83 @@ def pie_svg(class_counts: dict[str, int], size: int = 240) -> str:
     return "".join(parts)
 
 
-def histogram_svg(bins: list[int], width: int = 360, height: int = 120) -> str:
-    """Fixed-bin polarity histogram as SVG bars (G6 render)."""
+def bar_svg(
+    class_counts: dict[str, int], width: int = 360, height: int = 160
+) -> str:
+    """Count-ordered sentiment bar chart (the reference's second chart,
+    streamlit_app.py:260-284: ``counts_df.sort_values("Count",
+    ascending=False)`` with the count printed outside each bar). Bars
+    are ordered by count DESC, ties broken by the fixed class order;
+    bar heights are proportional to count; each bar carries its class
+    color and a text count label."""
+    order = [
+        c
+        for c in sorted(
+            ("Positive", "Neutral", "Negative"),
+            key=lambda c: (
+                -class_counts.get(c, 0),
+                ("Positive", "Neutral", "Negative").index(c),
+            ),
+        )
+    ]
+    peak = max([class_counts.get(c, 0) for c in order] + [1])
+    bw = width / len(order)
+    label_h = 16.0  # headroom for the outside count label
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" height="{height}" '
+        f'viewBox="0 0 {width} {height}">'
+    ]
+    for i, c in enumerate(order):
+        cnt = class_counts.get(c, 0)
+        h = (height - label_h) * cnt / peak
+        x = i * bw
+        parts.append(
+            f'<rect x="{x + bw * 0.1:.2f}" y="{height - h:.2f}" '
+            f'width="{bw * 0.8:.2f}" height="{h:.2f}" fill="{CLASS_COLORS[c]}">'
+            f"<title>{c}: {cnt}</title></rect>"
+            f'<text x="{x + bw / 2:.2f}" y="{height - h - 4:.2f}" '
+            f'text-anchor="middle" font-size="11">{cnt}</text>'
+        )
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+def histogram_svg(
+    bins: list[int],
+    width: int = 360,
+    height: int = 120,
+    lo: float = -1.0,
+    hi: float = 1.0,
+) -> str:
+    """Fixed-bin polarity histogram as SVG bars (G6 render; the
+    reference's 30-bin polarity histogram, streamlit_app.py:287-309).
+    ``lo``/``hi`` are the domain the serving layer binned over
+    ([-1, 1] for polarity); each bar's title carries its BIN EDGES
+    [lo + i*w, lo + (i+1)*w) so the render is auditable against the
+    binning rule, and the x position where 0 falls gets the
+    reference's dashed 'Neutral' marker line."""
     peak = max(bins) if bins and max(bins) > 0 else 1
-    bw = width / max(len(bins), 1)
+    n = max(len(bins), 1)
+    bw = width / n
+    binw = (hi - lo) / n
     parts = [
         f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" height="{height}" '
         f'viewBox="0 0 {width} {height}">'
     ]
     for i, cnt in enumerate(bins):
         h = height * cnt / peak
+        e0, e1 = lo + i * binw, lo + (i + 1) * binw
         parts.append(
             f'<rect x="{i * bw:.2f}" y="{height - h:.2f}" width="{bw * 0.9:.2f}" '
-            f'height="{h:.2f}" fill="#455a64"><title>bin {i}: {cnt}</title></rect>'
+            f'height="{h:.2f}" fill="#455a64">'
+            f"<title>bin {i} [{e0:.4f}, {e1:.4f}): {cnt}</title></rect>"
+        )
+    if lo <= 0.0 <= hi and hi > lo:
+        zx = width * (0.0 - lo) / (hi - lo)
+        parts.append(
+            f'<line x1="{zx:.2f}" y1="0" x2="{zx:.2f}" y2="{height}" '
+            f'stroke="#c62828" stroke-dasharray="4 3">'
+            f"<title>Neutral</title></line>"
         )
     parts.append("</svg>")
     return "".join(parts)
