@@ -2352,11 +2352,15 @@ def near_dup_clusters(spark, sf_dir):
     return _cluster_sizes(pairs)
 
 
-@register(
-    "near_dup_clusters_exact",
-    oracle=f"""
+def _near_dup_clusters_exact_oracle(sf_dir: str) -> str | None:
+    from .similarity_queries import _e_cte_capped
+
+    ecte = _e_cte_capped(sf_dir)
+    if ecte is None:  # unreadable corpus -> rows-only fallback
+        return None
+    return f"""
 WITH
-e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+{ecte},
 en AS MATERIALIZED (
     SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e
 ),
@@ -2375,7 +2379,12 @@ SELECT cluster_id, CAST(count(*) AS BIGINT) AS size
 FROM comp GROUP BY cluster_id
 UNION ALL
 SELECT CAST(-1 AS BIGINT), n FROM cc_unconverged WHERE n > 0
-""",
+"""
+
+
+@register(
+    "near_dup_clusters_exact",
+    oracle=_near_dup_clusters_exact_oracle,
     tags=("dedup", "clusters", "iterative", "exact"),
 )
 def near_dup_clusters_exact(spark, sf_dir):
@@ -2386,11 +2395,16 @@ def near_dup_clusters_exact(spark, sf_dir):
     never the 100 TB path). 0.4 (tighter than the pair query's 0.3)
     yields ~42 multi-node clusters at the driver's corpus instead of
     one giant component — the structure the operator exists to
-    surface."""
+    surface. Above the pairwise corpus cap (similarity_queries
+    ``_PAIRWISE_CAP``) both engines restrict to the deterministic
+    vec_id % M sample — the definition of 'sample scale' made
+    explicit (r9 verdict #7)."""
     from .similarity_queries import _block_grid_pairs
 
     pairs = _block_grid_pairs(spark, sf_dir, threshold=0.4).select("vec_a", "vec_b")
     return _cluster_sizes(pairs)
+
+
 
 
 def _lang_vocab_sql() -> str:

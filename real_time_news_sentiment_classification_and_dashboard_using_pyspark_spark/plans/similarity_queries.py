@@ -238,17 +238,24 @@ def embedding_norms_by_label(spark, sf_dir):
     )
 
 
-@register(
-    "embedding_near_dup_pairs",
-    oracle=f"""
-WITH {_E_CTE},
+def _embedding_near_dup_pairs_oracle(sf_dir: str) -> str | None:
+    ecte = _e_cte_capped(sf_dir)
+    if ecte is None:
+        return None
+    return f"""
+WITH {ecte},
 pairs AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            {_cos_sql('a.emb', 'b.emb')} AS cos_sim
     FROM e a JOIN e b ON a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.3
-""",
+"""
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=_embedding_near_dup_pairs_oracle,
     tags=("similarity", "dedup"),
 )
 def embedding_near_dup_pairs(spark, sf_dir):
@@ -276,10 +283,12 @@ def embedding_near_dup_pairs(spark, sf_dir):
     return _block_grid_pairs(spark, sf_dir, threshold=0.3)
 
 
-@register(
-    "embedding_near_dup_topk",
-    oracle=f"""
-WITH {_E_CTE},
+def _embedding_near_dup_topk_oracle(sf_dir: str) -> str | None:
+    ecte = _e_cte_capped(sf_dir)
+    if ecte is None:
+        return None
+    return f"""
+WITH {ecte},
 pairs AS (
     SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
            {_cos_sql('a.emb', 'b.emb')} AS cos_sim
@@ -293,7 +302,12 @@ ranked AS (
 )
 SELECT vec_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= 3
-""",
+"""
+
+
+@register(
+    "embedding_near_dup_topk",
+    oracle=_embedding_near_dup_topk_oracle,
     tags=("similarity", "dedup", "topk"),
 )
 def embedding_near_dup_topk(spark, sf_dir):
@@ -331,6 +345,41 @@ def embedding_near_dup_topk(spark, sf_dir):
 
 _BASE_PAIR_THRESHOLD = 0.3
 
+# Corpus cap for the intrinsically O(n^2) EXACT-pairwise family (r9
+# verdict #7): above _PAIRWISE_CAP vectors, both engines restrict the
+# pairwise corpus to the SAME deterministic subset (vec_id % M == 0,
+# M = ceil(n / cap)) so the hash-verification contract survives scale
+# instead of degrading to rows-only when the DuckDB oracle times out —
+# and so the sf10 bench prices the operator at its evaluation size
+# rather than stalling on a 100x matmul. INACTIVE at every committed
+# fixture (sf0.001 .. sf1 <= 20,480 vectors -> M = 1, plans and hashes
+# unchanged); at sf10 (200k) M = 10 keeps the exact arm at sf1 scale.
+# This is the honest contract for an exact-quadratic EVALUATION
+# operator: its production replacement is the LSH/IVF family, and its
+# job at any scale is measuring them on a deterministic sample.
+_PAIRWISE_CAP = 20480
+
+
+def _pair_cap_mod(n_vectors: int) -> int:
+    import math
+
+    return max(1, math.ceil(n_vectors / _PAIRWISE_CAP))
+
+
+def _e_cte_capped(sf_dir: str) -> str | None:
+    """Oracle twin of the pairwise corpus cap: the ``e`` CTE with the
+    same vec_id % M predicate the Spark block grid applies. None when
+    the corpus is unreadable (rows-only fallback)."""
+    n = _embeddings_total_count(sf_dir)
+    if n is None:
+        return None
+    m = _pair_cap_mod(n)
+    pred = f" WHERE vec_id % {m} = 0" if m > 1 else ""
+    return (
+        "e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb "
+        f"FROM embeddings{pred})"
+    )
+
 
 def _block_grid_pairs(spark, sf_dir, threshold: float) -> DataFrame:
     """Exact all-pairs cosine >= threshold via the distributed block
@@ -349,12 +398,18 @@ def _block_grid_pairs(spark, sf_dir, threshold: float) -> DataFrame:
         raise ValueError(f"threshold {threshold} below base {_BASE_PAIR_THRESHOLD}")
 
     n_blocks = 8
+    cap_mod = _pair_cap_mod(
+        table(spark, sf_dir, "embeddings").count()
+    )  # % M corpus cap above _PAIRWISE_CAP vectors; M=1 at all fixtures
 
     # Each cogroup side gets its OWN scan + grid (fresh lineage) —
     # sharing one DataFrame across both sides of the cogroup trips
     # Spark's ambiguous-self-join detection.
     def _side(role: str) -> DataFrame:
-        e = table(spark, sf_dir, "embeddings").select(
+        e = table(spark, sf_dir, "embeddings")
+        if cap_mod > 1:
+            e = e.filter(F.col("vec_id") % cap_mod == 0)
+        e = e.select(
             "vec_id", "embedding", (F.col("vec_id") % n_blocks).cast("int").alias("blk")
         )
         grid = (
@@ -825,10 +880,19 @@ def filtered_vector_search(spark, sf_dir):
     )
 
 
-@register(
-    "lsh_recall_eval",
-    oracle=f"""
-WITH {_LSH_BUCKETS_CTE},
+def _lsh_recall_oracle(sf_dir: str) -> str | None:
+    n = _embeddings_total_count(sf_dir)
+    if n is None:  # unreadable corpus -> rows-only fallback
+        return None
+    m = _pair_cap_mod(n)
+    pred = f" WHERE vec_id % {m} = 0" if m > 1 else ""
+    # the pairwise corpus cap applies to BOTH arms (bucket values are
+    # per-vector and corpus-independent, so capping is join-consistent)
+    buckets_cte = _lsh_buckets_cte(8).replace(
+        "FROM embeddings)", f"FROM embeddings{pred})"
+    )
+    return f"""
+WITH {buckets_cte},
 en AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
 exact AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -854,7 +918,12 @@ SELECT sim_band,
        CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh,
        round(sum(CASE WHEN hit THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS recall
 FROM j GROUP BY sim_band
-""",
+"""
+
+
+@register(
+    "lsh_recall_eval",
+    oracle=_lsh_recall_oracle,
     tags=("similarity", "ann", "lsh", "evaluation"),
 )
 def lsh_recall_eval(spark, sf_dir):
@@ -870,11 +939,18 @@ def lsh_recall_eval(spark, sf_dir):
     trade ``minhash_lsh_pairs`` makes with 4x4). Plan: the exact side
     is the distributed block-grid kernel, the LSH side the bucket-keyed
     candidate join; the comparison joins two pair sets on their
-    composite key — every stage keyed, nothing driver-side."""
+    composite key — every stage keyed, nothing driver-side. Above
+    ``_PAIRWISE_CAP`` vectors both arms (and the oracle) restrict to
+    the deterministic vec_id % M sample — the exact arm is the
+    intrinsically quadratic part, and an eval's job at scale is a
+    sample-based measurement (r9 verdict #7)."""
+    cap_mod = _pair_cap_mod(_emb(spark, sf_dir).count())
     exact = _block_grid_pairs(spark, sf_dir, threshold=0.3).select(
         "vec_a", "vec_b", "cos_sim"
     )
     b = _lsh_buckets(spark, sf_dir)
+    if cap_mod > 1:
+        b = b.filter(F.col("vec_id") % cap_mod == 0)
     left = b.select(F.col("vec_id").alias("vec_a"), "bucket")
     right = b.select(F.col("vec_id").alias("vec_b"), "bucket")
     lsh = (
@@ -893,7 +969,8 @@ def lsh_recall_eval(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_exact"),
         F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("bigint").alias("n_lsh"),
         F.round(
-            F.sum(F.when(F.col("hit"), 1).otherwise(0)) / F.count(F.lit(1)).cast("double"),
+            F.sum(F.when(F.col("hit"), 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
             4,
         ).alias("recall"),
     )

@@ -77,6 +77,13 @@ def main() -> None:
     )
     ap.add_argument("--family", default=None)
     ap.add_argument(
+        "--skip-base",
+        action="store_true",
+        help="sweep ONLY the extra_sf_dirs (skip the sf0.01/sf0.1 legs) "
+        "— used for the extra-scale (sf10) artifact where the base legs "
+        "are already covered by the end-of-round 3-scale sweep",
+    )
+    ap.add_argument(
         "--oracle-budget",
         type=float,
         default=300.0,
@@ -86,8 +93,13 @@ def main() -> None:
     args = ap.parse_args()
     out_path = args.out_path
     global SF_DIRS
+    base_legs = tuple(SF_DIRS)
     if args.extra_sf_dirs:
         SF_DIRS = SF_DIRS + args.extra_sf_dirs
+    if args.skip_base:
+        if not args.extra_sf_dirs:
+            raise SystemExit("--skip-base requires at least one extra sf_dir")
+        SF_DIRS = list(args.extra_sf_dirs)
     names = select_queries(args.family)
     spark = get_spark("full-correctness")
     spark.sparkContext.setLogLevel("ERROR")
@@ -122,7 +134,7 @@ def main() -> None:
             # candidate fan-out — the Spark side finishes in seconds)
             # degrades to a recorded rows-only check; its hash gate
             # remains the standard sf0.01/sf0.1 legs above.
-            timeout = args.oracle_budget if sf_dir not in SF_DIRS[:2] else None
+            timeout = args.oracle_budget if sf_dir not in base_legs else None
             try:
                 problem, n_rows = compare_one(
                     spark, con, name, sf_dir, oracle_timeout_s=timeout
