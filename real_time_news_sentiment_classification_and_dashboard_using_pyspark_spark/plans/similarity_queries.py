@@ -2657,6 +2657,14 @@ def _residual_subs(spark, sf_dir, nprobe: int):
     cell's centroid, queries relative to EACH routed cell's centroid
     (nprobe residuals per query; the ADC table is per (query, cell))."""
     cells, routes = _coarse_cells_and_routes(spark, sf_dir, nprobe)
+    # localCheckpoint (same caveat as operators/skew.py: non-reliable
+    # blocks, single-node harness): cells/routes carry the corpus-wide
+    # routing window and csub feeds EVERY Lloyd iteration plus the
+    # final encode — without truncation the residual family recomputes
+    # that lineage 2*iters+2 times (measured 6x slower than the
+    # raw-vector composition at sf1 before this pin).
+    cells = cells.localCheckpoint(eager=True)
+    routes = routes.localCheckpoint(eager=True)
     cent = _coarse_cent(spark, sf_dir).select("cl", "cemb")
     e = _emb(spark, sf_dir)
     csub = (
@@ -2664,6 +2672,13 @@ def _residual_subs(spark, sf_dir, nprobe: int):
         .join(F.broadcast(cent), F.col("cell") == F.col("cl"))
         .select("vec_id", F.explode(F.expr(_RES_SUB_EXPR)).alias("t"))
         .select("vec_id", "t.s", "t.subv")
+        # AQE coalesces this small post-join shuffle to ONE partition,
+        # but every downstream Lloyd round expands each row k-fold for
+        # the argmin — re-spread BEFORE the checkpoint pins the layout
+        # or the whole training loop runs on a single core (measured
+        # 34 s vs 14 s for the same-shape raw-vector loop at sf1).
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .localCheckpoint(eager=True)
     )
     qsub = (
         e.join(F.broadcast(routes), e.vec_id == routes.query_id)
