@@ -41,6 +41,24 @@ from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark i
 SF_DIRS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
 
+def _flush_partial(out_path: str, artifact: dict, sf_dir: str, queries: dict) -> None:
+    """Write the artifact after EVERY query with the in-flight leg
+    included and a partial marker — a long extra-scale sweep that gets
+    cut off by the round boundary still leaves a usable artifact
+    instead of nothing. The final write at the end of main() replaces
+    this with the complete, marker-free artifact."""
+    snap = dict(artifact)
+    snap["sweeps"] = dict(artifact["sweeps"])
+    snap["sweeps"][sf_dir] = {"partial": True, "queries": queries}
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(snap, fh, indent=1)
+        fh.write("\n")
+    import os
+
+    os.replace(tmp, out_path)
+
+
 def select_queries(family: str | None) -> list[str]:
     """Registry names, optionally filtered to a family: substring match
     on the defining plans module, the query name, or any tag."""
@@ -159,6 +177,7 @@ def main() -> None:
                     f"(oracle timeout -> rows-only)",
                     flush=True,
                 )
+                _flush_partial(out_path, artifact, sf_dir, queries)
                 continue
             status = (
                 "FAIL"
@@ -178,6 +197,7 @@ def main() -> None:
                 **({"problem": problem} if problem else {}),
             }
             print(f"{status:5s} {name} [{sf_dir}] rows={n_rows} {secs}s", flush=True)
+            _flush_partial(out_path, artifact, sf_dir, queries)
         artifact["sweeps"][sf_dir] = {
             "n_pass": n_pass,
             "n_rows_only": n_rows_only,
