@@ -224,6 +224,15 @@ def main() -> None:
         runs = sorted(run_once(q) for _ in range(runs_per_query))
         timings[name] = round(runs[len(runs) // 2], 3)
         timings_min[name] = round(runs[0], 3)
+        # stderr progress (stdout stays the one-JSON-line contract):
+        # long extra-scale runs are otherwise a black box, and a crash
+        # (e.g. the sf10 heap OOM this line was added for) must be
+        # attributable to a query.
+        print(
+            f"bench {name}: median={timings[name]}s min={timings_min[name]}s",
+            file=sys.stderr,
+            flush=True,
+        )
         # Isolate queries from each other's leftovers: dropping the
         # dead py4j DataFrame refs promptly lets ContextCleaner release
         # localCheckpoint blocks / broadcasts / shuffle files between
