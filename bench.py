@@ -206,7 +206,11 @@ def main() -> None:
     # #1): the old >1.5s-only rerun policy left sub-second entries
     # carrying raw single-run noise — nation_supplier_roster printed
     # 1.40s on the busy closing host vs the judge's 0.42s median.
-    runs_per_query = 3
+    # SPARK_GRAFT_BENCH_RUNS overrides for the extra-scale (sf10)
+    # sweeps, where 3x the full registry would blow the wall-clock
+    # budget; the artifact records the value so a 1-run measurement is
+    # never mistaken for a median.
+    runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     # SPARK_GRAFT_BENCH_ONLY=q1,q2,... restricts the run to a curated
     # subset — used for the extra-scale (sf10) measurements where a
     # handful of eval harnesses (exact-ground-truth recall arms,
@@ -245,7 +249,9 @@ def main() -> None:
     cal_runs = sorted(calibration_probe() for _ in range(runs_per_query))
 
     if only is None or "streaming_pipeline" in only:
-        stream_sec, n_articles, stream_runs = bench_streaming(spark, sf_dir)
+        stream_sec, n_articles, stream_runs = bench_streaming(
+            spark, sf_dir, runs=runs_per_query
+        )
         timings["streaming_pipeline"] = round(stream_sec, 3)
         timings_min["streaming_pipeline"] = round(min(stream_runs), 3)
     else:
