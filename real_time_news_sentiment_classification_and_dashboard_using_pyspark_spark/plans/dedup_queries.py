@@ -2280,16 +2280,23 @@ def _min_label_cc_ctes(rounds: int = 16) -> str:
     return ",\n".join(parts)
 
 
-def _near_dup_clusters_oracle() -> str:
-    from .similarity_queries import _BANDED_BUCKETS_CTE
+def _near_dup_clusters_oracle(sf_dir: str) -> str | None:
+    from .similarity_queries import _banded_buckets_cte, _banded_e_pred
 
+    # Callable oracle: resolves the banded family's corpus-cap ``e``
+    # predicate for THIS corpus (empty at every committed fixture; the
+    # deterministic vec_id % M sample above _PAIRWISE_CAP vectors —
+    # see similarity_queries._banded_e_pred for the sf10 rationale).
+    pred = _banded_e_pred(sf_dir)
+    if pred is None:  # unreadable corpus -> rows-only fallback
+        return None
     # MATERIALIZED on en/cand/pairs is load-bearing for the sweep
     # budget (r7 verdict #2): non-materialized CTEs are inlined PER
     # REFERENCE, so `edges`' two branches re-verified all ~46M sf1
     # candidates twice and `en`'s norms were recomputed per pair —
     # 10+ min where one evaluation is ~45 s.
     return f"""
-WITH {_BANDED_BUCKETS_CTE},
+WITH {_banded_buckets_cte(pred)},
 en AS MATERIALIZED (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
 cand AS MATERIALIZED (
     SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -2317,7 +2324,7 @@ SELECT CAST(-1 AS BIGINT), n FROM cc_unconverged WHERE n > 0
 
 @register(
     "near_dup_clusters",
-    oracle=_near_dup_clusters_oracle(),
+    oracle=_near_dup_clusters_oracle,
     tags=("dedup", "clusters", "iterative", "lsh"),
 )
 def near_dup_clusters(spark, sf_dir):
@@ -2524,11 +2531,18 @@ def lang_vocab_minhash_sim(spark, sf_dir):
     )
 
 
-def _keep_representatives_oracle() -> str:
-    from .similarity_queries import _BANDED_BUCKETS_CTE
+def _keep_representatives_oracle(sf_dir: str) -> str | None:
+    from .similarity_queries import _banded_buckets_cte, _banded_e_pred
 
+    # Callable oracle, same corpus-cap resolution as
+    # _near_dup_clusters_oracle. Note ``lab`` stays UNCAPPED on both
+    # engines: the cap bounds the pair graph, while the keep/remove
+    # audit is over the full corpus (unsampled vectors are kept).
+    pred = _banded_e_pred(sf_dir)
+    if pred is None:
+        return None
     return f"""
-WITH RECURSIVE {_BANDED_BUCKETS_CTE},
+WITH RECURSIVE {_banded_buckets_cte(pred)},
 en AS MATERIALIZED (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
 lab AS (SELECT vec_id, label FROM embeddings),
 cand AS MATERIALIZED (
@@ -2566,7 +2580,7 @@ FROM cc_unconverged WHERE n > 0
 
 @register(
     "near_dup_keep_representatives",
-    oracle=_keep_representatives_oracle(),
+    oracle=_keep_representatives_oracle,
     tags=("dedup", "clusters", "iterative", "lsh", "materialization"),
 )
 def near_dup_keep_representatives(spark, sf_dir):

@@ -982,8 +982,31 @@ def lsh_recall_eval(spark, sf_dir):
 # engines, no RNG.
 _N_TABLES, _N_BITS = 4, 4
 
-_BANDED_BUCKETS_CTE = f"""
-e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+def _banded_e_pred(sf_dir: str) -> str | None:
+    """Corpus-cap predicate for the BANDED LSH family, the same
+    deterministic ``vec_id % M`` sample the exact-pairwise family uses
+    (r9 verdict #7). The banded pair set is collision-bounded in WORK,
+    but its OUTPUT at a fixed threshold grows ~quadratically on the
+    replicated fixtures (cross-replica pairs at cos >= 0.3 — the
+    measured r7 output-geometry finding), so at sf10 the verified pair
+    list alone is ~66M rows: the DuckDB oracle can't hash it inside any
+    budget and the compare harness can't collect it. Above
+    ``_PAIRWISE_CAP`` vectors both engines restrict to the same sample;
+    INACTIVE at every committed fixture (sf0.001..sf1 <= 20,480
+    vectors -> empty predicate, plans and hashes unchanged). None =
+    unreadable corpus (rows-only fallback)."""
+    n = _embeddings_total_count(sf_dir)
+    if n is None:
+        return None
+    m = _pair_cap_mod(n)
+    return f" WHERE vec_id % {m} = 0" if m > 1 else ""
+
+
+def _banded_buckets_cte(e_pred: str = "") -> str:
+    """The banded-bucket oracle CTE with the corpus-cap predicate slot
+    (empty at all committed fixtures; ``vec_id % M`` above the cap)."""
+    return f"""
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings{e_pred}),
 -- sign VECTORS per (table, bit), not exploded sign scalars: the old
 -- pos x bsigns join+group built vectors x tables x bits x 64 rows
 -- (51M at sf1, the whole oracle's budget); one native
@@ -1008,10 +1031,18 @@ bbuckets AS (
 )"""
 
 
-@register(
-    "lsh_banded_pairs",
-    oracle=f"""
-WITH {_BANDED_BUCKETS_CTE},
+_BANDED_BUCKETS_CTE = _banded_buckets_cte()
+
+
+def _lsh_banded_pairs_oracle(sf_dir: str) -> str | None:
+    """Callable oracle: the banded pair SQL with the corpus-cap ``e``
+    predicate resolved for THIS corpus (identical to the static text at
+    every committed fixture)."""
+    pred = _banded_e_pred(sf_dir)
+    if pred is None:
+        return None
+    return f"""
+WITH {_banded_buckets_cte(pred)},
 -- bb/en MATERIALIZED: bbuckets is referenced twice (both candidate
 -- sides) and plain CTEs re-inline PER REFERENCE — without this the
 -- whole bdots pipeline runs twice and the sf1 leg blows the sweep's
@@ -1040,7 +1071,12 @@ v AS (
     FROM cand c JOIN en x ON c.vec_a = x.vec_id JOIN en y ON c.vec_b = y.vec_id
 )
 SELECT vec_a, vec_b, cos_sim FROM v WHERE cos_sim >= 0.3
-""",
+"""
+
+
+@register(
+    "lsh_banded_pairs",
+    oracle=_lsh_banded_pairs_oracle,
     tags=("similarity", "dedup", "ann", "lsh", "banded"),
 )
 def lsh_banded_pairs(spark, sf_dir):
@@ -1055,7 +1091,11 @@ def lsh_banded_pairs(spark, sf_dir):
     here fused into one per-bucket Arrow kernel; work is proportional
     to bucket occupancy summed over tables, never corpus^2. The dedup
     suite's recall/cost dial: tables x bits tunes it; both engines
-    build the identical md5-seeded family."""
+    build the identical md5-seeded family. Above ``_PAIRWISE_CAP``
+    vectors both engines restrict to the deterministic vec_id % M
+    sample (``_banded_e_pred``): the pair OUTPUT at a fixed threshold
+    grows ~quadratically on the replicated fixtures, and a pair list
+    nobody can hash-verify is not a contract."""
     return _banded_pairs_base(spark, sf_dir)
 
 
@@ -1071,6 +1111,9 @@ def _banded_buckets_np(spark, sf_dir) -> DataFrame:
     registry's engine-parity convention prescribes."""
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cap_mod = _pair_cap_mod(e.count())  # banded-family corpus cap;
+    if cap_mod > 1:  # M = 1 (no-op) at every committed fixture
+        e = e.filter(F.col("vec_id") % cap_mod == 0)
 
     def _bucket_kernel(batches):
         import hashlib
@@ -1120,6 +1163,9 @@ def _banded_pairs_base(spark, sf_dir) -> DataFrame:
     a hot bucket; B bits is the dial (more bits -> smaller buckets)."""
     bk = _banded_buckets_np(spark, sf_dir)
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cap_mod = _pair_cap_mod(e.count())
+    if cap_mod > 1:  # mirror the bucket kernel's corpus cap (no-op at
+        e = e.filter(F.col("vec_id") % cap_mod == 0)  # committed fixtures)
     side = bk.join(e, "vec_id")
 
     def _pair_kernel(key, pdf):

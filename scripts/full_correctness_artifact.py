@@ -102,6 +102,14 @@ def main() -> None:
         "are already covered by the end-of-round 3-scale sweep",
     )
     ap.add_argument(
+        "--resume-from",
+        default=None,
+        help="path to a partial artifact from a cut-off or killed run: "
+        "queries already recorded for a sweep dir are carried over "
+        "verbatim and skipped, so only the missing tail re-runs "
+        "(pairs with the per-query partial flush)",
+    )
+    ap.add_argument(
         "--oracle-budget",
         type=float,
         default=300.0,
@@ -130,14 +138,24 @@ def main() -> None:
         "sweeps": {},
     }
     exit_code = 0
+    resume: dict = {}
+    if args.resume_from:
+        with open(args.resume_from) as fh:
+            resume = json.load(fh).get("sweeps", {})
     for sf_dir in SF_DIRS:
         con = duck_con(sf_dir)
         # per-corpus: callable oracles (MLlib literal-VALUES pin) resolve
         # against this sf_dir's committed artifacts
         oracles = entry_mod.oracle_sql(sf_dir)
-        queries: dict = {}
-        n_pass = n_fail = n_rows_only = 0
+        # carry over already-recorded rows from the resumed partial; the
+        # tally below recounts them so the summary stays consistent
+        queries: dict = dict(resume.get(sf_dir, {}).get("queries", {}))
+        n_pass = sum(1 for q in queries.values() if q["status"] == "pass")
+        n_fail = sum(1 for q in queries.values() if q["status"] == "FAIL")
+        n_rows_only = sum(1 for q in queries.values() if q["status"] == "pass*")
         for name in names:
+            if name in queries:  # resumed from a prior partial run
+                continue
             # cold per query, like bench.py's run_once: without this,
             # 266 runs in one session accumulate kernel caches
             # (kd/sig/store) and sibling-query cache hits distort the
