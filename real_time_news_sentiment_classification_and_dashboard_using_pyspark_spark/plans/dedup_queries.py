@@ -2150,30 +2150,62 @@ def incremental_dedup(spark, sf_dir):
     )
 
 
-@register(
-    "fuzzy_name_match",
-    oracle="""
+def _fuzzy_block_len(n_customers: int) -> int:
+    """Blocking-suffix length for fuzzy name matching, scaled with the
+    corpus: name suffixes are digits, so a k-char block key yields
+    ~10^k blocks and per-block candidate volume ~ n_s * n_c / 10^k.
+    With k FIXED, per-block work grows quadratically as both sides
+    grow — the sf10 bench priced that at 37x the sf1 time. One more
+    suffix character per 10x customers keeps per-block volume flat
+    (the same dial as the LSH family's `_lsh_bits`): 3 at every
+    committed fixture (<= 200k customers, plans/hashes unchanged),
+    4 at sf10 (1.5M). Blocking on a longer shared suffix is the
+    standard recall/cost trade of entity resolution at scale."""
+    import math
+
+    if n_customers <= 200_000:
+        return 3
+    return 3 + math.ceil(math.log10(n_customers / 200_000))
+
+
+def _fuzzy_name_match_oracle(sf_dir: str) -> str | None:
+    from .similarity_queries import _parquet_total_count
+
+    n = _parquet_total_count(sf_dir, "customer")
+    if n is None:  # unreadable corpus -> rows-only fallback
+        return None
+    k = _fuzzy_block_len(n)
+    return f"""
 SELECT s.s_name, c.c_name,
        levenshtein(s.s_name, c.c_name) AS edit_distance
-FROM supplier s JOIN customer c ON right(s.s_name, 3) = right(c.c_name, 3)
+FROM supplier s JOIN customer c ON right(s.s_name, {k}) = right(c.c_name, {k})
 WHERE levenshtein(s.s_name, c.c_name) <= 6
-""",
+"""
+
+
+@register(
+    "fuzzy_name_match",
+    oracle=_fuzzy_name_match_oracle,
     tags=("dedup", "fuzzy", "entity-resolution"),
 )
 def fuzzy_name_match(spark, sf_dir):
     """Blocked fuzzy entity matching: supplier x customer name pairs
     within Levenshtein distance 6, candidate pairs generated by a
-    blocking equi-join (shared 3-char suffix) — the standard
+    blocking equi-join (shared digit suffix) — the standard
     entity-resolution architecture: block, then verify with the
     expensive distance. Unblocked brute force is O(n*m) distance
     evaluations (measured 35s at sf0.1 vs <1s blocked); like the LSH
     queries, blocking trades a little recall for key-joinable scale.
-    Verification uses the thresholded levenshtein (early-exit DP,
-    returns -1 past the bound)."""
-    s = table(spark, sf_dir, "supplier").select("s_name")
+    The block length scales with the corpus (``_fuzzy_block_len``:
+    one extra suffix char per 10x customers) so per-block volume stays
+    flat instead of growing quadratically. Verification uses the
+    thresholded levenshtein (early-exit DP, returns -1 past the
+    bound)."""
     c = table(spark, sf_dir, "customer").select("c_name")
+    k = _fuzzy_block_len(c.count())
+    s = table(spark, sf_dir, "supplier").select("s_name")
     blocked = c.join(
-        F.broadcast(s), F.expr("right(s_name, 3)") == F.expr("right(c_name, 3)")
+        F.broadcast(s), F.expr(f"right(s_name, {k})") == F.expr(f"right(c_name, {k})")
     )
     return (
         blocked.withColumn(

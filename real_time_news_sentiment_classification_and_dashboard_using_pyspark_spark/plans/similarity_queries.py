@@ -577,10 +577,10 @@ def _lsh_bits(n_vectors: int) -> int:
     return max(8, math.ceil(math.log2(max(n_vectors, 1) / 80.0)))
 
 
-def _embeddings_total_count(sf_dir: str) -> int | None:
-    """Total embeddings row count from the parquet footer — used by
-    CALLABLE oracles to derive the same adaptive parameters the Spark
-    plan computes from its own count().
+def _parquet_total_count(sf_dir: str, table_name: str) -> int | None:
+    """Total row count of one fixture table from the parquet footer —
+    used by CALLABLE oracles to derive the same adaptive parameters the
+    Spark plan computes from its own count().
 
     Returns None when the parquet is missing/unreadable so a callable
     oracle can degrade that ONE query to the rows-only contract instead
@@ -590,7 +590,7 @@ def _embeddings_total_count(sf_dir: str) -> int | None:
 
     import duckdb
 
-    path = f"{sf_dir}/embeddings.parquet"
+    path = f"{sf_dir}/{table_name}.parquet"
     try:
         if os.path.isdir(path):
             path = f"{path}/*.parquet"
@@ -599,6 +599,10 @@ def _embeddings_total_count(sf_dir: str) -> int | None:
         ).fetchone()[0]
     except (OSError, duckdb.Error):
         return None
+
+
+def _embeddings_total_count(sf_dir: str) -> int | None:
+    return _parquet_total_count(sf_dir, "embeddings")
 
 
 def _lsh_buckets_cte(bits: int = 8) -> str:
@@ -1661,12 +1665,29 @@ _SEMDEDUP_TAU = 0.35
 _SEMDEDUP_K = 16
 
 
-@register(
-    "semantic_dedup",
-    oracle=f"""
+def _semdedup_k(n_vectors: int) -> int:
+    """SemDeDup cell count, scaled so per-cell all-pairs work stays
+    bounded: K grows with the corpus (K = 16 per _PAIRWISE_CAP-sized
+    slab, i.e. target cell occupancy ~1.3k vectors), exactly the
+    "K ~ n / target_cell_rows" posture the query docstring names.
+    16 (unchanged plans/hashes) at every committed fixture; 160 at
+    sf10 — without this, 200k vectors in 16 cells meant 12.5k^2 sims
+    per cell and the sf10 bench priced the query 33x its sf1 time."""
+    return _SEMDEDUP_K * _pair_cap_mod(n_vectors)
+
+
+def _semantic_dedup_oracle(sf_dir: str) -> str | None:
+    """Callable oracle: resolves the corpus-adaptive cell count K for
+    THIS corpus (identical to the former static SQL at every committed
+    fixture). None = unreadable corpus (rows-only fallback)."""
+    n = _embeddings_total_count(sf_dir)
+    if n is None:
+        return None
+    k = _semdedup_k(n)
+    return f"""
 WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 cent AS MATERIALIZED (
-    SELECT vec_id AS centroid_id, emb AS cemb FROM e WHERE vec_id < {_SEMDEDUP_K}
+    SELECT vec_id AS centroid_id, emb AS cemb FROM e WHERE vec_id < {k}
 ),
 assign AS MATERIALIZED (
     SELECT v.vec_id, v.emb, c.centroid_id,
@@ -1691,7 +1712,12 @@ SELECT c.cell AS centroid_id,
        CAST(sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM cells c LEFT JOIN drops d USING (vec_id)
 GROUP BY c.cell
-""",
+"""
+
+
+@register(
+    "semantic_dedup",
+    oracle=_semantic_dedup_oracle,
     tags=("similarity", "dedup", "semdedup"),
 )
 def semantic_dedup(spark, sf_dir):
@@ -1703,8 +1729,9 @@ def semantic_dedup(spark, sf_dir):
     O(sum cell_i^2), and each cell is an independent task.
 
     Plan shape: assignment is one broadcast-centroid pass + per-vector
-    argmax (the ivf_cell_assignment kernel, 16 fixed centroids so the
-    oracle can replay it); the within-cell dedup runs as ONE Arrow
+    argmax (the ivf_cell_assignment kernel; deterministic first-K
+    centroids so the callable oracle can replay it at the same
+    corpus-adaptive K — ``_semdedup_k``); the within-cell dedup runs as ONE Arrow
     applyInPandas kernel per cell — a numpy matmul over the cell's
     matrix, emitting only the 4-column per-cell summary, so nothing
     pair-shaped ever shuffles. Scale posture: K scales with corpus size
@@ -1716,7 +1743,8 @@ def semantic_dedup(spark, sf_dir):
     import pandas as pd
 
     e = _emb_n(spark, sf_dir)
-    cent = e.filter(F.col("vec_id") < _SEMDEDUP_K).select(
+    k = _semdedup_k(e.count())  # corpus-adaptive cell count (16 at
+    cent = e.filter(F.col("vec_id") < k).select(  # committed fixtures)
         F.col("vec_id").alias("centroid_id"),
         F.col("emb").alias("cemb"),
         F.col("norm").alias("cnorm"),
