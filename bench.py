@@ -118,6 +118,14 @@ def main() -> None:
     # "sf0.1" but also "testdata_sf1" (locally generated scale-ups)
     m = re.search(r"sf([0-9.]+)$", os.path.basename(sf_dir.rstrip("/")))
     sf = float(m.group(1)) if m else 0.1
+    # Fail fast on garbage BEFORE paying Spark startup, clamp to >= 1
+    # (ADVICE r10): '0'/negative used to produce an empty runs list and
+    # crash at runs[0] only after the full session came up.
+    _runs_raw = os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")
+    try:
+        runs_per_query = max(1, int(_runs_raw))
+    except ValueError:
+        sys.exit(f"SPARK_GRAFT_BENCH_RUNS={_runs_raw!r} is not an integer")
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -210,7 +218,8 @@ def main() -> None:
     # sweeps, where 3x the full registry would blow the wall-clock
     # budget; the artifact records the value so a 1-run measurement is
     # never mistaken for a median.
-    runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # runs_per_query parsed/clamped at the top of main(), before Spark
+    # startup (ADVICE r10).
     # SPARK_GRAFT_BENCH_ONLY=q1,q2,... restricts the run to a curated
     # subset — used for the extra-scale (sf10) measurements where a
     # handful of eval harnesses (exact-ground-truth recall arms,

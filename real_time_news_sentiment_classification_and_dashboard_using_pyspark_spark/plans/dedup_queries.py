@@ -2150,22 +2150,10 @@ def incremental_dedup(spark, sf_dir):
     )
 
 
-def _fuzzy_block_len(n_customers: int) -> int:
-    """Blocking-suffix length for fuzzy name matching, scaled with the
-    corpus: name suffixes are digits, so a k-char block key yields
-    ~10^k blocks and per-block candidate volume ~ n_s * n_c / 10^k.
-    With k FIXED, per-block work grows quadratically as both sides
-    grow — the sf10 bench priced that at 37x the sf1 time. One more
-    suffix character per 10x customers keeps per-block volume flat
-    (the same dial as the LSH family's `_lsh_bits`): 3 at every
-    committed fixture (<= 200k customers, plans/hashes unchanged),
-    4 at sf10 (1.5M). Blocking on a longer shared suffix is the
-    standard recall/cost trade of entity resolution at scale."""
-    import math
-
-    if n_customers <= 200_000:
-        return 3
-    return 3 + math.ceil(math.log10(n_customers / 200_000))
+# Blocking-suffix length for fuzzy name matching, scaled with the
+# corpus — see plans/dials.py (_fuzzy_block_len) for the formula and
+# the measured sf10 rationale (37x -> 2.4x, r10).
+from .dials import _fuzzy_block_len  # noqa: E402 - colocated with use
 
 
 def _fuzzy_name_match_oracle(sf_dir: str) -> str | None:
@@ -2201,8 +2189,16 @@ def fuzzy_name_match(spark, sf_dir):
     flat instead of growing quadratically. Verification uses the
     thresholded levenshtein (early-exit DP, returns -1 past the
     bound)."""
+    from .similarity_queries import _parquet_total_count
+
     c = table(spark, sf_dir, "customer").select("c_name")
-    k = _fuzzy_block_len(c.count())
+    # Derive k from the SAME count source the oracle uses (the parquet
+    # footer), falling back to a Spark count only when the footer is
+    # unreadable — so both engines provably block on the same key
+    # length instead of diverging into a confusing hash mismatch when
+    # the counts disagree (ADVICE r10).
+    n = _parquet_total_count(sf_dir, "customer")
+    k = _fuzzy_block_len(c.count() if n is None else n)
     s = table(spark, sf_dir, "supplier").select("s_name")
     blocked = c.join(
         F.broadcast(s), F.expr(f"right(s_name, {k})") == F.expr(f"right(c_name, {k})")

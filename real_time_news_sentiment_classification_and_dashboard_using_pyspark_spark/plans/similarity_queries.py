@@ -351,19 +351,17 @@ _BASE_PAIR_THRESHOLD = 0.3
 # M = ceil(n / cap)) so the hash-verification contract survives scale
 # instead of degrading to rows-only when the DuckDB oracle times out —
 # and so the sf10 bench prices the operator at its evaluation size
-# rather than stalling on a 100x matmul. INACTIVE at every committed
-# fixture (sf0.001 .. sf1 <= 20,480 vectors -> M = 1, plans and hashes
-# unchanged); at sf10 (200k) M = 10 keeps the exact arm at sf1 scale.
-# This is the honest contract for an exact-quadratic EVALUATION
-# operator: its production replacement is the LSH/IVF family, and its
-# job at any scale is measuring them on a deterministic sample.
-_PAIRWISE_CAP = 20480
-
-
-def _pair_cap_mod(n_vectors: int) -> int:
-    import math
-
-    return max(1, math.ceil(n_vectors / _PAIRWISE_CAP))
+# rather than stalling on a 100x matmul. This is the honest contract
+# for an exact-quadratic EVALUATION operator: its production
+# replacement is the LSH/IVF family, and its job at any scale is
+# measuring them on a deterministic sample. Dial values and the no-op
+# fixture guarantee live in plans/dials.py (r10 verdict #4).
+from .dials import (  # noqa: E402 - after module constants by design
+    _PAIRWISE_CAP,
+    _lsh_bits,
+    _pair_cap_mod,
+    _semdedup_k,
+)
 
 
 def _e_cte_capped(sf_dir: str) -> str | None:
@@ -564,17 +562,8 @@ def ivf_topk_probe(spark, sf_dir):
 # engines with no RNG. The dot is rounded before the sign test
 # (registry convention) — an unrounded 64-term float sum near zero can
 # land on opposite signs between Spark's and DuckDB's addition orders.
-def _lsh_bits(n_vectors: int) -> int:
-    """Bucket width for the single-table hyperplane family: target ~80
-    rows per bucket, floor 8 bits — bits = max(8, ceil(log2(n/80))).
-    Inactive at every committed fixture (n <= 20480 -> 8 bits, so
-    results and the recall datasheet are unchanged there); at 100 TB it
-    is the dial that keeps per-bucket verify work (occupancy^2 inside
-    one Arrow task) bounded as the corpus grows — candidates scale
-    ~n * occupancy instead of n^2/2^8."""
-    import math
-
-    return max(8, math.ceil(math.log2(max(n_vectors, 1) / 80.0)))
+# Bucket width scales with the corpus via dials._lsh_bits (imported
+# above): target ~80 rows per bucket, floor 8 bits.
 
 
 def _parquet_total_count(sf_dir: str, table_name: str) -> int | None:
@@ -1103,7 +1092,7 @@ def lsh_banded_pairs(spark, sf_dir):
     return _banded_pairs_base(spark, sf_dir)
 
 
-def _banded_buckets_np(spark, sf_dir) -> DataFrame:
+def _banded_buckets_np(spark, sf_dir, cap_mod: int | None = None) -> DataFrame:
     """(vec_id, t, bucket) for every embedding under the banded
     md5-seeded hyperplane family — numerically the same construction as
     ``_BANDED_BUCKETS_CTE`` (sign = md5 parity, bit = round(dot, 6) > 0)
@@ -1115,8 +1104,9 @@ def _banded_buckets_np(spark, sf_dir) -> DataFrame:
     registry's engine-parity convention prescribes."""
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cap_mod = _pair_cap_mod(e.count())  # banded-family corpus cap;
-    if cap_mod > 1:  # M = 1 (no-op) at every committed fixture
+    if cap_mod is None:  # standalone call; _banded_pairs_base passes
+        cap_mod = _pair_cap_mod(e.count())  # its own (ADVICE r10: one
+    if cap_mod > 1:  # count action per invocation, not two)
         e = e.filter(F.col("vec_id") % cap_mod == 0)
 
     def _bucket_kernel(batches):
@@ -1165,9 +1155,9 @@ def _banded_pairs_base(spark, sf_dir) -> DataFrame:
     several tables yields bit-identical (vec_a, vec_b, cos_sim) rows
     (same vectors, same float ops), so DISTINCT collapses them. Skew =
     a hot bucket; B bits is the dial (more bits -> smaller buckets)."""
-    bk = _banded_buckets_np(spark, sf_dir)
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cap_mod = _pair_cap_mod(e.count())
+    cap_mod = _pair_cap_mod(e.count())  # computed ONCE here and passed
+    bk = _banded_buckets_np(spark, sf_dir, cap_mod)  # down (ADVICE r10)
     if cap_mod > 1:  # mirror the bucket kernel's corpus cap (no-op at
         e = e.filter(F.col("vec_id") % cap_mod == 0)  # committed fixtures)
     side = bk.join(e, "vec_id")
@@ -1662,18 +1652,9 @@ def ivf_build_probe(spark, sf_dir):
 
 
 _SEMDEDUP_TAU = 0.35
-_SEMDEDUP_K = 16
-
-
-def _semdedup_k(n_vectors: int) -> int:
-    """SemDeDup cell count, scaled so per-cell all-pairs work stays
-    bounded: K grows with the corpus (K = 16 per _PAIRWISE_CAP-sized
-    slab, i.e. target cell occupancy ~1.3k vectors), exactly the
-    "K ~ n / target_cell_rows" posture the query docstring names.
-    16 (unchanged plans/hashes) at every committed fixture; 160 at
-    sf10 — without this, 200k vectors in 16 cells meant 12.5k^2 sims
-    per cell and the sf10 bench priced the query 33x its sf1 time."""
-    return _SEMDEDUP_K * _pair_cap_mod(n_vectors)
+# cell count scales with the corpus via dials._semdedup_k (imported
+# above): K = 16 per _PAIRWISE_CAP-sized slab, target cell occupancy
+# ~1.3k vectors.
 
 
 def _semantic_dedup_oracle(sf_dir: str) -> str | None:

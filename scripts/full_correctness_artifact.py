@@ -37,6 +37,9 @@ from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark i
     clear_caches,
     get_spark,
 )
+from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans import (  # noqa: E402
+    REGISTRY,
+)
 
 SF_DIRS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
@@ -57,6 +60,33 @@ def _flush_partial(out_path: str, artifact: dict, sf_dir: str, queries: dict) ->
     import os
 
     os.replace(tmp, out_path)
+
+
+def _run_fingerprint(names: list[str], family: str | None) -> str:
+    """Registry/code fingerprint stamped into every artifact (ADVICE
+    r10, medium): git HEAD (the code that produced the results) + an
+    md5 of the selected query-name list (the registry/--family shape).
+    ``--resume-from`` refuses a partial artifact whose fingerprint
+    differs — a partial written before a code/oracle change, or under a
+    different family filter, must not be folded verbatim into a final
+    marker-free artifact."""
+    import hashlib
+    import os
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            capture_output=True,
+            text=True,
+            cwd=repo,
+            timeout=10,
+        ).stdout.strip() or "nogit"
+    except (OSError, subprocess.SubprocessError):
+        head = "nogit"
+    qh = hashlib.md5("\n".join(sorted(names)).encode()).hexdigest()[:10]
+    return f"{head[:12]}.{qh}.{family or 'all'}"
 
 
 def select_queries(family: str | None) -> list[str]:
@@ -110,6 +140,14 @@ def main() -> None:
         "(pairs with the per-query partial flush)",
     )
     ap.add_argument(
+        "--resume-stale-ok",
+        action="store_true",
+        help="override the resume fingerprint guard: fold a partial "
+        "artifact written by DIFFERENT code/registry into this run "
+        "anyway (the mismatch and the carried-over names are recorded "
+        "in the final artifact)",
+    )
+    ap.add_argument(
         "--oracle-budget",
         type=float,
         default=300.0,
@@ -127,6 +165,7 @@ def main() -> None:
             raise SystemExit("--skip-base requires at least one extra sf_dir")
         SF_DIRS = list(args.extra_sf_dirs)
     names = select_queries(args.family)
+    fingerprint = _run_fingerprint(names, args.family)
     spark = get_spark("full-correctness")
     spark.sparkContext.setLogLevel("ERROR")
     artifact: dict = {
@@ -134,6 +173,7 @@ def main() -> None:
         "compare": "rowcount + column names + order-insensitive values "
         "(floats 1e-6), identical to scripts/check_oracle.py / "
         "tests/test_oracle_full.py",
+        "fingerprint": fingerprint,
         **({"family_filter": args.family} if args.family else {}),
         "sweeps": {},
     }
@@ -141,7 +181,27 @@ def main() -> None:
     resume: dict = {}
     if args.resume_from:
         with open(args.resume_from) as fh:
-            resume = json.load(fh).get("sweeps", {})
+            prior = json.load(fh)
+        prior_fp = prior.get("fingerprint")
+        if prior_fp != fingerprint:
+            msg = (
+                f"--resume-from fingerprint mismatch: partial artifact "
+                f"was written by {prior_fp or '<unstamped (pre-r11)>'}, "
+                f"this run is {fingerprint} — the code, registry, or "
+                f"--family changed since the partial was written"
+            )
+            if not args.resume_stale_ok:
+                raise SystemExit(
+                    msg + "; re-run without --resume-from, or pass "
+                    "--resume-stale-ok to fold it in anyway (recorded)"
+                )
+            print(f"WARNING: {msg}; carrying over anyway "
+                  "(--resume-stale-ok)", flush=True)
+            artifact["resume_fingerprint_mismatch"] = {
+                "partial": prior_fp,
+                "this_run": fingerprint,
+            }
+        resume = prior.get("sweeps", {})
     for sf_dir in SF_DIRS:
         con = duck_con(sf_dir)
         # per-corpus: callable oracles (MLlib literal-VALUES pin) resolve
@@ -150,6 +210,7 @@ def main() -> None:
         # carry over already-recorded rows from the resumed partial; the
         # tally below recounts them so the summary stays consistent
         queries: dict = dict(resume.get(sf_dir, {}).get("queries", {}))
+        carried_over = sorted(queries)  # noted in the leg summary
         n_pass = sum(1 for q in queries.values() if q["status"] == "pass")
         n_fail = sum(1 for q in queries.values() if q["status"] == "FAIL")
         n_rows_only = sum(1 for q in queries.values() if q["status"] == "pass*")
@@ -197,14 +258,25 @@ def main() -> None:
                 )
                 _flush_partial(out_path, artifact, sf_dir, queries)
                 continue
+            # Re-resolve THIS query's callable oracle after its Spark
+            # run (r10 verdict #2): a per-corpus pin (MLlib prediction
+            # vector, Lloyd codebook) is written by the query's own
+            # first run, and compare_one already resolves oracles
+            # after the Spark side — so when the pin now exists, the
+            # compare WAS the full hash check and the status must say
+            # "pass", not the stale leg-start "pass*". A cold sweep on
+            # a fresh corpus is hash-green on pass one, no re-check.
+            has_oracle = name in oracles
+            if not has_oracle and not problem:
+                q_reg = REGISTRY.get(name)
+                if q_reg is not None and callable(q_reg.oracle):
+                    has_oracle = q_reg.oracle(sf_dir) is not None
             status = (
-                "FAIL"
-                if problem
-                else ("pass*" if name not in oracles else "pass")
+                "FAIL" if problem else ("pass" if has_oracle else "pass*")
             )
             n_fail += 1 if problem else 0
             if not problem:
-                if name in oracles:
+                if has_oracle:
                     n_pass += 1
                 else:  # contractual rows-only (oracle=None)
                     n_rows_only += 1
@@ -221,6 +293,11 @@ def main() -> None:
             "n_rows_only": n_rows_only,
             "n_fail": n_fail,
             "n_queries": len(queries),
+            **(
+                {"carried_over_from_resume": carried_over}
+                if carried_over
+                else {}
+            ),
             "note": "n_pass = hash-verified only; n_rows_only = "
             "contractual (oracle=None) + oracle-timeout degradations",
             "queries": queries,

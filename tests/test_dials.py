@@ -1,0 +1,111 @@
+"""Property tests for the consolidated scale dials (r10 verdict #4).
+
+Three invariants per dial, plus exact committed-fixture pins:
+
+- **monotone**: more data never loosens a dial;
+- **fixture no-op**: every committed fixture size resolves to the
+  historical constant, so sf0.001..sf1 plans and hashes are frozen;
+- **slab-edge continuity**: crossing a boundary moves the dial by the
+  smallest step the formula allows (no cliffs).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans.dials import (
+    _DOC_PAIR_CAP,
+    _PAIRWISE_CAP,
+    _doc_cap_mod,
+    _fuzzy_block_len,
+    _lsh_bits,
+    _pair_cap_mod,
+    _semdedup_k,
+)
+
+# committed fixture sizes: (embeddings rows, documents rows, customer
+# rows) per corpus — sf0.001/sf0.01 share 500/500; sf0.1 = 2k/5k;
+# testdata_sf1 = 20k/50k; customer counts grow to 150k at sf1.
+FIXTURE_EMB = [500, 500, 2_000, 20_480]
+FIXTURE_DOCS = [500, 500, 5_000, 50_000]
+FIXTURE_CUST = [150, 1_500, 15_000, 150_000]
+
+N = st.integers(min_value=1, max_value=10**12)
+
+
+# ---- fixture no-op pins (hash stability: these exact values froze the
+# ---- committed sf0.001..sf1 result hashes) --------------------------------
+
+
+def test_fixture_pins():
+    assert all(_pair_cap_mod(n) == 1 for n in FIXTURE_EMB)
+    assert all(_doc_cap_mod(n) == 1 for n in FIXTURE_DOCS)
+    assert all(_lsh_bits(n) == 8 for n in FIXTURE_EMB)
+    assert all(_semdedup_k(n) == 16 for n in FIXTURE_EMB)
+    assert all(_fuzzy_block_len(n) == 3 for n in FIXTURE_CUST)
+
+
+def test_scale_points():
+    """The measured non-fixture points the r10 datasheet recorded."""
+    assert _pair_cap_mod(200_000) == 10  # sf10 embeddings
+    assert _doc_cap_mod(500_000) == 10  # sf10 documents
+    assert _semdedup_k(200_000) == 160
+    assert _fuzzy_block_len(1_500_000) == 4
+    assert _lsh_bits(200_000) == 12 and _lsh_bits(2_000_000) == 15
+
+
+# ---- monotone in n --------------------------------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(a=N, b=N)
+def test_monotone(a, b):
+    lo, hi = sorted((a, b))
+    assert _pair_cap_mod(lo) <= _pair_cap_mod(hi)
+    assert _doc_cap_mod(lo) <= _doc_cap_mod(hi)
+    assert _lsh_bits(lo) <= _lsh_bits(hi)
+    assert _semdedup_k(lo) <= _semdedup_k(hi)
+    assert _fuzzy_block_len(lo) <= _fuzzy_block_len(hi)
+
+
+# ---- slab-edge continuity: stepping n by 1 moves each dial by at most
+# ---- its smallest formula step --------------------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(n=st.integers(min_value=1, max_value=10**9))
+def test_slab_edge_continuity(n):
+    assert _pair_cap_mod(n + 1) - _pair_cap_mod(n) in (0, 1)
+    assert _doc_cap_mod(n + 1) - _doc_cap_mod(n) in (0, 1)
+    assert _lsh_bits(n + 1) - _lsh_bits(n) in (0, 1)
+    assert _semdedup_k(n + 1) - _semdedup_k(n) in (0, 16)
+    assert _fuzzy_block_len(n + 1) - _fuzzy_block_len(n) in (0, 1)
+
+
+def test_exact_slab_edges():
+    """The boundary rows themselves: last no-op n and first active n."""
+    assert _pair_cap_mod(_PAIRWISE_CAP) == 1
+    assert _pair_cap_mod(_PAIRWISE_CAP + 1) == 2
+    assert _doc_cap_mod(_DOC_PAIR_CAP) == 1
+    assert _doc_cap_mod(_DOC_PAIR_CAP + 1) == 2
+    assert _fuzzy_block_len(200_000) == 3
+    assert _fuzzy_block_len(200_001) == 4
+
+
+# ---- sampled-corpus lower bounds: an active cap never restricts below
+# ---- the cap target (the sample stays at evaluation scale) ----------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(n=st.integers(min_value=1, max_value=10**12))
+def test_cap_keeps_evaluation_scale(n):
+    # ceil semantics: n / M  is within [cap/2, cap] once active
+    m = _pair_cap_mod(n)
+    assert n / m <= _PAIRWISE_CAP
+    if m > 1:
+        assert n / m > _PAIRWISE_CAP / 2
+    md = _doc_cap_mod(n)
+    assert n / md <= _DOC_PAIR_CAP
+    if md > 1:
+        assert n / md > _DOC_PAIR_CAP / 2
