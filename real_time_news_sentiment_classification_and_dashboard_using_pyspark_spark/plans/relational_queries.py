@@ -1439,6 +1439,126 @@ def events_sliding_2h(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Partition-pruning twins (r10 verdict #7): the same time-window
+# queries against the date-partitioned events layout
+# (sources.tables.events_partitioned), sliced to a fixed week so the
+# plan carries PartitionFilters and the scan reads 7 of 30 date
+# directories. Every TESTDATA table is flat parquet, so these twins
+# are the repo's partition-pruning evidence: same results as slicing
+# the flat table (the oracle does exactly that), a fraction of the
+# scan. tests/test_plans.py asserts the pruned plan + equal results;
+# PLANS.md's `pruned` column records it for every query.
+# ---------------------------------------------------------------------------
+
+_PRUNE_LO, _PRUNE_HI = "2024-01-08", "2024-01-14"
+_PRUNE_ORACLE_PRED = (
+    f"ts::DATE BETWEEN DATE '{_PRUNE_LO}' AND DATE '{_PRUNE_HI}'"
+)
+
+
+def _events_pruned_week(spark, sf_dir):
+    from ..sources.tables import events_partitioned
+
+    e = events_partitioned(spark, sf_dir)
+    return e.filter(F.col("event_date").between(_PRUNE_LO, _PRUNE_HI))
+
+
+@register(
+    "events_hourly_pruned",
+    oracle=f"""
+WITH ev AS (SELECT ts::TIMESTAMP AS ts, event_type, "value" FROM events
+            WHERE {_PRUNE_ORACLE_PRED})
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type,
+       count(*) AS cnt,
+       CAST(sum(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+FROM ev
+GROUP BY 1, 2
+""",
+    tags=("agg", "date", "partition-pruning"),
+)
+def events_hourly_pruned(spark, sf_dir):
+    """``events_hourly`` over one week of the DATE-PARTITIONED events
+    twin: the week filter is a PartitionFilter — the scan plans 7 of
+    30 date directories and never opens the rest (the flat-fixture
+    path can only row-filter after reading). At 100 TB this is the
+    difference between a 23%-of-table scan and a full scan; the oracle
+    computes the identical slice from the flat table, so equal hashes
+    prove pruning changed the I/O, not the answer."""
+    e = _events_pruned_week(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (F.sum(_cents("value")) / F.lit(100.0)).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "daily_active_users_pruned",
+    oracle=f"""
+WITH ev AS (SELECT ts::TIMESTAMP AS ts, user_id FROM events
+            WHERE {_PRUNE_ORACLE_PRED})
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(DISTINCT user_id) AS dau,
+       count(*) AS n_events
+FROM ev GROUP BY 1
+""",
+    tags=("agg", "distinct", "date", "partition-pruning"),
+)
+def daily_active_users_pruned(spark, sf_dir):
+    """``daily_active_users`` over the pruned week — the partition
+    column IS the group key, so the scan's directory layout already
+    co-locates each group's rows."""
+    e = _events_pruned_week(spark, sf_dir)
+    return e.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.countDistinct("user_id").alias("dau"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "events_sliding_2h_pruned",
+    oracle=f"""
+WITH ev AS (SELECT ts::TIMESTAMP AS ts, event_type FROM events
+            WHERE {_PRUNE_ORACLE_PRED}),
+w AS (
+    SELECT date_trunc('hour', ts) AS wstart, event_type FROM ev
+    UNION ALL
+    SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS wstart, event_type FROM ev
+)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS cnt
+FROM w GROUP BY 1, 2
+""",
+    tags=("agg", "window", "sliding", "partition-pruning"),
+)
+def events_sliding_2h_pruned(spark, sf_dir):
+    """``events_sliding_2h`` over the pruned week. Note the window
+    boundary semantics are unchanged: events land in their own 2h/1h
+    windows; only the EVENT set is week-sliced (exactly what the
+    oracle slices), so the first/last windows straddling the cut
+    contain the cut's events only — same on both engines."""
+    e = _events_pruned_week(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
 @register(
     "promo_type_share",
     oracle="""

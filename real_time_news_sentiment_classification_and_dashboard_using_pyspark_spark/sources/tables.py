@@ -133,6 +133,70 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
+def events_partitioned_path(sf_dir: str) -> str:
+    """Derived-artifact path of the date-partitioned events twin,
+    keyed like every derived artifact (corpus label + content
+    fingerprint, so a regenerated corpus rebuilds)."""
+    import os
+
+    label = os.path.basename(os.path.abspath(sf_dir).rstrip(os.sep))
+    fp = data_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    base = os.environ.get(
+        "SPARK_GRAFT_DERIVED_DIR",
+        os.path.join(root, "spark-warehouse", "events_by_day"),
+    )
+    return os.path.join(base, f"{label}_{fp}")
+
+
+def events_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table REWRITTEN into a Hive-style date-partitioned
+    layout (``event_date=YYYY-MM-DD/`` directories) — the 100 TB
+    operating shape the flat fixture parquet can't show: a time-sliced
+    query against this layout is planned with PartitionFilters and
+    reads ONLY the matching date directories (partition pruning),
+    instead of scanning the whole table and filtering rows.
+
+    Built once per corpus (fingerprint-keyed, atomic tmp+rename, the
+    derived-artifact discipline of the shingle store); ``ts`` is the
+    normalized micros timestamp of ``events_with_ts``, so downstream
+    date/window arithmetic is bit-identical to the flat path."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    path = events_partitioned_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_DONE")):
+        tmp = f"{path}.tmp{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        e = events_with_ts(spark, sf_dir)
+        try:
+            (
+                e.withColumn("event_date", F.to_date("ts"))
+                # one shuffle keyed on the partition column: each date
+                # directory gets its writers' files, no tiny-file spray
+                .repartition("event_date")
+                .write.mode("overwrite")
+                .partitionBy("event_date")
+                .parquet(tmp)
+            )
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        open(os.path.join(tmp, "_DONE"), "w").close()
+        try:
+            os.rename(tmp, path)
+        except OSError:  # concurrent builder won the rename
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(os.path.join(path, "_DONE")):
+                raise
+    ensure_session_confs(spark)
+    return spark.read.parquet(path)
+
+
 def events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``events`` with ``ts`` as a real TimestampType (microsecond).
 

@@ -1,6 +1,8 @@
 from .dedup_index import (
+    compact_store,
     current_store_path,
     dedup_index_fanout,
+    gc_generations,
     init_empty_shingle_store,
     start_dedup_index_stream,
 )
@@ -15,9 +17,11 @@ from .pipeline import (
 
 __all__ = [
     "batch_fanout",
+    "compact_store",
     "current_store_path",
     "dedup_index_fanout",
     "dedup_within_watermark",
+    "gc_generations",
     "init_empty_shingle_store",
     "scored_stream",
     "session_counts",

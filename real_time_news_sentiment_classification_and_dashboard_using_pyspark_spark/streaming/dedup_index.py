@@ -94,10 +94,120 @@ def current_store_path(store_root: str) -> str:
         return os.path.join(store_root, "gen_init")
 
 
-def dedup_index_fanout(store_root: str):
+def _gen_number(name: str) -> int:
+    return int(name[3:]) if name.startswith("gen") and name[3:].isdigit() else -1
+
+
+def gc_generations(store_root: str, keep_last: int = 2) -> list[str]:
+    """Keep-last-K generation GC (r10 verdict #3): delete ``gen{N}``
+    directories older than the newest ``keep_last`` at-or-below the
+    ``_CURRENT`` pointer. Never touched: ``gen_init`` (the _CURRENT
+    fallback), the current generation itself, and any generation NEWER
+    than current (an append that committed before a crash repointed —
+    its replay must find the completed dir and only repoint).
+
+    Why this cannot break exactly-once replay: Structured Streaming
+    commits a batch's offsets only AFTER foreachBatch returns, so the
+    only replayable batch is the newest one — whose generation is by
+    construction current or newer, both protected. Even if a replayed
+    batch's generation WERE missing, the fold is regenerative, not
+    mutative: it rebuilds the same generation from the current base
+    plus the replayed batch (append never modifies its base), so the
+    worst case is re-paid delta CPU, never a wrong store. Old
+    generations hard-link shared files, so deletion frees only bytes
+    no newer generation references. Returns the deleted names."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    cur_n = _gen_number(os.path.basename(current_store_path(store_root)))
+    gens = sorted(
+        g
+        for g in (
+            _gen_number(e)
+            for e in os.listdir(store_root)
+            if e.startswith("gen") and e[3:].isdigit()
+        )
+        if g >= 0
+    )
+    committed = [g for g in gens if g <= cur_n]
+    keep = set(g for g in gens if g > cur_n) | set(committed[-keep_last:])
+    removed = []
+    for g in gens:
+        if g not in keep:
+            shutil.rmtree(os.path.join(store_root, f"gen{g}"), ignore_errors=True)
+            removed.append(f"gen{g}")
+    return removed
+
+
+_PER_DOC_TABLES = ("arrays", "hashes", "bands", "simsig", "simsig64")
+
+
+def compact_store(spark: SparkSession, src_path: str, dst_path: str) -> str:
+    """Full-rewrite compaction fold (r10 verdict #3): rewrite a store
+    generation's LOGICAL content into fresh flat files — per-doc
+    tables coalesced from their accumulated per-batch appended files
+    into session-width files, ``kept_over`` override generations
+    folded into a flat ``kept`` base. A long crawl's thousands of
+    O(delta) appends otherwise accumulate unbounded FILE COUNT (every
+    fold adds small parquet files per table) even though bytes are
+    hard-link-shared; the periodic compaction resets that, and — since
+    a compacted generation shares no links with its predecessors —
+    lets the keep-last-K GC reclaim the full byte history behind it.
+    Same atomic tmp+rename discipline as the builds; ``src_path`` may
+    equal ``dst_path`` (in-place swap via the tmp dir)."""
+    import shutil
+
+    from ..plans.dedup_queries import resolve_kept
+
+    width = spark.sparkContext.defaultParallelism
+    tmp = f"{dst_path}.compact{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    try:
+        for name in _PER_DOC_TABLES + ("df", "stop"):
+            (
+                spark.read.parquet(os.path.join(src_path, name))
+                .repartition(width)
+                .write.mode("overwrite")
+                .parquet(os.path.join(tmp, name))
+            )
+        (
+            resolve_kept(spark, src_path)
+            .repartition(width)
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "kept"))
+        )
+        (
+            spark.read.parquet(os.path.join(src_path, "meta"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "meta"))
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    open(os.path.join(tmp, "_DONE"), "w").close()
+    shutil.rmtree(dst_path, ignore_errors=True)
+    os.rename(tmp, dst_path)
+    return dst_path
+
+
+def dedup_index_fanout(
+    store_root: str,
+    *,
+    gc_keep_last: int | None = None,
+    compact_every: int | None = None,
+):
     """foreachBatch callable: fold each micro-batch of (doc_id, text)
     documents into the store as one new generation. Module-level so
-    tests can drive the replay/idempotency path with a static batch."""
+    tests can drive the replay/idempotency path with a static batch.
+    ``gc_keep_last`` enables the keep-last-K generation GC after each
+    repoint; ``compact_every`` rewrites every C-th generation flat
+    (see ``compact_store``) before repointing — crash anywhere in the
+    fold/compact/repoint chain replays into the same regenerative
+    path."""
+
     from ..plans.dedup_queries import append_to_shingle_artifact
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -109,12 +219,16 @@ def dedup_index_fanout(store_root: str):
             append_to_shingle_artifact(
                 spark, base, batch_df.select("doc_id", "text"), gen_path
             )
+            if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+                compact_store(spark, gen_path, gen_path)
         # repoint (also the replayed-batch path: the append committed
         # but the sidecar update was lost with the crash)
         cur = os.path.basename(current_store_path(store_root))
-        cur_n = int(cur[3:]) if cur.startswith("gen") and cur[3:].isdigit() else -1
+        cur_n = _gen_number(cur)
         if batch_id > cur_n:
             _write_current(store_root, gen_name)
+        if gc_keep_last:
+            gc_generations(store_root, keep_last=gc_keep_last)
 
     return process_batch
 
@@ -128,13 +242,19 @@ def start_dedup_index_stream(
     available_now: bool = False,
     trigger_seconds: int = 10,
     max_files_per_trigger: int | None = None,
+    gc_keep_last: int | None = None,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """File-source stream of (doc_id, text) parquet -> per-micro-batch
     shingle/LSH store maintenance. ``available_now=True`` drains all
     pending files and stops (the deterministic test/backfill mode);
     ``max_files_per_trigger`` bounds batch size — the knob that keeps
     per-generation append cost (delta tokenize + df merge + kept
-    override) flat as the backlog grows."""
+    override) flat as the backlog grows. ``gc_keep_last`` /
+    ``compact_every`` bound generation-history growth over a long
+    crawl (r10 verdict #3): keep-last-K directory GC after each
+    commit, and a flat full-rewrite of every C-th generation so file
+    count and link-shared byte history stay bounded."""
     os.makedirs(store_root, exist_ok=True)
     init_empty_shingle_store(spark, os.path.join(store_root, "gen_init"))
     reader = spark.readStream.schema(_DOCS_SCHEMA)
@@ -142,7 +262,13 @@ def start_dedup_index_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     docs = reader.parquet(input_dir)
     writer = (
-        docs.writeStream.foreachBatch(dedup_index_fanout(store_root))
+        docs.writeStream.foreachBatch(
+            dedup_index_fanout(
+                store_root,
+                gc_keep_last=gc_keep_last,
+                compact_every=compact_every,
+            )
+        )
         .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
     )

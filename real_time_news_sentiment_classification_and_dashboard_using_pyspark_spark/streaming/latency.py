@@ -46,12 +46,18 @@ class LatencyListener(StreamingQueryListener):
         p = json.loads(event.progress.json)
         self.progress.append(
             {
+                "id": p.get("id"),  # query run id: lets a harness
+                # running SEVERAL streams (r11: pipeline + dedup-index
+                # fold) attribute batches to the right query
                 "batchId": p.get("batchId"),
                 "timestamp": p.get("timestamp"),
                 "numInputRows": p.get("numInputRows", 0),
                 "durationMs": p.get("durationMs", {}),
             }
         )
+
+    def for_query(self, query_id: str) -> list[dict]:
+        return [p for p in self.progress if p.get("id") == query_id]
 
     def onQueryTerminated(self, event) -> None:  # noqa: N802
         pass
@@ -106,6 +112,7 @@ def measure_e2e_latency(
     land_gap_seconds: float = 0.0,
     timeout_seconds: float = 300.0,
     warmup_files: int = 1,
+    extra_land=None,
 ) -> dict:
     """Land ``n_files`` article files one at a time into a LIVE
     processingTime-triggered ``start_pipeline`` query and measure each
@@ -114,8 +121,11 @@ def measure_e2e_latency(
     from the percentiles — the first trigger pays one-time stream
     initialization (source listing setup, restart seed, plan compile)
     that would otherwise contaminate every steady-state sample.
-    Returns {"e2e_p50_s", "e2e_p99_s", "e2e_latencies_s", engine-side
-    summary, "trigger_seconds"}."""
+    ``extra_land(i)``, if given, is called after each file lands — the
+    hook the combined-load harness uses to land the same batch into a
+    CONCURRENT stream's input (the dedup-index fold) at the same
+    cadence. Returns {"e2e_p50_s", "e2e_p99_s", "e2e_latencies_s",
+    engine-side summary, "trigger_seconds"}."""
     import os
 
     from .pipeline import start_pipeline
@@ -157,9 +167,17 @@ def measure_e2e_latency(
         # half-written file
         os.rename(tmp, os.path.join(input_dir, f"file_{i}.json"))
 
+    qid = str(q.id)
+
+    def _my_progress() -> list[dict]:
+        # only THIS query's batches: a concurrent stream in the same
+        # session (the dedup-index fold harness) reports through the
+        # same listener and must not inflate the committed-row sum
+        return listener.for_query(qid)
+
     def _wait_committed(rows: int, deadline: float) -> None:
         while time.time() < deadline:
-            if sum(p["numInputRows"] for p in listener.progress) >= rows:
+            if sum(p["numInputRows"] for p in _my_progress()) >= rows:
                 return
             time.sleep(0.05)
         raise TimeoutError("stream did not drain within timeout")
@@ -168,10 +186,14 @@ def measure_e2e_latency(
         cum = 0
         for i in range(warmup_files):
             _land(i)
+            if extra_land is not None:
+                extra_land(i)
             cum += rows_per_file
         _wait_committed(cum, time.time() + timeout_seconds)
         for i in range(warmup_files, warmup_files + n_files):
             _land(i)
+            if extra_land is not None:
+                extra_land(i)
             cum += rows_per_file
             lands.append((cum, time.time()))
             if land_gap_seconds:
@@ -183,7 +205,7 @@ def measure_e2e_latency(
         spark.streams.removeListener(listener)
     # map each file to the first batch whose cumulative committed rows
     # reach the file's cumulative landed rows
-    prog = sorted(listener.progress, key=lambda p: p["batchId"])
+    prog = sorted(_my_progress(), key=lambda p: p["batchId"])
     running = 0
     commits: list[tuple[int, float]] = []  # (cum_rows_through_batch, commit_time)
     for p in prog:
@@ -205,5 +227,5 @@ def measure_e2e_latency(
         "e2e_p99_s": round(_pctl(lat, 0.99), 3),
         "e2e_latencies_s": [round(v, 3) for v in lat],
     }
-    out.update(summarize_batches(listener.progress))
+    out.update(summarize_batches(_my_progress()))
     return out

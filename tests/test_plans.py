@@ -508,3 +508,102 @@ def test_global_window_detector_sees_both_shapes(spark):
     assert _unpartitioned_window_ids(pct)  # global window present...
     assert not unpartitioned_window_flags(pct)  # ...but aggregate-fed
     assert not _unpartitioned_window_ids(plan_of(spark, "latest_event_per_user"))
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "events_hourly_pruned",
+        "daily_active_users_pruned",
+        "events_sliding_2h_pruned",
+    ],
+)
+def test_partition_pruning_twins(spark, name):
+    """r10 verdict #7: the date-partitioned events twin must plan the
+    fixed-week slice as PartitionFilters (directory pruning), read
+    ONLY the 7 matching date directories out of 30, and return exactly
+    what the flat-table query returns over the same row slice."""
+    plan = plan_of(spark, name)
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "event_date" in pf.group(1), (
+        f"no partition filters in {name}'s scan: {pf}"
+    )
+    df = REGISTRY[name].fn(spark, SF)
+
+    # result equality vs the flat-table rendering of the same slice
+    from pyspark.sql import functions as F
+
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.sources.tables import (
+        events_with_ts,
+    )
+
+    base_name = name.removesuffix("_pruned")
+    flat_sliced = REGISTRY[base_name].fn(spark, SF)
+    # re-derive the flat query over the sliced event set
+    e = events_with_ts(spark, SF).filter(
+        F.to_date("ts").between("2024-01-08", "2024-01-14")
+    )
+    got = sorted(map(tuple, df.collect()))
+    # cheap cross-check: pruned result is a subset-consistent slice of
+    # the full-window result (same keys -> same aggregates can differ
+    # only for boundary windows, so compare against the directly
+    # recomputed slice instead)
+    import real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans.relational_queries as rq
+
+    recomputed = {
+        "events_hourly_pruned": lambda: e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (F.sum(rq._cents("value")) / F.lit(100.0)).alias("sum_value"),
+        ),
+        "daily_active_users_pruned": lambda: e.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        ).agg(
+            F.countDistinct("user_id").alias("dau"),
+            F.count(F.lit(1)).alias("n_events"),
+        ),
+        "events_sliding_2h_pruned": lambda: e.groupBy(
+            F.window("ts", "2 hours", "1 hour"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "cnt",
+        ),
+    }[name]()
+    assert got == sorted(map(tuple, recomputed.collect()))
+
+
+def test_partition_pruning_is_behavioral_not_cosmetic(spark, tmp_path, monkeypatch):
+    """Pruning must change what is READ, not just what is planned: with
+    an out-of-window date directory corrupted (garbage bytes in a
+    .parquet file), the week-sliced query still answers — Spark never
+    opened the pruned directory — while an unsliced scan over the same
+    layout fails on the corrupt footer."""
+    import pyspark.errors
+
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.sources.tables import (
+        events_partitioned,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_DERIVED_DIR", str(tmp_path / "twin"))
+    e = events_partitioned(spark, SF)  # builds into the isolated dir
+    twin_root = (tmp_path / "twin").iterdir().__next__()
+    victim = twin_root / "event_date=2024-01-20"
+    parquet_files = list(victim.glob("*.parquet"))
+    assert parquet_files, "expected a 2024-01-20 partition directory"
+    for f in parquet_files:
+        f.write_bytes(b"this is not a parquet file")
+
+    from pyspark.sql import functions as F
+
+    sliced = e.filter(F.col("event_date").between("2024-01-08", "2024-01-14"))
+    n = sliced.count()  # must succeed: 2024-01-20 is pruned, not read
+    assert n > 0
+
+    with pytest.raises(Exception):
+        # full scan HAS to open the corrupted directory
+        spark.read.parquet(str(twin_root)).count()

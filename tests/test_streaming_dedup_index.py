@@ -94,3 +94,107 @@ def test_streamed_store_equals_batch_build(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert sorted(e for e in os.listdir(root) if e.startswith("gen")) == gens
+
+
+def _store_logical_rows(spark, path):
+    """Every logical table of a store, normalized for equality."""
+    out = {
+        name: _table_rows(spark, path, name)
+        for name in (
+            "meta", "df", "stop", "arrays", "hashes", "bands",
+            "simsig", "simsig64",
+        )
+    }
+    out["kept"] = _kept_rows(spark, path)
+    return out
+
+
+def test_gc_and_compaction_preserve_store_and_replay(spark, tmp_path):
+    """r10 verdict #3: the keep-last-K generation GC and the periodic
+    full-rewrite compaction must (a) bound generation-directory growth,
+    (b) leave the current store's LOGICAL content identical to the
+    batch build, and (c) never break exactly-once replay — a replayed
+    committed batch stays a no-op, and a replayed batch whose
+    generation was GC'd REGENERATES it from the current base instead
+    of corrupting the store."""
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.streaming import (
+        compact_store,
+        gc_generations,
+    )
+
+    inp, root, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "store"),
+        str(tmp_path / "ckpt"),
+    )
+    _corpus_docs(spark).repartition(4).write.parquet(inp)
+
+    q = start_dedup_index_stream(
+        spark,
+        inp,
+        root,
+        ckpt,
+        available_now=True,
+        max_files_per_trigger=1,
+        gc_keep_last=2,
+        compact_every=2,
+    )
+    q.awaitTermination(600)
+
+    gens = sorted(
+        e for e in os.listdir(root)
+        if e.startswith("gen") and e != "gen_init"
+    )
+    # 4 micro-batches with keep_last=2 -> only the newest two survive
+    assert len(gens) == 2, f"GC left {gens}"
+    assert "gen_init" in os.listdir(root)  # fallback is never GC'd
+    cur = current_store_path(root)
+    assert os.path.basename(cur) == max(gens, key=lambda g: int(g[3:]))
+    assert os.path.exists(os.path.join(cur, "_DONE"))
+
+    # (b) logical equality with the one-shot batch build, GC+compaction
+    # notwithstanding (batch 2 was compacted in place mid-stream)
+    full = build_shingle_artifact(spark, SF)
+    assert _store_logical_rows(spark, cur) == _store_logical_rows(spark, full)
+
+    # (c1) replaying the newest committed batch is a pure no-op
+    before_rows = _store_logical_rows(spark, cur)
+    fanout = dedup_index_fanout(root, gc_keep_last=2, compact_every=2)
+    last_id = int(os.path.basename(cur)[3:])
+    fanout(spark.read.parquet(inp).limit(0), last_id)
+    assert current_store_path(root) == cur
+    assert _store_logical_rows(spark, cur) == before_rows
+
+    # (c2) a replayed batch whose generation was GC'd regenerates it
+    # from the current base — same store content, pointer repointed
+    victim = min(gens, key=lambda g: int(g[3:]))
+    victim_id = int(victim[3:])
+    # simulate: GC removed the victim (delete it directly)
+    import shutil
+
+    shutil.rmtree(os.path.join(root, victim))
+    # replay the victim with an EMPTY batch (content is irrelevant:
+    # the point is the fold path runs against the current base and
+    # produces a complete generation without touching its base)
+    fanout(spark.read.parquet(inp).limit(0), victim_id)
+    regen = os.path.join(root, victim)
+    assert os.path.exists(os.path.join(regen, "_DONE"))
+    # pointer did not regress (victim_id < current)
+    assert current_store_path(root) == cur
+    # current store content untouched by the replay
+    assert _store_logical_rows(spark, cur) == before_rows
+
+    # compaction is idempotent on logical content and kills kept_over
+    compacted = str(tmp_path / "compacted")
+    compact_store(spark, cur, compacted)
+    assert not os.path.isdir(os.path.join(compacted, "kept_over"))
+    assert _store_logical_rows(spark, compacted) == before_rows
+
+    # direct GC API: keep_last=1 collapses to the current generation
+    removed = gc_generations(root, keep_last=1)
+    survivors = sorted(
+        e for e in os.listdir(root)
+        if e.startswith("gen") and e != "gen_init"
+    )
+    assert os.path.basename(cur) in survivors
+    assert all(r not in survivors for r in removed)
