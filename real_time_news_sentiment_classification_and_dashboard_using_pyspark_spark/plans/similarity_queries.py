@@ -567,6 +567,14 @@ def ivf_topk_probe(spark, sf_dir):
 # above): target ~80 rows per bucket, floor 8 bits.
 
 
+# stat-keyed memo (r11): the full-registry sweep resolves the callable
+# oracle map once per query (per-query pin re-resolution), and each of
+# the ~20 callables re-read the same parquet footers every time — at
+# sf10 that is thousands of redundant multi-file footer scans per leg.
+# Key = (path, per-file size+mtime), so any rewrite invalidates.
+_COUNT_MEMO: dict = {}
+
+
 def _parquet_total_count(sf_dir: str, table_name: str) -> int | None:
     """Total row count of one fixture table from the parquet footer —
     used by CALLABLE oracles to derive the same adaptive parameters the
@@ -582,11 +590,32 @@ def _parquet_total_count(sf_dir: str, table_name: str) -> int | None:
 
     path = f"{sf_dir}/{table_name}.parquet"
     try:
+        files = (
+            sorted(
+                os.path.join(path, n)
+                for n in os.listdir(path)
+                if n.endswith(".parquet")
+            )
+            if os.path.isdir(path)
+            else [path]
+        )
+        stat_key = tuple(
+            (f, st.st_size, st.st_mtime_ns)
+            for f in files
+            for st in (os.stat(f),)
+        )
+        hit = _COUNT_MEMO.get(stat_key)
+        if hit is not None:
+            return hit
         if os.path.isdir(path):
             path = f"{path}/*.parquet"
-        return duckdb.sql(
+        n = duckdb.sql(
             f"SELECT count(*) FROM read_parquet('{path}')"
         ).fetchone()[0]
+        if len(_COUNT_MEMO) >= 64:
+            _COUNT_MEMO.clear()
+        _COUNT_MEMO[stat_key] = n
+        return n
     except (OSError, duckdb.Error):
         return None
 
@@ -2122,11 +2151,35 @@ def _embeddings_candidate_count(sf_dir: str) -> int | None:
 
     path = f"{sf_dir}/embeddings.parquet"
     try:
+        files = (
+            sorted(
+                os.path.join(path, n)
+                for n in os.listdir(path)
+                if n.endswith(".parquet")
+            )
+            if os.path.isdir(path)
+            else [path]
+        )
+        stat_key = (
+            "cand",
+            tuple(
+                (f, st.st_size, st.st_mtime_ns)
+                for f in files
+                for st in (os.stat(f),)
+            ),
+        )
+        hit = _COUNT_MEMO.get(stat_key)
+        if hit is not None:
+            return hit
         if os.path.isdir(path):
             path = f"{path}/*.parquet"
-        return duckdb.sql(
+        n = duckdb.sql(
             f"SELECT count(*) FROM read_parquet('{path}') WHERE vec_id >= 3"
         ).fetchone()[0]
+        if len(_COUNT_MEMO) >= 64:
+            _COUNT_MEMO.clear()
+        _COUNT_MEMO[stat_key] = n
+        return n
     except (OSError, duckdb.Error):
         return None
 

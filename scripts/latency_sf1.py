@@ -40,7 +40,6 @@ from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.s
 
 N_FILES = 25
 ROWS_PER_FILE = 2000  # 25 x 2000 = 50k rows = the sf1 documents count
-TRIGGERS = (1, 5)
 
 
 def _land_docs_parquet(fold_in: str, i: int, rows: int) -> None:
@@ -67,8 +66,12 @@ def main() -> None:
     spark = get_spark("latency-sf1")
     spark.sparkContext.setLogLevel("ERROR")
     results = []
-    for trig in TRIGGERS:
-        work = tempfile.mkdtemp(prefix=f"latency_sf1_t{trig}_")
+    # burst mode (gap=0): all 50k rows land as fast as the disk allows
+    # and the stream drains them in 2-3 big batches — the backlog
+    # catch-up number. steady mode (gap=trigger): one file per trigger,
+    # the per-batch freshness-SLA number.
+    for trig, gap in [(1, 0.0), (5, 0.0), (1, 1.0), (5, 5.0)]:
+        work = tempfile.mkdtemp(prefix=f"latency_sf1_t{trig}g{int(gap)}_")
         dirs = {k: os.path.join(work, k) for k in
                 ("in", "out", "ckpt", "fold_in", "store", "fold_ckpt")}
         for d in dirs.values():
@@ -93,6 +96,7 @@ def main() -> None:
                 n_files=N_FILES,
                 rows_per_file=ROWS_PER_FILE,
                 trigger_seconds=trig,
+                land_gap_seconds=gap,
                 timeout_seconds=1800.0,
                 extra_land=lambda i: _land_docs_parquet(
                     dirs["fold_in"], i, ROWS_PER_FILE
@@ -119,6 +123,7 @@ def main() -> None:
             fold_q.stop()
             spark.streams.removeListener(fold_listener)
             shutil.rmtree(work, ignore_errors=True)
+        r["land_gap_seconds"] = gap
         print(json.dumps(r), flush=True)
         results.append(r)
     artifact = {
