@@ -267,30 +267,79 @@ def main() -> None:
         stream_sec, n_articles, stream_runs = None, 0, []
 
     total = round(sum(timings.values()), 3)
+    full_payload = {
+        "metric": "total_sec_all_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_min": timings_min,
+        "runs_per_query": runs_per_query,
+        "calibration_sec": round(cal_runs[len(cal_runs) // 2], 3),
+        "calibration_min": round(cal_runs[0], 3),
+        "sf": sf,
+        **(
+            {
+                "streaming_articles_per_sec": round(
+                    n_articles / stream_sec, 1
+                ),
+                "streaming_articles_per_drain": n_articles,
+                "streaming_run_secs": stream_runs,
+            }
+            if stream_sec is not None
+            else {"bench_only": sorted(only)}
+        ),
+        "n_queries": len(timings),
+    }
+    print(json.dumps(full_payload))
+    # The driver records only a bounded tail of stdout, so a 175-entry
+    # "queries" map can be cut mid-JSON (BENCH_r11.json: parsed=null,
+    # 59/175 entries survived). Two mitigations (VERDICT r11 #2):
+    #  1. Persist the complete payload to a file next to bench.py —
+    #     nothing is ever lost locally.
+    #  2. Emit a second, compact JSON line AFTER the full line — small
+    #     enough (<2 KB) that any tail capture contains it whole —
+    #     carrying the headline signal: total, calibration, n, the
+    #     top-20 slowest queries, and streaming throughput.
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_last_full.json",
+            ),
+            "w",
+        ) as fh:
+            json.dump(full_payload, fh)
+            fh.write("\n")
+    except OSError as exc:  # read-only checkout: keep stdout contract
+        print(f"bench: could not persist full payload: {exc}", file=sys.stderr)
+    top20 = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:20]
+    )
     print(
         json.dumps(
             {
-                "metric": "total_sec_all_queries",
+                "metric": "bench_summary_compact",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "queries_min": timings_min,
-                "runs_per_query": runs_per_query,
-                "calibration_sec": round(cal_runs[len(cal_runs) // 2], 3),
-                "calibration_min": round(cal_runs[0], 3),
                 "sf": sf,
+                "n_queries": len(timings),
+                "runs_per_query": runs_per_query,
+                "calibration_sec": full_payload["calibration_sec"],
+                # Keyed "queries" so a parser expecting the contract
+                # shape still finds per-query numbers; the flag says
+                # it is the top-20-slowest subset, not the registry.
+                "queries": top20,
+                "queries_is_top20_slowest": True,
                 **(
                     {
-                        "streaming_articles_per_sec": round(
-                            n_articles / stream_sec, 1
-                        ),
-                        "streaming_articles_per_drain": n_articles,
-                        "streaming_run_secs": stream_runs,
+                        "streaming_articles_per_sec": full_payload[
+                            "streaming_articles_per_sec"
+                        ]
                     }
                     if stream_sec is not None
-                    else {"bench_only": sorted(only)}
+                    else {}
                 ),
-                "n_queries": len(timings),
+                "full_payload_file": "BENCH_last_full.json",
             }
         )
     )
