@@ -954,6 +954,81 @@ def test_audio_envelope_matches_python_reference(spark):
     assert got == {k: list(v) for k, v in agg.items()}
 
 
+def test_wav_container_roundtrip(spark):
+    """The WAV path writes GENUINE RIFF containers and decodes them with
+    a real parser: per-doc frames/rate/validity match a pure-Python
+    stdlib-wave replay of the same payload bytes, corrupted docs
+    (doc_id % WAV_CORRUPT_MOD == 0) are rejected not sliced, and the
+    container bytes carry the canonical RIFF/WAVE magic."""
+    import struct
+
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.operators.multimodal import (
+        ENVELOPE_POINTS,
+        WAV_CORRUPT_MOD,
+        _wav_rate,
+        wav_decoded,
+    )
+
+    src = {
+        r["doc_id"]: (r["text"] or "").encode("utf-8")
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    got = {r["doc_id"]: r for r in wav_decoded(spark, SF).collect()}
+    assert set(got) == set(src)
+    saw_corrupt = saw_valid = False
+    for doc_id, payload in src.items():
+        r = got[doc_id]
+        if doc_id % WAV_CORRUPT_MOD == 0:
+            saw_corrupt = True
+            assert (r["valid"], r["n_frames"], r["framerate"]) == (0, 0, 0)
+            continue
+        saw_valid = True
+        n = len(payload) // 2
+        assert r["valid"] == 1
+        assert r["n_frames"] == n  # data chunk framing (odd tail dropped)
+        assert r["framerate"] == _wav_rate(doc_id)  # fmt chunk round-trip
+        if n:
+            samples = struct.unpack(f"<{n}h", payload[: 2 * n])
+            expect = sum(
+                samples[(i * n) // ENVELOPE_POINTS]
+                for i in range(ENVELOPE_POINTS)
+            )
+        else:
+            expect = 0
+        assert r["pcm_checksum"] == expect
+    assert saw_corrupt and saw_valid
+
+
+def test_wav_encoder_emits_canonical_riff():
+    """Encoder kernel output is a real WAV file: RIFF/WAVE magic, and
+    the stdlib parser reads back exactly the PCM bytes written."""
+    import io
+    import wave
+
+    import pandas as pd
+
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.operators.multimodal import (
+        _wav_encode_kernel,
+        _wav_rate,
+    )
+
+    payload = bytes(range(100))  # 50 int16 samples
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 7], "source": ["a", "a"], "payload": [payload, payload]}
+    )
+    out = next(_wav_encode_kernel(iter([pdf])))
+    good, corrupt = bytes(out["wav"][0]), bytes(out["wav"][1])
+    assert good[:4] == b"RIFF" and good[8:12] == b"WAVE"
+    assert not corrupt.startswith(b"RIFF")
+    with wave.open(io.BytesIO(good)) as w:
+        assert w.getnchannels() == 1
+        assert w.getsampwidth() == 2
+        assert w.getframerate() == _wav_rate(1)
+        assert w.readframes(w.getnframes()) == payload
+
+
 def test_countmin_estimates_dominate_exact(spark):
     """CMS point estimates are one-sided: cms_n >= exact_n for every
     reported token (the min-over-rows can only overcount), and the
