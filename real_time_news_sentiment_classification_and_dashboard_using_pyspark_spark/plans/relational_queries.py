@@ -1559,6 +1559,76 @@ def events_sliding_2h_pruned(spark, sf_dir):
     )
 
 
+# --- dynamic partition pruning (r11 verdict #3) ----------------------------
+#
+# The static twins above carry LITERAL date predicates, which Catalyst
+# folds into PartitionFilters at plan time. The 100 TB star-schema
+# mechanism is stronger: the date predicate arrives THROUGH A DIM JOIN
+# (filter on the dim's attribute, join on the fact's partition column),
+# so the prunable date set is only known at runtime — Spark must inject
+# a dynamicpruningexpression subquery into the fact scan that is fed by
+# the dim's broadcast. This is the scale rendering of the dashboard's
+# time-filtered reads (reference streamlit_app.py:136-141) when "the
+# last week" is a dimension attribute, not a literal.
+
+_DPP_EPOCH = "2024-01-01"
+_DPP_WEEK_ID = 1  # days 7-13 since epoch == 2024-01-08..2024-01-14,
+#                   the same slice the static twins use
+
+
+def calendar_dim(spark: SparkSession) -> DataFrame:
+    """366-row calendar dimension: one row per 2024 date with a derived
+    week_id (days-since-epoch // 7 — integer arithmetic, identical on
+    any engine, deliberately NOT ISO weeks whose year-boundary rules
+    differ across engines). Tiny by construction: always broadcast."""
+    return spark.range(366).select(
+        F.date_add(F.lit(_DPP_EPOCH).cast("date"), F.col("id").cast("int")).alias(
+            "event_date"
+        ),
+        (F.col("id") / 7).cast("int").alias("week_id"),
+    )
+
+
+@register(
+    "events_dynamic_pruned",
+    oracle=f"""
+WITH ev AS (
+    SELECT ts::TIMESTAMP AS ts, event_type, "value" FROM events
+    WHERE (ts::DATE - DATE '{_DPP_EPOCH}') // 7 = {_DPP_WEEK_ID}
+)
+SELECT event_type,
+       count(*) AS cnt,
+       CAST(sum(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+FROM ev GROUP BY event_type
+""",
+    tags=("join", "agg", "date", "partition-pruning", "dynamic-partition-pruning"),
+)
+def events_dynamic_pruned(spark, sf_dir):
+    """DYNAMIC partition pruning: the week slice reaches the
+    date-partitioned fact only through ``calendar_dim`` — the query
+    filters the dim on ``week_id`` and joins on ``event_date``; no
+    literal date predicate touches the fact. Spark plans the scan with
+    ``dynamicpruningexpression(event_date IN dynamicpruning#N)`` fed by
+    the dim's broadcast (asserted in tests/test_plans.py the way
+    broadcast joins are), so at 100 TB the fact scan opens only the 7
+    matching date directories even though the dates are data, not
+    literals. The oracle derives the same slice arithmetically from the
+    flat table — equal hashes prove runtime pruning changed the I/O,
+    not the answer."""
+    from ..sources.tables import events_partitioned
+
+    e = events_partitioned(spark, sf_dir)
+    dim = calendar_dim(spark).filter(F.col("week_id") == _DPP_WEEK_ID)
+    return (
+        e.join(F.broadcast(dim), "event_date")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (F.sum(_cents("value")) / F.lit(100.0)).alias("sum_value"),
+        )
+    )
+
+
 @register(
     "promo_type_share",
     oracle="""
