@@ -20,6 +20,8 @@ shuffles are keyed on band/prefix/shingle whose fan-out is bounded.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -583,6 +585,38 @@ def _shingle_store(spark, sf_dir: str) -> dict[str, DataFrame]:
     return store
 
 
+def _link_tree(src: str, dst: str) -> None:
+    """copytree with hard links (byte reuse), copy fallback for
+    filesystems without link support."""
+    import shutil
+
+    try:
+        shutil.copytree(src, dst, copy_function=os.link)
+    except OSError:
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.copytree(src, dst)
+
+
+def _side_gen_numbers(store_path: str, name: str) -> list[int]:
+    """Generation numbers present in a gen-partitioned side table
+    (``df_delta``/``pending``), [] when the dir is absent/empty."""
+    d = os.path.join(store_path, name)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(e.split("=", 1)[1]) for e in os.listdir(d) if e.startswith("gen=")
+    )
+
+
+def has_unmerged_deltas(store_path: str) -> bool:
+    """True when a store carries deferred-merge side tables that a heavy
+    fold has not yet folded into df/stop/kept/meta."""
+    return bool(
+        _side_gen_numbers(store_path, "df_delta")
+        or _side_gen_numbers(store_path, "pending")
+    )
+
+
 def append_to_shingle_artifact(
     spark,
     base_path: str,
@@ -590,6 +624,7 @@ def append_to_shingle_artifact(
     out_path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    defer_merge: bool = False,
 ) -> str:
     """Incremental (append-only) shingle-store build: fold a delta of
     NEW documents into an existing artifact, producing a complete store
@@ -642,8 +677,20 @@ def append_to_shingle_artifact(
 
     Assumes delta doc_ids are new (a revision is delete+append, not
     handled here). Writes under a pid tmp dir and renames, like the
-    full build. Returns ``out_path``."""
-    import os
+    full build. Returns ``out_path``.
+
+    ``defer_merge=True`` (r11 verdict #4, the streaming hot path):
+    ONLY the strictly per-delta work runs — per-doc table appends plus
+    two gen-partitioned side tables, ``df_delta/gen=K`` (this delta's
+    shingle counts) and ``pending/gen=K`` (this delta's doc ids);
+    df/stop/kept/meta are hard-linked UNCHANGED from the base (stale
+    as of the last merging fold). The streaming probe path
+    (operators/stream_dedup.py) reads only bands+arrays, which stay
+    fresh. A later NON-deferred fold (any delta, including an empty
+    one — ``refresh_store``) folds the ACCUMULATED side tables into
+    df/stop/kept/meta: the merge work is batched at the maintenance
+    cadence instead of being re-paid per micro-batch, exactly like
+    ``kept``'s merge-on-read generations."""
     import shutil
 
     width = spark.sparkContext.defaultParallelism
@@ -661,22 +708,15 @@ def append_to_shingle_artifact(
     delta_df_counts = delta_rows.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("df")
     )
-    merged_df = (
-        base("df")
-        .unionByName(delta_df_counts)
-        .groupBy("shingle")
-        .agg(F.sum("df").cast("bigint").alias("df"))
-        .cache()
-    )
+    # deferred-merge backlog carried by the base (empty lists on a
+    # fully-merged base: the heavy path below then reduces exactly to
+    # the original single-delta fold)
+    df_delta_gens = _side_gen_numbers(base_path, "df_delta")
+    pending_gens = _side_gen_numbers(base_path, "pending")
     try:
         # reuse the per-doc tables' existing files, then append the delta
         for name in ("arrays", "hashes", "bands", "simsig", "simsig64"):
-            src, dst = os.path.join(base_path, name), os.path.join(tmp, name)
-            try:
-                shutil.copytree(src, dst, copy_function=os.link)
-            except OSError:
-                shutil.rmtree(dst, ignore_errors=True)
-                shutil.copytree(src, dst)
+            _link_tree(os.path.join(base_path, name), os.path.join(tmp, name))
         delta_arr.write.mode("append").parquet(os.path.join(tmp, "arrays"))
         delta_hashes = delta_rows.select(
             "doc_id",
@@ -694,6 +734,64 @@ def append_to_shingle_artifact(
             os.path.join(tmp, "simsig64")
         )
 
+        if defer_merge:
+            # LIGHT fold: link the merge-owned tables unchanged, then
+            # append this delta's side-table generation. Everything
+            # below this branch is O(delta) — no corpus-wide df merge,
+            # no resolve_kept scan, no kept override derivation.
+            for name in ("df", "stop", "kept", "kept_over", "meta",
+                         "df_delta", "pending"):
+                src = os.path.join(base_path, name)
+                if os.path.isdir(src):
+                    _link_tree(src, os.path.join(tmp, name))
+            next_gen = max(df_delta_gens + pending_gens, default=0) + 1
+            (
+                delta_df_counts.withColumn("gen", F.lit(next_gen))
+                .coalesce(4)
+                .write.mode("append")
+                .partitionBy("gen")
+                .parquet(os.path.join(tmp, "df_delta"))
+            )
+            (
+                delta_arr.select("doc_id")
+                .withColumn("gen", F.lit(next_gen))
+                .coalesce(4)
+                .write.mode("append")
+                .partitionBy("gen")
+                .parquet(os.path.join(tmp, "pending"))
+            )
+            delta_hashes.unpersist()
+            open(os.path.join(tmp, "_DONE"), "w").close()
+            shutil.rmtree(out_path, ignore_errors=True)
+            os.rename(tmp, out_path)
+            return out_path
+
+        # HEAVY fold: merge this delta AND any deferred backlog into
+        # df/stop/kept/meta. Backlog doc rows are regenerated from the
+        # already-appended arrays table (per-doc sh_arr explode — the
+        # same rows the light folds computed), never re-tokenized.
+        backlog_df = (
+            spark.read.parquet(os.path.join(base_path, "df_delta")).select(
+                "shingle", F.col("df").cast("bigint").alias("df")
+            )
+            if df_delta_gens
+            else None
+        )
+        pending_ids = (
+            spark.read.parquet(os.path.join(base_path, "pending")).select(
+                "doc_id"
+            )
+            if pending_gens
+            else None
+        )
+        merged_df = base("df").unionByName(delta_df_counts)
+        if backlog_df is not None:
+            merged_df = merged_df.unionByName(backlog_df)
+        merged_df = (
+            merged_df.groupBy("shingle")
+            .agg(F.sum("df").cast("bigint").alias("df"))
+            .cache()
+        )
         merged_df.repartition(width).write.mode("overwrite").parquet(
             os.path.join(tmp, "df")
         )
@@ -717,6 +815,8 @@ def append_to_shingle_artifact(
         # logical stop-free kept — dfs only grow on append, so a doc's
         # new kept set ⊆ old kept set; arrays never need re-exploding.
         changed = delta_df_counts.select("shingle")
+        if backlog_df is not None:
+            changed = changed.unionByName(backlog_df.select("shingle"))
         old_kept = resolve_kept(spark, base_path)
         old_kept_rows = old_kept.select(
             "doc_id", F.explode("sh_arr").alias("shingle")
@@ -731,15 +831,20 @@ def append_to_shingle_artifact(
             src = os.path.join(base_path, name)
             if not os.path.isdir(src):
                 continue
-            dst = os.path.join(tmp, name)
-            try:
-                shutil.copytree(src, dst, copy_function=os.link)
-            except OSError:
-                shutil.rmtree(dst, ignore_errors=True)
-                shutil.copytree(src, dst)
+            _link_tree(src, os.path.join(tmp, name))
         rebuild_rows = old_kept_rows.join(
             affected, "doc_id", "left_semi"
         ).unionByName(delta_rows)
+        if pending_ids is not None:
+            # backlog docs: their kept rows were never derived (light
+            # folds skip it), so they join the rebuild exactly like
+            # delta docs — rows re-exploded from their appended arrays
+            pending_rows = (
+                base("arrays")
+                .join(pending_ids, "doc_id", "left_semi")
+                .select("doc_id", F.explode("sh_arr").alias("shingle"))
+            )
+            rebuild_rows = rebuild_rows.unionByName(pending_rows)
         kept_nonstop = (
             rebuild_rows.join(merged_df.filter(F.col("df") <= STOP_SHINGLE_DF), "shingle")
             .groupBy("doc_id")
@@ -822,8 +927,13 @@ def append_to_shingle_artifact(
 
         # manifest: counts advance by the delta's (already-forced) sizes
         old_meta = base("meta").head()
+        # base meta may be stale by the deferred backlog (light folds
+        # link it unchanged); advance by backlog + this delta
         n_docs = old_meta["n_docs"] + delta_arr.count()
         n_rows = old_meta["n_shingle_rows"] + delta_rows.count()
+        if pending_ids is not None:
+            n_docs += pending_ids.count()
+            n_rows += pending_rows.count()
         n_distinct = merged_df.count()
         (
             spark.range(1)
@@ -836,15 +946,17 @@ def append_to_shingle_artifact(
             .write.mode("overwrite")
             .parquet(os.path.join(tmp, "meta"))
         )
+        # the backlog is folded in: the merged store carries no side
+        # tables (they were never linked into tmp on this path)
         delta_hashes.unpersist()
         affected.unpersist()
+        merged_df.unpersist()
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
     finally:
         delta_arr.unpersist()
         delta_rows.unpersist()
-        merged_df.unpersist()
     open(os.path.join(tmp, "_DONE"), "w").close()
     shutil.rmtree(out_path, ignore_errors=True)
     os.rename(tmp, out_path)
@@ -2918,15 +3030,20 @@ def streaming_dedup_index(spark, sf_dir):
 
     Scale posture: this is the production shape of read-time dedup
     (reference streamlit_app.py:147) — the index advances with the
-    crawl; per-batch cost is delta tokenize/signature CPU + an
-    O(distinct shingles) df merge + an O(delta reach) kept override,
-    never a corpus rebuild; maxFilesPerTrigger is the knob bounding
+    crawl; per-batch cost since r12 is PURE delta (tokenize/signature
+    CPU + O(delta) side-table appends; ``merge_every`` defers the
+    df/stop/kept derivation off the per-trigger path, r11 verdict #4),
+    with the accumulated merge paid at the maintenance cadence and
+    once more by the final ``finalize_dedup_index`` — all inside this
+    priced entry, so the bench row still prices the COMPLETE
+    end-to-end maintenance; maxFilesPerTrigger is the knob bounding
     batch size."""
     import os
     import shutil
 
     from ..streaming.dedup_index import (
         current_store_path,
+        finalize_dedup_index,
         start_dedup_index_stream,
     )
 
@@ -2938,15 +3055,18 @@ def streaming_dedup_index(spark, sf_dir):
         "doc_id", F.concat_ws(" ", "toks").alias("text")
     )
     docs.repartition(2).write.parquet(inp)
+    store_root = os.path.join(root, "store")
     q = start_dedup_index_stream(
         spark,
         inp,
-        os.path.join(root, "store"),
+        store_root,
         os.path.join(root, "ckpt"),
         available_now=True,
         max_files_per_trigger=1,
+        merge_every=8,
     )
     q.awaitTermination()
+    finalize_dedup_index(spark, store_root)
     cur = current_store_path(os.path.join(root, "store"))
     meta = spark.read.parquet(os.path.join(cur, "meta")).head()
     n_stop = spark.read.parquet(os.path.join(cur, "stop")).count()

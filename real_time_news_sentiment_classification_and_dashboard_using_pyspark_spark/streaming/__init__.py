@@ -2,8 +2,10 @@ from .dedup_index import (
     compact_store,
     current_store_path,
     dedup_index_fanout,
+    finalize_dedup_index,
     gc_generations,
     init_empty_shingle_store,
+    merge_backlog,
     start_dedup_index_stream,
 )
 from .pipeline import (
@@ -21,8 +23,10 @@ __all__ = [
     "current_store_path",
     "dedup_index_fanout",
     "dedup_within_watermark",
+    "finalize_dedup_index",
     "gc_generations",
     "init_empty_shingle_store",
+    "merge_backlog",
     "scored_stream",
     "session_counts",
     "start_dedup_index_stream",

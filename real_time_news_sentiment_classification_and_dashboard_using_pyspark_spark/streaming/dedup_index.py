@@ -155,10 +155,21 @@ def compact_store(spark: SparkSession, src_path: str, dst_path: str) -> str:
     a compacted generation shares no links with its predecessors —
     lets the keep-last-K GC reclaim the full byte history behind it.
     Same atomic tmp+rename discipline as the builds; ``src_path`` may
-    equal ``dst_path`` (in-place swap via the tmp dir)."""
+    equal ``dst_path`` (in-place swap via the tmp dir).
+
+    Refuses a store with unmerged deferred side tables (``df_delta``/
+    ``pending``) — compaction writes a fixed table list and would
+    silently drop the backlog; merge first (``merge_backlog``)."""
     import shutil
 
-    from ..plans.dedup_queries import resolve_kept
+    from ..plans.dedup_queries import has_unmerged_deltas, resolve_kept
+
+    if has_unmerged_deltas(src_path):
+        raise ValueError(
+            f"store at {src_path} has unmerged df_delta/pending side "
+            "tables; run a merging fold (merge_backlog / a non-deferred "
+            "append) before compacting"
+        )
 
     width = spark.sparkContext.defaultParallelism
     tmp = f"{dst_path}.compact{os.getpid()}"
@@ -193,22 +204,261 @@ def compact_store(spark: SparkSession, src_path: str, dst_path: str) -> str:
     return dst_path
 
 
+def _empty_docs(spark: SparkSession) -> DataFrame:
+    return spark.range(0).select(
+        F.col("id").alias("doc_id"), F.lit("").alias("text")
+    )
+
+
+def merge_backlog(spark: SparkSession, src_path: str, dst_path: str) -> str:
+    """Fold a store's deferred ``df_delta``/``pending`` backlog into
+    df/stop/kept/meta (an empty-delta NON-deferred append — the merge
+    machinery is ``append_to_shingle_artifact``'s heavy path, shared
+    with the batch API). Output carries no side tables. ``src_path``
+    must not equal ``dst_path`` (the append reads base while writing
+    tmp; callers in-place-swap afterwards)."""
+    from ..plans.dedup_queries import append_to_shingle_artifact
+
+    return append_to_shingle_artifact(
+        spark, src_path, _empty_docs(spark), dst_path, defer_merge=False
+    )
+
+
+_PER_DOC_LISTING = "_SRC_LISTING.json"
+_SRC_GEN_FILE = "_SRC_GEN"
+_BASE_MARKER = "_BASE"
+
+
+def _snapshot_listing(gen_path: str) -> dict:
+    """Graft diff base for a generation: per-doc table file names
+    (files appended by LATER generations are exactly those absent —
+    per-doc tables are append-only; names are unique task UUIDs) plus
+    the side-table generation numbers this snapshot carries. The side
+    sets are recorded EXPLICITLY because side-gen numbering is an
+    independent counter, not the store generation number — a
+    numeric-threshold filter would re-link already-merged side gens
+    (double-counting their docs)."""
+    out = {}
+    for name in _PER_DOC_TABLES:
+        d = os.path.join(gen_path, name)
+        out[name] = sorted(os.listdir(d)) if os.path.isdir(d) else []
+    from ..plans.dedup_queries import _side_gen_numbers
+
+    out["__merged_side_gens__"] = {
+        name: _side_gen_numbers(gen_path, name)
+        for name in ("df_delta", "pending")
+    }
+    return out
+
+
+def _graft_base(base_dir: str, cur_gen: str, out_dir: str) -> None:
+    """Hard-link REBASE: combine a background-refreshed base (merged +
+    compacted as of source generation R) with everything the stream
+    appended after R — per-doc files absent from the base's source
+    listing, and side-table generations numbered > R. Pure file
+    linking, no Spark jobs: this is why absorption is cheap enough for
+    the hot path. Idempotent on file names (existing names are
+    skipped), so a replayed graft cannot corrupt."""
+    import json
+    import shutil
+
+    with open(os.path.join(base_dir, _PER_DOC_LISTING)) as fh:
+        listing = json.load(fh)
+    merged_side = listing.get("__merged_side_gens__", {})
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    for name in ("df", "stop", "kept", "kept_over", "meta"):
+        src = os.path.join(base_dir, name)
+        if os.path.isdir(src):
+            shutil.copytree(src, os.path.join(out_dir, name), copy_function=os.link)
+    for name in _PER_DOC_TABLES:
+        src = os.path.join(base_dir, name)
+        dst = os.path.join(out_dir, name)
+        shutil.copytree(src, dst, copy_function=os.link)
+        known = set(listing.get(name, ()))
+        cur_table = os.path.join(cur_gen, name)
+        if os.path.isdir(cur_table):
+            for f in os.listdir(cur_table):
+                if f in known or f.startswith("_"):
+                    continue
+                dst_f = os.path.join(dst, f)
+                if not os.path.exists(dst_f):
+                    os.link(os.path.join(cur_table, f), dst_f)
+    for name in ("df_delta", "pending"):
+        src_root = os.path.join(cur_gen, name)
+        if not os.path.isdir(src_root):
+            continue
+        merged = set(merged_side.get(name, ()))
+        for e in os.listdir(src_root):
+            if not e.startswith("gen="):
+                continue
+            if int(e.split("=", 1)[1]) not in merged:
+                shutil.copytree(
+                    os.path.join(src_root, e),
+                    os.path.join(out_dir, name, e),
+                    copy_function=os.link,
+                )
+
+
+def _newest_maint_base(store_root: str) -> str | None:
+    """Path of the newest COMPLETE published maintenance base under
+    ``store_root/maint``, or None."""
+    root = os.path.join(store_root, "maint")
+    if not os.path.isdir(root):
+        return None
+    best, best_n = None, -1
+    for e in os.listdir(root):
+        if not e.startswith("base"):
+            continue
+        p = os.path.join(root, e)
+        if not os.path.exists(os.path.join(p, "_DONE")):
+            continue
+        n = _gen_number(e.replace("base", "gen", 1))
+        if n > best_n:
+            best, best_n = p, n
+    return best
+
+
+def _absorbed_base(gen_path: str) -> str:
+    """Name of the maintenance base this generation's lineage already
+    absorbed ('' if none) — the ``_BASE`` marker, written by every
+    fold so the lineage fact survives generation chaining."""
+    marker = os.path.join(gen_path, _BASE_MARKER)
+    try:
+        with open(marker) as fh:
+            return fh.read().strip()
+    except OSError:
+        return ""
+
+
+class _Maintenance:
+    """Off-hot-path store maintenance (r11 verdict #5): a single worker
+    thread snapshots a committed generation (hard links — the
+    generation itself may be GC'd meanwhile), merges its deferred
+    backlog and compacts it flat, then publishes the result atomically
+    under ``maint/base{N}``. Light folds absorb the newest published
+    base by grafting (``_graft_base``) — the foreachBatch critical
+    path never pays merge or compaction CPU.
+
+    Crash/exactly-once posture: the worker only reads an immutable
+    snapshot and publishes via tmp+rename; a dead worker loses nothing
+    (the store stays merge-on-read and the next cadence retries); an
+    absorbed base changes WHERE a generation's bytes come from, never
+    what its logical content is — the fold stays regenerative."""
+
+    def __init__(self, store_root: str) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._root = os.path.join(store_root, "maint")
+        self._pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="dedup-maint"
+        )
+        self._future = None
+
+    def maybe_schedule(self, spark: SparkSession, gen_path: str) -> bool:
+        """Start a refresh of ``gen_path`` unless one is in flight, or
+        ``gen_path``'s lineage has NOT yet absorbed the newest
+        published base. The absorption precondition is load-bearing:
+        it guarantees every snapshot's per-doc file set is a superset
+        of the newest base's source listing, so a later graft's file
+        diff can never re-link a previous base's compacted files
+        (which would duplicate every pre-base row)."""
+        if self._future is not None and not self._future.done():
+            return False
+        nb = _newest_maint_base(os.path.dirname(self._root))
+        if nb is not None and _absorbed_base(gen_path) != os.path.basename(nb):
+            return False
+        self._future = self._pool.submit(self._run, spark, gen_path)
+        return True
+
+    def wait(self, timeout: float | None = None) -> None:
+        if self._future is not None:
+            self._future.result(timeout)
+
+    def _run(self, spark: SparkSession, gen_path: str) -> str:
+        import json
+        import shutil
+
+        os.makedirs(self._root, exist_ok=True)
+        n = _gen_number(os.path.basename(gen_path))
+        snap = os.path.join(self._root, f"src{n}")
+        work = os.path.join(self._root, f"base{n}.work")
+        final = os.path.join(self._root, f"base{n}")
+        for d in (snap, work):
+            shutil.rmtree(d, ignore_errors=True)
+        try:
+            shutil.copytree(gen_path, snap, copy_function=os.link)
+            listing = _snapshot_listing(snap)
+            merge_backlog(spark, snap, work)
+            compact_store(spark, work, work)
+            with open(os.path.join(work, _PER_DOC_LISTING), "w") as fh:
+                json.dump(listing, fh)
+            with open(os.path.join(work, _SRC_GEN_FILE), "w") as fh:
+                fh.write(str(n))
+            # compact_store already wrote _DONE into work
+            shutil.rmtree(final, ignore_errors=True)
+            os.rename(work, final)
+        finally:
+            shutil.rmtree(snap, ignore_errors=True)
+            shutil.rmtree(work, ignore_errors=True)
+        # prune superseded bases, KEEPING the newest two: a fold may be
+        # mid-graft on the just-superseded base; publishes are a full
+        # maintenance cadence apart while grafts are milliseconds of
+        # linking, so two generations of slack is enough
+        done = sorted(
+            (
+                e
+                for e in os.listdir(self._root)
+                if e.startswith("base")
+                and os.path.exists(os.path.join(self._root, e, "_DONE"))
+            ),
+            key=lambda e: _gen_number(e.replace("base", "gen", 1)),
+        )
+        for e in done[:-2]:
+            shutil.rmtree(os.path.join(self._root, e), ignore_errors=True)
+        return final
+
+
 def dedup_index_fanout(
     store_root: str,
     *,
     gc_keep_last: int | None = None,
     compact_every: int | None = None,
+    merge_every: int | None = None,
+    async_maintenance: bool = False,
 ):
     """foreachBatch callable: fold each micro-batch of (doc_id, text)
     documents into the store as one new generation. Module-level so
     tests can drive the replay/idempotency path with a static batch.
-    ``gc_keep_last`` enables the keep-last-K generation GC after each
-    repoint; ``compact_every`` rewrites every C-th generation flat
-    (see ``compact_store``) before repointing — crash anywhere in the
-    fold/compact/repoint chain replays into the same regenerative
-    path."""
+
+    - ``gc_keep_last``: keep-last-K generation GC after each repoint.
+    - ``compact_every``: rewrite every C-th generation flat (see
+      ``compact_store``) before repointing.
+    - ``merge_every=None`` (default): every fold is a full merging
+      append — the pre-r12 behavior.
+    - ``merge_every=K`` (r11 verdict #4): folds are DEFERRED (pure
+      O(delta): per-doc appends + df_delta/pending side gens; the
+      probe path's bands/arrays stay fresh) and every K-th batch runs
+      the merging fold, amortizing the df/stop/kept derivation across
+      K batches. ``finalize_dedup_index`` brings a drained store fully
+      current.
+    - ``async_maintenance=True`` (r11 verdict #5, requires
+      ``merge_every``): ALL folds stay light; every K-th batch instead
+      SCHEDULES a background refresh (merge+compact on a snapshot,
+      ``_Maintenance``), and later light folds absorb the published
+      base by hard-link grafting — merge/compaction CPU leaves the
+      foreachBatch critical path entirely. ``compact_every`` is
+      subsumed (the background refresh compacts).
+
+    Crash anywhere in the fold/merge/compact/repoint chain replays
+    into the same regenerative path."""
+    import shutil
 
     from ..plans.dedup_queries import append_to_shingle_artifact
+
+    maint = _Maintenance(store_root) if async_maintenance else None
+    if async_maintenance and not merge_every:
+        raise ValueError("async_maintenance requires merge_every")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -216,10 +466,52 @@ def dedup_index_fanout(
         gen_path = os.path.join(store_root, gen_name)
         if not os.path.exists(os.path.join(gen_path, "_DONE")):
             base = current_store_path(store_root)
-            append_to_shingle_artifact(
-                spark, base, batch_df.select("doc_id", "text"), gen_path
+            merge_now = bool(
+                merge_every
+                and not async_maintenance
+                and batch_id > 0
+                and batch_id % merge_every == 0
             )
-            if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            defer = bool(merge_every) and not merge_now
+            graft_tmp, lineage_base = None, _absorbed_base(base)
+            if maint is not None:
+                nb = _newest_maint_base(store_root)
+                if nb is not None and os.path.basename(nb) != lineage_base:
+                    # rebase onto the background-refreshed store: pure
+                    # hard-link grafting, no Spark jobs. Failure (e.g.
+                    # the base was pruned mid-read) falls back to the
+                    # ungrafted base — absorption is an optimization,
+                    # never a correctness dependency.
+                    graft_tmp = f"{gen_path}.rebase{os.getpid()}"
+                    try:
+                        _graft_base(nb, base, graft_tmp)
+                        base = graft_tmp
+                        lineage_base = os.path.basename(nb)
+                    except OSError:
+                        shutil.rmtree(graft_tmp, ignore_errors=True)
+                        graft_tmp = None
+            append_to_shingle_artifact(
+                spark,
+                base,
+                batch_df.select("doc_id", "text"),
+                gen_path,
+                defer_merge=defer,
+            )
+            if lineage_base:
+                # the marker records which base this lineage absorbed;
+                # written on EVERY fold (the append's tmp dir does not
+                # carry sidecars forward)
+                with open(os.path.join(gen_path, _BASE_MARKER), "w") as fh:
+                    fh.write(lineage_base)
+            if graft_tmp is not None:
+                shutil.rmtree(graft_tmp, ignore_errors=True)
+            if (
+                compact_every
+                and not async_maintenance
+                and batch_id > 0
+                and batch_id % compact_every == 0
+                and not defer
+            ):
                 compact_store(spark, gen_path, gen_path)
         # repoint (also the replayed-batch path: the append committed
         # but the sidecar update was lost with the crash)
@@ -227,10 +519,60 @@ def dedup_index_fanout(
         cur_n = _gen_number(cur)
         if batch_id > cur_n:
             _write_current(store_root, gen_name)
+        if (
+            maint is not None
+            and merge_every
+            and batch_id > 0
+            and batch_id % merge_every == 0
+        ):
+            maint.maybe_schedule(spark, os.path.join(store_root, gen_name))
         if gc_keep_last:
             gc_generations(store_root, keep_last=gc_keep_last)
 
+    process_batch.maintenance = maint
     return process_batch
+
+
+def finalize_dedup_index(
+    spark: SparkSession, store_root: str, compact: bool = False
+) -> str:
+    """Bring a drained deferred-mode store fully current: absorb the
+    newest background-published base if one exists (link graft), merge
+    any remaining df_delta/pending backlog into df/stop/kept/meta, and
+    swap the result in as the current generation (same in-place
+    discipline as the mid-stream compaction). No-op on a store with no
+    backlog (beyond an O(1) check). Returns the current store path."""
+    import shutil
+
+    from ..plans.dedup_queries import has_unmerged_deltas
+
+    cur = current_store_path(store_root)
+    nb = _newest_maint_base(store_root)
+    unabsorbed = nb is not None and os.path.basename(nb) != _absorbed_base(cur)
+    if not has_unmerged_deltas(cur) and not unabsorbed:
+        return cur
+    src = cur
+    graft_tmp = None
+    if unabsorbed:
+        graft_tmp = f"{cur}.rebase{os.getpid()}"
+        _graft_base(nb, cur, graft_tmp)
+        src = graft_tmp
+    final_tmp = f"{cur}.final{os.getpid()}"
+    try:
+        if has_unmerged_deltas(src):
+            merge_backlog(spark, src, final_tmp)
+        else:
+            shutil.rmtree(final_tmp, ignore_errors=True)
+            shutil.copytree(src, final_tmp, copy_function=os.link)
+        if compact:
+            compact_store(spark, final_tmp, final_tmp)
+        shutil.rmtree(cur)
+        os.rename(final_tmp, cur)
+    finally:
+        if graft_tmp is not None:
+            shutil.rmtree(graft_tmp, ignore_errors=True)
+        shutil.rmtree(final_tmp, ignore_errors=True)
+    return cur
 
 
 def start_dedup_index_stream(
@@ -244,6 +586,8 @@ def start_dedup_index_stream(
     max_files_per_trigger: int | None = None,
     gc_keep_last: int | None = None,
     compact_every: int | None = None,
+    merge_every: int | None = None,
+    async_maintenance: bool = False,
 ) -> StreamingQuery:
     """File-source stream of (doc_id, text) parquet -> per-micro-batch
     shingle/LSH store maintenance. ``available_now=True`` drains all
@@ -254,7 +598,13 @@ def start_dedup_index_stream(
     ``compact_every`` bound generation-history growth over a long
     crawl (r10 verdict #3): keep-last-K directory GC after each
     commit, and a flat full-rewrite of every C-th generation so file
-    count and link-shared byte history stay bounded."""
+    count and link-shared byte history stay bounded. ``merge_every``
+    (r11 #4) defers df/stop/kept maintenance off the per-batch path to
+    every K-th fold; ``async_maintenance`` (r11 #5) moves that merged
+    refresh to a background worker entirely (see
+    ``dedup_index_fanout``); after an ``available_now`` drain in
+    either deferred mode, call ``finalize_dedup_index`` to bring
+    df/stop/kept/meta fully current."""
     os.makedirs(store_root, exist_ok=True)
     init_empty_shingle_store(spark, os.path.join(store_root, "gen_init"))
     reader = spark.readStream.schema(_DOCS_SCHEMA)
@@ -267,6 +617,8 @@ def start_dedup_index_stream(
                 store_root,
                 gc_keep_last=gc_keep_last,
                 compact_every=compact_every,
+                merge_every=merge_every,
+                async_maintenance=async_maintenance,
             )
         )
         .outputMode("append")

@@ -85,7 +85,12 @@ def main() -> None:
             dirs["fold_ckpt"],
             trigger_seconds=trig,
             gc_keep_last=2,
-            compact_every=8,
+            # r12: merge + compaction run as background maintenance
+            # (merge_every cadence, absorbed by hard-link grafting) —
+            # the foreachBatch critical path is pure O(delta)
+            # (r11 verdict #4/#5)
+            merge_every=8,
+            async_maintenance=True,
         )
         try:
             r = measure_e2e_latency(
@@ -131,7 +136,8 @@ def main() -> None:
         "volume": f"{N_FILES} files x {ROWS_PER_FILE} rows = "
         f"{N_FILES * ROWS_PER_FILE} articles (sf1 documents volume)",
         "concurrent": "dedup-index fold stream (gc_keep_last=2, "
-        "compact_every=8) ingesting the same batches",
+        "merge_every=8 + async_maintenance: merges/compaction off the "
+        "foreachBatch critical path, r12) ingesting the same batches",
         "settings": results,
     }
     with open(out_path, "w") as fh:
