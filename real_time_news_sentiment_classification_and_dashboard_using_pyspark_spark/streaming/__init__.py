@@ -7,6 +7,7 @@ from .dedup_index import (
     init_empty_shingle_store,
     merge_backlog,
     start_dedup_index_stream,
+    wait_maintenance,
 )
 from .pipeline import (
     batch_fanout,
@@ -31,5 +32,6 @@ __all__ = [
     "session_counts",
     "start_dedup_index_stream",
     "start_pipeline",
+    "wait_maintenance",
     "windowed_counts",
 ]

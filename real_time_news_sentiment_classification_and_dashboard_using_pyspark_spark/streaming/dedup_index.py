@@ -379,6 +379,16 @@ class _Maintenance:
         import json
         import shutil
 
+        # detach from the streaming batch's job group: the worker
+        # thread inherits the foreachBatch thread's group, and a
+        # query.stop() would otherwise cancel an in-flight maintenance
+        # job along with the stream's own work
+        try:
+            spark.sparkContext.setJobGroup(
+                "dedup-index-maintenance", "background store refresh"
+            )
+        except Exception:
+            pass
         os.makedirs(self._root, exist_ok=True)
         n = _gen_number(os.path.basename(gen_path))
         snap = os.path.join(self._root, f"src{n}")
@@ -419,6 +429,24 @@ class _Maintenance:
         return final
 
 
+# store_root -> live _Maintenance, so callers that only hold the
+# StreamingQuery (not the fanout closure) can quiesce the worker
+# before tearing the store down — stopping the query does NOT stop an
+# in-flight background refresh
+_MAINTENANCE_REGISTRY: dict[str, "_Maintenance"] = {}
+
+
+def wait_maintenance(store_root: str, timeout: float | None = None) -> None:
+    """Block until the background maintenance job for ``store_root``
+    (if any) finishes. Call before deleting a store that ran with
+    ``async_maintenance`` — a worker mid-merge holds open reads on its
+    snapshot. Exceptions from the job propagate (a failed refresh is
+    harmless to the store, but the caller should know)."""
+    m = _MAINTENANCE_REGISTRY.get(os.path.abspath(store_root))
+    if m is not None:
+        m.wait(timeout)
+
+
 def dedup_index_fanout(
     store_root: str,
     *,
@@ -456,9 +484,11 @@ def dedup_index_fanout(
 
     from ..plans.dedup_queries import append_to_shingle_artifact
 
-    maint = _Maintenance(store_root) if async_maintenance else None
     if async_maintenance and not merge_every:
         raise ValueError("async_maintenance requires merge_every")
+    maint = _Maintenance(store_root) if async_maintenance else None
+    if maint is not None:
+        _MAINTENANCE_REGISTRY[os.path.abspath(store_root)] = maint
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

@@ -125,6 +125,13 @@ def main() -> None:
     )
     ap.add_argument("--family", default=None)
     ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated explicit query-name list (exact names; "
+        "composes with --family) — used for the sf100-subset probe "
+        "where only the documents/embeddings tables exist",
+    )
+    ap.add_argument(
         "--skip-base",
         action="store_true",
         help="sweep ONLY the extra_sf_dirs (skip the sf0.01/sf0.1 legs) "
@@ -165,6 +172,12 @@ def main() -> None:
             raise SystemExit("--skip-base requires at least one extra sf_dir")
         SF_DIRS = list(args.extra_sf_dirs)
     names = select_queries(args.family)
+    if args.only:
+        wanted = {s.strip() for s in args.only.split(",") if s.strip()}
+        unknown = wanted - set(names)
+        if unknown:
+            raise SystemExit(f"--only names not in registry: {sorted(unknown)}")
+        names = [n for n in names if n in wanted]
     fingerprint = _run_fingerprint(names, args.family)
     spark = get_spark("full-correctness")
     spark.sparkContext.setLogLevel("ERROR")
@@ -175,6 +188,7 @@ def main() -> None:
         "tests/test_oracle_full.py",
         "fingerprint": fingerprint,
         **({"family_filter": args.family} if args.family else {}),
+        **({"only_filter": sorted(names)} if args.only else {}),
         "sweeps": {},
     }
     exit_code = 0

@@ -46,8 +46,9 @@ import sys
 from pyspark.sql import DataFrame, functions as F
 
 
-def _strides(spark, src: str) -> dict[str, int]:
-    """max+1 per primary key — the per-replica shift stride."""
+def _strides(spark, src: str, tables: set | None = None) -> dict[str, int]:
+    """max+1 per primary key — the per-replica shift stride. ``tables``
+    limits the footer scans to the tables a partial generation needs."""
     out = {}
     for tbl, key in [
         ("customer", "c_custkey"),
@@ -58,22 +59,28 @@ def _strides(spark, src: str) -> dict[str, int]:
         ("documents", "doc_id"),
         ("embeddings", "vec_id"),
     ]:
+        if tables is not None and tbl not in tables:
+            continue
         df = spark.read.parquet(f"{src}/{tbl}.parquet")
         out[tbl] = int(df.agg(F.max(key)).head()[0]) + 1
-    out["user"] = (
-        int(
-            spark.read.parquet(f"{src}/events.parquet")
-            .agg(F.max("user_id"))
-            .head()[0]
+    if tables is None or "events" in tables:
+        out["user"] = (
+            int(
+                spark.read.parquet(f"{src}/events.parquet")
+                .agg(F.max("user_id"))
+                .head()[0]
+            )
+            + 1
         )
-        + 1
-    )
     return out
 
 
 def _replicas(df: DataFrame, k: int, build) -> DataFrame:
     """Union of build(r) for r in 0..k-1 — one scan per replica, all
-    writes land in one job per table."""
+    writes land in one job per table. None (a table skipped by the
+    ``tables`` filter) flows through."""
+    if df is None:
+        return None
     parts = [build(df, r) for r in range(k)]
     out = parts[0]
     for p in parts[1:]:
@@ -81,22 +88,48 @@ def _replicas(df: DataFrame, k: int, build) -> DataFrame:
     return out
 
 
-def generate(spark, src: str, dst: str, k: int) -> None:
+def generate(
+    spark, src: str, dst: str, k: int, tables: set | None = None
+) -> None:
+    """Replicate ``src`` K-fold into ``dst``. ``tables=None`` writes
+    the full fixture set; a set (e.g. {"documents", "embeddings"})
+    writes only those tables — the sf100-subset probe (r11 verdict #6)
+    needs just the two dial-bound relations, and 8 unused 100x tables
+    would waste an hour and 20 GB."""
+    want = lambda t: tables is None or t in tables  # noqa: E731
     os.makedirs(dst, exist_ok=True)
-    st = _strides(spark, src)
+    # orders shares the customer stride; lineitem shares orders/part/
+    # supplier strides
+    deps = {
+        "orders": {"customer"},
+        "lineitem": {"orders", "part", "supplier"},
+    }
+    need = None
+    if tables is not None:
+        need = set(tables)
+        for t in tables:
+            need |= deps.get(t, set())
+    st = _strides(spark, src, need)
 
     def w(df: DataFrame, name: str, parts: int = 32) -> None:
+        if df is None:  # table skipped by the ``tables`` filter
+            return
         df.repartition(parts).write.mode("overwrite").parquet(
             f"{dst}/{name}.parquet"
         )
 
     # fixed dimensions: straight copies
     for name in ("region", "nation"):
+        if not want(name):
+            continue
         spark.read.parquet(f"{src}/{name}.parquet").coalesce(1).write.mode(
             "overwrite"
         ).parquet(f"{dst}/{name}.parquet")
 
-    cust = spark.read.parquet(f"{src}/customer.parquet")
+    if not want("customer"):
+        cust = None
+    else:
+        cust = spark.read.parquet(f"{src}/customer.parquet")
     w(
         _replicas(
             cust,
@@ -114,7 +147,10 @@ def generate(spark, src: str, dst: str, k: int) -> None:
         "customer",
     )
 
-    supp = spark.read.parquet(f"{src}/supplier.parquet")
+    if not want("supplier"):
+        supp = None
+    else:
+        supp = spark.read.parquet(f"{src}/supplier.parquet")
     w(
         _replicas(
             supp,
@@ -131,7 +167,10 @@ def generate(spark, src: str, dst: str, k: int) -> None:
         "supplier",
     )
 
-    part = spark.read.parquet(f"{src}/part.parquet")
+    if not want("part"):
+        part = None
+    else:
+        part = spark.read.parquet(f"{src}/part.parquet")
     w(
         _replicas(
             part,
@@ -148,7 +187,10 @@ def generate(spark, src: str, dst: str, k: int) -> None:
         "part",
     )
 
-    orders = spark.read.parquet(f"{src}/orders.parquet")
+    if not want("orders"):
+        orders = None
+    else:
+        orders = spark.read.parquet(f"{src}/orders.parquet")
     w(
         _replicas(
             orders,
@@ -165,7 +207,10 @@ def generate(spark, src: str, dst: str, k: int) -> None:
         "orders",
     )
 
-    li = spark.read.parquet(f"{src}/lineitem.parquet")
+    if not want("lineitem"):
+        li = None
+    else:
+        li = spark.read.parquet(f"{src}/lineitem.parquet")
     w(
         _replicas(
             li,
@@ -188,8 +233,10 @@ def generate(spark, src: str, dst: str, k: int) -> None:
         parts=64,
     )
 
-    ev = spark.read.parquet(f"{src}/events.parquet")
-    ts_type = dict(ev.dtypes).get("ts", "")
+    ev = (
+        spark.read.parquet(f"{src}/events.parquet") if want("events") else None
+    )
+    ts_type = dict(ev.dtypes).get("ts", "") if ev is not None else ""
     ts_col = (
         F.timestamp_micros((F.col("ts") / 1000).cast("long")).cast("timestamp_ntz")
         if ts_type == "bigint"  # TIMESTAMP(NANOS) read under nanosAsLong
@@ -211,7 +258,11 @@ def generate(spark, src: str, dst: str, k: int) -> None:
         "events",
     )
 
-    docs = spark.read.parquet(f"{src}/documents.parquet")
+    docs = (
+        spark.read.parquet(f"{src}/documents.parquet")
+        if want("documents")
+        else None
+    )
     tag = lambda r: chr(ord("a") + r % 26) + chr(ord("a") + (r // 26) % 26)
 
     def doc_replica(d, r):
@@ -240,9 +291,17 @@ def generate(spark, src: str, dst: str, k: int) -> None:
 
     w(_replicas(docs, k, doc_replica), "documents")
 
-    emb = spark.read.parquet(f"{src}/embeddings.parquet")
-    dim = len(emb.head()["embedding"])
-    el_type = emb.schema["embedding"].dataType.elementType.simpleString()
+    emb = (
+        spark.read.parquet(f"{src}/embeddings.parquet")
+        if want("embeddings")
+        else None
+    )
+    dim = len(emb.head()["embedding"]) if emb is not None else 0
+    el_type = (
+        emb.schema["embedding"].dataType.elementType.simpleString()
+        if emb is not None
+        else "double"
+    )
 
     def emb_replica(d, r):
         if r == 0:
@@ -338,12 +397,19 @@ if __name__ == "__main__":
         n = spark.read.parquet(f"{dst}/embeddings.parquet").count()
         print(f"GEN hard embeddings {n}")
         sys.exit(0)
-    src, dst, k = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    args = [a for a in sys.argv[1:] if not a.startswith("--tables")]
+    tables = None
+    for a in sys.argv[1:]:
+        if a.startswith("--tables="):
+            tables = set(a.split("=", 1)[1].split(","))
+    src, dst, k = args[0], args[1], int(args[2])
     spark = session.get_spark()
-    generate(spark, src, dst, k)
+    generate(spark, src, dst, k, tables=tables)
     for name in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"
     ).split():
+        if tables is not None and name not in tables:
+            continue
         n = spark.read.parquet(f"{dst}/{name}.parquet").count()
         print(f"GEN {name} {n}")

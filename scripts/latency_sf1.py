@@ -126,6 +126,18 @@ def main() -> None:
             )
         finally:
             fold_q.stop()
+            # quiesce the background maintenance worker BEFORE deleting
+            # the store — a mid-merge job holds open reads on its
+            # snapshot (a failed refresh is harmless, so swallow it
+            # here; the numbers above already include its load)
+            from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.streaming import (
+                wait_maintenance,
+            )
+
+            try:
+                wait_maintenance(dirs["store"], 600)
+            except Exception as exc:
+                print(f"maintenance job surfaced: {exc!r}", file=sys.stderr)
             spark.streams.removeListener(fold_listener)
             shutil.rmtree(work, ignore_errors=True)
         r["land_gap_seconds"] = gap
