@@ -32,6 +32,12 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLE_NAMES:
         path = f"{sf_dir}/{t}.parquet"
+        # partial fixture dirs (the sf100-subset probe generates only
+        # documents+embeddings): skip missing tables — only queries
+        # that touch them will fail, which is exactly the signal a
+        # subset sweep wants
+        if not os.path.exists(path):
+            continue
         # driver testdata ships single parquet FILES; locally generated
         # scale-ups (scripts/gen_scale_testdata.py) are Spark parquet
         # DIRECTORIES — glob those for DuckDB
