@@ -154,6 +154,35 @@ def _doc_cap_where(sf_dir: str) -> str | None:
     return f" WHERE (doc_id % 1000000) % {m} = 0" if m > 1 else ""
 
 
+def _heavy_cap_mod_for(spark, sf_dir: str) -> int:
+    """The r12 heavy-pair-family cap (dials._heavy_pair_cap_mod): a
+    10x-larger slab than `_doc_cap_mod_for`, no-op through sf10 (every
+    previously hash-verified scale), M=10 at sf100. Same footer count
+    source as every dial."""
+    from .dials import _heavy_pair_cap_mod
+    from .similarity_queries import _parquet_total_count
+
+    n = _parquet_total_count(sf_dir, "documents")
+    if n is None:
+        n = table(spark, sf_dir, "documents").count()
+    return _heavy_pair_cap_mod(n)
+
+
+def _heavy_cap_where(sf_dir: str) -> str | None:
+    """Oracle twin of the heavy-pair cap ('' when inactive, None when
+    the corpus is unreadable) — drop-in for ``_shingles_sql``'s
+    doc_pred slot, same base-id twin-preserving predicate as
+    ``_doc_cap_where``."""
+    from .dials import _heavy_pair_cap_mod
+    from .similarity_queries import _parquet_total_count
+
+    n = _parquet_total_count(sf_dir, "documents")
+    if n is None:
+        return None
+    m = _heavy_pair_cap_mod(n)
+    return f" WHERE (doc_id % 1000000) % {m} = 0" if m > 1 else ""
+
+
 # MATERIALIZED is load-bearing at sweep scale: DuckDB inlines plain
 # CTEs once PER REFERENCE, and every dedup oracle reads ``sh`` 2-5
 # times (signatures + both verify sides) — the union oracle re-paid
@@ -1305,9 +1334,21 @@ def _jaccard_pairs_by_count(arr: DataFrame, threshold: float = 0.5) -> DataFrame
     return jac.filter(F.col("jaccard") >= F.lit(threshold))
 
 
+def _ngram_jaccard_oracle(sf_dir: str) -> str | None:
+    """Callable oracle (r12): the exact-Jaccard pair SQL with the
+    heavy-pair corpus cap resolved for THIS corpus — byte-identical to
+    the former static text at every scale through sf10 (cap inactive).
+    At sf100 the capped `sh` CTE feeds the SAME stop/kept derivation,
+    so both engines compute the query over the identical sub-corpus."""
+    pred = _heavy_cap_where(sf_dir)
+    if pred is None:
+        return None
+    return _shingles_sql(pred) + ",\n" + _JACCARD_BODY
+
+
 @register(
     "ngram_jaccard_pairs",
-    oracle=SHINGLES_SQL + ",\n" + _JACCARD_BODY,
+    oracle=_ngram_jaccard_oracle,
     tags=("dedup", "jaccard"),
 )
 def ngram_jaccard_pairs(spark, sf_dir):
@@ -1323,8 +1364,30 @@ def ngram_jaccard_pairs(spark, sf_dir):
     table (``dedup_shingle_build``) — the tokenize/shingle pass is the
     family's shared build, not this query's cost. The PPJoin
     prefix-filtered kernel remains live as ``simhash_recall_eval``'s
-    ground-truth producer."""
-    return _jaccard_pairs_by_count(_shingle_store(spark, sf_dir)["kept"])
+    ground-truth producer.
+
+    Above the r12 heavy-pair cap (sf100+) the pair kernel runs over
+    the capped sub-corpus with stop/kept RECOMPUTED from the capped
+    docs' arrays — matching the oracle, whose capped ``sh`` CTE feeds
+    its own stop/kept derivation. Arrays are per-doc, so filtering
+    them equals tokenizing the capped corpus; the recompute touches
+    only the 1/M subset."""
+    store = _shingle_store(spark, sf_dir)
+    m = _heavy_cap_mod_for(spark, sf_dir)
+    if m == 1:
+        return _jaccard_pairs_by_count(store["kept"])
+    rows = (
+        store["arrays"]
+        .filter(_doc_cap_pred(m))
+        .select("doc_id", F.explode("sh_arr").alias("shingle"))
+    )
+    df_tab = rows.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    kept = (
+        rows.join(df_tab.filter(F.col("df") <= STOP_SHINGLE_DF), "shingle")
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("sh_arr"))
+    )
+    return _jaccard_pairs_by_count(kept)
 
 
 # ---------------------------------------------------------------------------
@@ -1402,9 +1465,9 @@ bands AS (
 )"""
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(doc_pred: str = "") -> str:
     return (
-        SHINGLES_SQL
+        _shingles_sql(doc_pred)
         + ","
         + _minhash_sig_ctes()
         + """,
@@ -1431,7 +1494,19 @@ SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5
     )
 
 
-@register("minhash_lsh_pairs", oracle=_minhash_sql(), tags=("dedup", "minhash", "lsh"))
+def _minhash_oracle(sf_dir: str) -> str | None:
+    """Callable oracle (r12): MinHash-LSH pair SQL with the heavy-pair
+    cap resolved for THIS corpus — byte-identical to the former static
+    text through sf10 (cap inactive). Signatures/bands/verify have no
+    df dependence, so capping the ``sh`` CTE top-of-pipeline is exact
+    for the capped sub-corpus."""
+    pred = _heavy_cap_where(sf_dir)
+    if pred is None:
+        return None
+    return _minhash_sql(pred)
+
+
+@register("minhash_lsh_pairs", oracle=_minhash_oracle, tags=("dedup", "minhash", "lsh"))
 def minhash_lsh_pairs(spark, sf_dir):
     """MinHash (16 hashes) + LSH (4 bands x 4 rows) near-dup candidate
     generation, then exact Jaccard verification of candidates only.
@@ -1452,6 +1527,12 @@ def minhash_lsh_pairs(spark, sf_dir):
     taken map-side from the array length."""
     store = _shingle_store(spark, sf_dir)
     bands = store["bands"]
+    m = _heavy_cap_mod_for(spark, sf_dir)
+    if m > 1:  # r12 heavy-pair cap (sf100+): filter the persisted
+        # per-doc band index — equals signaturing the capped corpus
+        # (a doc's signature depends only on its own shingles); the
+        # verify join only touches surviving candidates' docs
+        bands = bands.filter(_doc_cap_pred(m))
     x, y = bands.alias("x"), bands.alias("y")
     cand = (
         x.join(
@@ -1544,12 +1625,20 @@ _WINNOW_W = 4
 _WINNOW_MIN_SHARED = 5
 
 
-@register(
-    "winnowing_fingerprint_pairs",
-    oracle="WITH "
-    + CORPUS_SQL
-    + f""",
-tok AS (SELECT doc_id, {TOKS} AS t FROM corpus),
+def _winnowing_oracle(sf_dir: str) -> str | None:
+    """Callable oracle (r12): winnowing pair SQL with the heavy-pair
+    cap resolved for THIS corpus — byte-identical to the former static
+    text through sf10 (cap inactive). The hot-fingerprint cutoff
+    recomputes over the capped corpus on both engines (the Spark side
+    filters the corpus before positional hashing)."""
+    pred = _heavy_cap_where(sf_dir)
+    if pred is None:
+        return None
+    return (
+        "WITH "
+        + CORPUS_SQL
+        + f""",
+tok AS (SELECT doc_id, {TOKS} AS t FROM corpus{pred}),
 psh AS (
     SELECT doc_id, i - 1 AS pos,
            ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 25, 8))::BIGINT AS h32
@@ -1568,7 +1657,13 @@ kept AS (SELECT * FROM fps WHERE fp NOT IN (SELECT fp FROM hot))
 SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
 FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id
 GROUP BY 1, 2 HAVING count(*) >= {_WINNOW_MIN_SHARED}
-""",
+"""
+    )
+
+
+@register(
+    "winnowing_fingerprint_pairs",
+    oracle=_winnowing_oracle,
     tags=("dedup", "fingerprint", "winnowing"),
 )
 def winnowing_fingerprint_pairs(spark, sf_dir):
@@ -1594,8 +1689,13 @@ def winnowing_fingerprint_pairs(spark, sf_dir):
     pairs sharing >= 5 fingerprints with the shared count. Hash
     positions are 0-based on both engines; only FULL windows select
     (the standard winnowing definition), so both engines see the same
-    sketch."""
+    sketch. Above the r12 heavy-pair cap (sf100+) the corpus filters
+    top-of-pipeline and the hot cutoff recomputes over the capped
+    docs — mirroring the callable oracle."""
     c = _corpus(spark, sf_dir)
+    m = _heavy_cap_mod_for(spark, sf_dir)
+    if m > 1:
+        c = c.filter(_doc_cap_pred(m))
     sh = (
         c.select(
             "doc_id",

@@ -71,6 +71,29 @@ def _doc_cap_mod(n_docs: int) -> int:
 
 
 # ---------------------------------------------------------------------------
+# Heavy-pair-family corpus cap (NEW r12, the sf100 rendering of the
+# same treatment). The minhash/ngram/winnowing pair families stayed
+# UNCAPPED through sf10 by design — their oracles completed there
+# (72/329/157 s) — but at sf100 (5 M base docs) the DuckDB side's
+# full-corpus tokenize + pair CTEs exceed any budget and ballooned
+# past 100 GB (r12 probe: OOM). Same base-id predicate and twin
+# preservation as `_doc_cap_mod`, with a 10x-larger slab so the dial
+# is a no-op at EVERY previously-verified scale (sf0.001..sf10 ->
+# M = 1, all r11 hashes frozen); at sf100 M = 10 restricts both
+# engines to exactly sf10 scale, where the hash contract is proven.
+# Capped semantics are self-consistent: stop/df cutoffs recompute over
+# the capped corpus on BOTH engines (declared degradation, mirrored
+# predicate, never silent truncation).
+# ---------------------------------------------------------------------------
+
+_HEAVY_PAIR_CAP = 500_000
+
+
+def _heavy_pair_cap_mod(n_docs: int) -> int:
+    return max(1, math.ceil(n_docs / _HEAVY_PAIR_CAP))
+
+
+# ---------------------------------------------------------------------------
 # Hyperplane-LSH bucket width (single-table family). Target ~80 rows
 # per bucket, floor 8 bits: bits = max(8, ceil(log2(n/80))). Inactive
 # at every committed fixture (n <= 20480 -> 8 bits); at 100 TB it is

@@ -30,6 +30,17 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     import os
 
     con = duckdb.connect()
+    # bound the oracle's memory and give it a spill path: DuckDB's
+    # default limit (~80% of RAM) plus a 24 GB sweep JVM OOM-killed the
+    # r12 sf100 probe at 103 GB RSS — a capped oracle spills (or times
+    # out into the rows-only contract) instead of taking the process
+    # down. Overridable for small hosts via SPARK_GRAFT_DUCK_MEM.
+    mem = os.environ.get("SPARK_GRAFT_DUCK_MEM", "48GB")
+    try:
+        con.execute(f"SET memory_limit='{mem}'")
+        con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+    except duckdb.Error:
+        pass  # older duckdb without these pragmas: keep defaults
     for t in TABLE_NAMES:
         path = f"{sf_dir}/{t}.parquet"
         # partial fixture dirs (the sf100-subset probe generates only

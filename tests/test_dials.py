@@ -16,9 +16,11 @@ from hypothesis import strategies as st
 
 from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans.dials import (
     _DOC_PAIR_CAP,
+    _HEAVY_PAIR_CAP,
     _PAIRWISE_CAP,
     _doc_cap_mod,
     _fuzzy_block_len,
+    _heavy_pair_cap_mod,
     _lsh_bits,
     _pair_cap_mod,
     _semdedup_k,
@@ -41,6 +43,9 @@ N = st.integers(min_value=1, max_value=10**12)
 def test_fixture_pins():
     assert all(_pair_cap_mod(n) == 1 for n in FIXTURE_EMB)
     assert all(_doc_cap_mod(n) == 1 for n in FIXTURE_DOCS)
+    # heavy-pair cap (r12): no-op at every fixture AND at sf10 (the
+    # scale whose hashes r11 froze) - first active corpus is sf100
+    assert all(_heavy_pair_cap_mod(n) == 1 for n in FIXTURE_DOCS + [500_000])
     assert all(_lsh_bits(n) == 8 for n in FIXTURE_EMB)
     assert all(_semdedup_k(n) == 16 for n in FIXTURE_EMB)
     assert all(_fuzzy_block_len(n) == 3 for n in FIXTURE_CUST)
@@ -50,6 +55,8 @@ def test_scale_points():
     """The measured non-fixture points the r10 datasheet recorded."""
     assert _pair_cap_mod(200_000) == 10  # sf10 embeddings
     assert _doc_cap_mod(500_000) == 10  # sf10 documents
+    assert _heavy_pair_cap_mod(500_000) == 1  # sf10: heavy cap still off
+    assert _heavy_pair_cap_mod(5_000_000) == 10  # sf100 documents
     assert _semdedup_k(200_000) == 160
     assert _fuzzy_block_len(1_500_000) == 4
     assert _lsh_bits(200_000) == 12 and _lsh_bits(2_000_000) == 15
@@ -64,6 +71,7 @@ def test_monotone(a, b):
     lo, hi = sorted((a, b))
     assert _pair_cap_mod(lo) <= _pair_cap_mod(hi)
     assert _doc_cap_mod(lo) <= _doc_cap_mod(hi)
+    assert _heavy_pair_cap_mod(lo) <= _heavy_pair_cap_mod(hi)
     assert _lsh_bits(lo) <= _lsh_bits(hi)
     assert _semdedup_k(lo) <= _semdedup_k(hi)
     assert _fuzzy_block_len(lo) <= _fuzzy_block_len(hi)
@@ -78,6 +86,7 @@ def test_monotone(a, b):
 def test_slab_edge_continuity(n):
     assert _pair_cap_mod(n + 1) - _pair_cap_mod(n) in (0, 1)
     assert _doc_cap_mod(n + 1) - _doc_cap_mod(n) in (0, 1)
+    assert _heavy_pair_cap_mod(n + 1) - _heavy_pair_cap_mod(n) in (0, 1)
     assert _lsh_bits(n + 1) - _lsh_bits(n) in (0, 1)
     assert _semdedup_k(n + 1) - _semdedup_k(n) in (0, 16)
     assert _fuzzy_block_len(n + 1) - _fuzzy_block_len(n) in (0, 1)
@@ -89,6 +98,8 @@ def test_exact_slab_edges():
     assert _pair_cap_mod(_PAIRWISE_CAP + 1) == 2
     assert _doc_cap_mod(_DOC_PAIR_CAP) == 1
     assert _doc_cap_mod(_DOC_PAIR_CAP + 1) == 2
+    assert _heavy_pair_cap_mod(_HEAVY_PAIR_CAP) == 1
+    assert _heavy_pair_cap_mod(_HEAVY_PAIR_CAP + 1) == 2
     assert _fuzzy_block_len(200_000) == 3
     assert _fuzzy_block_len(200_001) == 4
 
@@ -109,3 +120,64 @@ def test_cap_keeps_evaluation_scale(n):
     assert n / md <= _DOC_PAIR_CAP
     if md > 1:
         assert n / md > _DOC_PAIR_CAP / 2
+    mh = _heavy_pair_cap_mod(n)
+    assert n / mh <= _HEAVY_PAIR_CAP
+    if mh > 1:
+        assert n / mh > _HEAVY_PAIR_CAP / 2
+
+
+# ---- forced-cap equivalence: the r12 heavy-pair capped code paths
+# ---- (capped kept recompute / band filter / corpus filter) must equal
+# ---- their oracle renderings with the same predicate, proven at
+# ---- fixture scale by forcing m > 1 --------------------------------------
+
+
+def test_heavy_cap_mirrors_oracle_when_forced(monkeypatch):
+    """Force the heavy-pair cap active (m=5) at sf0.001 and compare
+    each capped query against its capped oracle SQL via DuckDB — the
+    exact mirroring the sf100 probe relies on, testable without a 5M
+    doc corpus."""
+    import duckdb
+    import pytest
+
+    spark = pytest.importorskip(
+        "real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark"
+    ).get_spark()
+    import real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans.dedup_queries as dq
+
+    SF = "/root/testdata/sf0.001"
+    M = 5
+    monkeypatch.setattr(dq, "_heavy_cap_mod_for", lambda s, d: M)
+    monkeypatch.setattr(
+        dq,
+        "_heavy_cap_where",
+        lambda d: f" WHERE (doc_id % 1000000) % {M} = 0",
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+
+    for name in (
+        "ngram_jaccard_pairs",
+        "minhash_lsh_pairs",
+        "winnowing_fingerprint_pairs",
+    ):
+        from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans import (
+            REGISTRY,
+        )
+
+        q = REGISTRY[name]
+        got = sorted(
+            tuple(round(v, 4) if isinstance(v, float) else v for v in r)
+            for r in q.fn(spark, SF).collect()
+        )
+        sql = q.oracle(SF) if callable(q.oracle) else q.oracle
+        exp = sorted(
+            tuple(round(v, 4) if isinstance(v, float) else v for v in r)
+            for r in con.execute(sql).fetchall()
+        )
+        assert got == exp, f"{name}: capped Spark != capped oracle"
+        assert got, f"{name}: forced cap produced an empty result"
