@@ -110,6 +110,20 @@ def generate(
         for t in tables:
             need |= deps.get(t, set())
     st = _strides(spark, src, need)
+    # documents: the dedup corpus synthesizes a near-dup twin at
+    # doc_id + 1_000_000 (dedup_queries.CORPUS_SQL), so generated
+    # original ids must never cross into a twin's id. When k * stride
+    # would exceed 1e6 (first hit: sf100 = 5M docs), stride in whole
+    # EVEN-million blocks instead: originals occupy even-million bands,
+    # their +1e6 twins the odd bands — collision-free at any k, and
+    # recursively (a later x10 of such a corpus strides in even
+    # multiples again). Base-id arithmetic (doc_id % 1e6) and twin
+    # pairing are preserved. No previously generated corpus changes:
+    # sf1 (50k ids) and sf10 (500k ids) stay below the threshold.
+    import math
+
+    if "documents" in st and k * st["documents"] > 1_000_000:
+        st["documents"] = math.ceil(st["documents"] / 2_000_000) * 2_000_000
 
     def w(df: DataFrame, name: str, parts: int = 32) -> None:
         if df is None:  # table skipped by the ``tables`` filter
