@@ -1334,6 +1334,33 @@ def _jaccard_pairs_by_count(arr: DataFrame, threshold: float = 0.5) -> DataFrame
     return jac.filter(F.col("jaccard") >= F.lit(threshold))
 
 
+def _capped_kept(store: dict, m: int) -> DataFrame:
+    """The stop-filtered kept relation of the HEAVY-CAPPED sub-corpus,
+    recomputed from the store's per-doc arrays (arrays are per-doc, so
+    filtering them equals tokenizing the capped corpus; stop/df are
+    recomputed over the capped docs — matching a capped oracle whose
+    ``sh`` CTE feeds its own stop/kept derivation). sh_arr is sorted by
+    (capped df, shingle), the SAME global order the store build bakes
+    in, so the PPJoin prefix bound stays sound on the capped
+    relation."""
+    rows = (
+        store["arrays"]
+        .filter(_doc_cap_pred(m))
+        .select("doc_id", F.explode("sh_arr").alias("shingle"))
+    )
+    df_tab = rows.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        rows.join(df_tab.filter(F.col("df") <= STOP_SHINGLE_DF), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("shingle").alias("s")))
+            ).alias("karr")
+        )
+        .select("doc_id", F.col("karr.s").alias("sh_arr"))
+    )
+
+
 def _ngram_jaccard_oracle(sf_dir: str) -> str | None:
     """Callable oracle (r12): the exact-Jaccard pair SQL with the
     heavy-pair corpus cap resolved for THIS corpus — byte-identical to
@@ -1376,18 +1403,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
     m = _heavy_cap_mod_for(spark, sf_dir)
     if m == 1:
         return _jaccard_pairs_by_count(store["kept"])
-    rows = (
-        store["arrays"]
-        .filter(_doc_cap_pred(m))
-        .select("doc_id", F.explode("sh_arr").alias("shingle"))
-    )
-    df_tab = rows.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    kept = (
-        rows.join(df_tab.filter(F.col("df") <= STOP_SHINGLE_DF), "shingle")
-        .groupBy("doc_id")
-        .agg(F.collect_list("shingle").alias("sh_arr"))
-    )
-    return _jaccard_pairs_by_count(kept)
+    return _jaccard_pairs_by_count(_capped_kept(store, m))
 
 
 # ---------------------------------------------------------------------------
@@ -2085,10 +2101,8 @@ def simhash_pairs(spark, sf_dir):
 _EVAL_SAMPLE_SQL = "(doc_id % 1000000) % 4 = 0"
 
 
-@register(
-    "simhash_recall_eval",
-    oracle=SHINGLES_SQL
-    + f""",
+_RECALL_EVAL_BODY_32 = (
+    f""",
 stop AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > {STOP_SHINGLE_DF}),
 kept AS (
     SELECT sh.* FROM sh
@@ -2125,7 +2139,26 @@ SELECT sim_band,
        CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_simhash,
        round(sum(CASE WHEN hit THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS recall
 FROM j GROUP BY sim_band
-""",
+"""
+)
+
+
+def _simhash_recall_oracle(sf_dir: str) -> str | None:
+    """Callable oracle (r12): the 32-bit recall-eval SQL with the
+    heavy-pair cap in the shingle CTE — byte-identical through sf10
+    (cap inactive); at sf100 the uncapped ``sh AS MATERIALIZED`` over
+    the 10M-row corpus spilled >50 GB of DuckDB temp and filled the
+    disk. The quarter eval sample composes with the cap on both
+    engines (capped corpus, then base-id %4)."""
+    pred = _heavy_cap_where(sf_dir)
+    if pred is None:
+        return None
+    return _shingles_sql(pred) + _RECALL_EVAL_BODY_32
+
+
+@register(
+    "simhash_recall_eval",
+    oracle=_simhash_recall_oracle,
     tags=("dedup", "simhash", "evaluation"),
 )
 def simhash_recall_eval(spark, sf_dir):
@@ -2150,12 +2183,17 @@ def simhash_recall_eval(spark, sf_dir):
     (doc_a, doc_b) composite. Sampling after stop-filtering keeps the
     full-corpus stop list and PPJoin df-order intact, so the exact
     kernel's prefix bound stays sound (any consistent global order
-    over a subset is still consistent)."""
-    pred = (F.col("doc_id") % 1000000) % 4 == 0
-    exact = _jaccard_pairs_from_arrays(
-        _shingle_store(spark, sf_dir)["kept"].filter(pred), pre_filtered=True
-    )
-    sim = _simhash_pair_set(spark, sf_dir, doc_pred=pred).select(
+    over a subset is still consistent). Above the r12 heavy-pair cap
+    (sf100+) both arms restrict to the capped sub-corpus first —
+    stop/kept recomputed over it (``_capped_kept``), the quarter
+    sample composing on top, mirroring the callable oracle."""
+    store = _shingle_store(spark, sf_dir)
+    m = _heavy_cap_mod_for(spark, sf_dir)
+    sample = (F.col("doc_id") % 1000000) % 4 == 0
+    kept = store["kept"] if m == 1 else _capped_kept(store, m)
+    doc_pred = sample if m == 1 else (sample & _doc_cap_pred(m))
+    exact = _jaccard_pairs_from_arrays(kept.filter(sample), pre_filtered=True)
+    sim = _simhash_pair_set(spark, sf_dir, doc_pred=doc_pred).select(
         "doc_a", "doc_b", F.lit(1).alias("hit")
     )
     j = exact.join(sim, ["doc_a", "doc_b"], "left")
@@ -2177,10 +2215,8 @@ def simhash_recall_eval(spark, sf_dir):
     )
 
 
-@register(
-    "simhash64_recall_eval",
-    oracle=SHINGLES_SQL
-    + f""",
+_RECALL_EVAL_BODY_64 = (
+    f""",
 stop AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > {STOP_SHINGLE_DF}),
 kept AS (
     SELECT sh.* FROM sh
@@ -2217,7 +2253,23 @@ SELECT sim_band,
        CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_simhash,
        round(sum(CASE WHEN hit THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS recall
 FROM j GROUP BY sim_band
-""",
+"""
+)
+
+
+def _simhash64_recall_oracle(sf_dir: str) -> str | None:
+    """Callable oracle (r12): the 64-bit recall-eval SQL with the
+    heavy-pair cap in the shingle CTE — see
+    ``_simhash_recall_oracle``."""
+    pred = _heavy_cap_where(sf_dir)
+    if pred is None:
+        return None
+    return _shingles_sql(pred) + _RECALL_EVAL_BODY_64
+
+
+@register(
+    "simhash64_recall_eval",
+    oracle=_simhash64_recall_oracle,
     tags=("dedup", "simhash", "evaluation"),
 )
 def simhash64_recall_eval(spark, sf_dir):
@@ -2235,12 +2287,17 @@ def simhash64_recall_eval(spark, sf_dir):
     four-block pair set, both reading the materialized store, compared
     by one keyed left join. Hamming<=16 of 64 is the same fraction of
     signature width as 8 of 32, so recall differences are attributable
-    to the width itself, not a threshold change."""
-    pred = (F.col("doc_id") % 1000000) % 4 == 0
-    exact = _jaccard_pairs_from_arrays(
-        _shingle_store(spark, sf_dir)["kept"].filter(pred), pre_filtered=True
-    )
-    sim = _simhash64_pair_set(spark, sf_dir, doc_pred=pred).select(
+    to the width itself, not a threshold change. Above the r12
+    heavy-pair cap (sf100+) both arms restrict to the capped
+    sub-corpus first, mirroring the callable oracle (see
+    ``simhash_recall_eval``)."""
+    store = _shingle_store(spark, sf_dir)
+    m = _heavy_cap_mod_for(spark, sf_dir)
+    sample = (F.col("doc_id") % 1000000) % 4 == 0
+    kept = store["kept"] if m == 1 else _capped_kept(store, m)
+    doc_pred = sample if m == 1 else (sample & _doc_cap_pred(m))
+    exact = _jaccard_pairs_from_arrays(kept.filter(sample), pre_filtered=True)
+    sim = _simhash64_pair_set(spark, sf_dir, doc_pred=doc_pred).select(
         "doc_a", "doc_b", F.lit(1).alias("hit")
     )
     j = exact.join(sim, ["doc_a", "doc_b"], "left")

@@ -164,6 +164,8 @@ def test_heavy_cap_mirrors_oracle_when_forced(monkeypatch):
         "ngram_jaccard_pairs",
         "minhash_lsh_pairs",
         "winnowing_fingerprint_pairs",
+        "simhash_recall_eval",
+        "simhash64_recall_eval",
     ):
         from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans import (
             REGISTRY,
