@@ -94,6 +94,25 @@ def _heavy_pair_cap_mod(n_docs: int) -> int:
 
 
 # ---------------------------------------------------------------------------
+# Embeddings-side heavy cap (NEW r12): the same idea for
+# corpus-level vector operators whose cell-count dial keeps occupancy
+# constant (cells ∝ n) — which makes broadcast assignment work
+# n x cells ∝ n², quadratic. At sf100 `semantic_dedup`'s 2M x 1568
+# assignment sort (3.1G rows) exhausted disk spill. No-op through
+# sf10 (200k vectors, every previously-verified scale); M = 10 at
+# sf100 restricts to exactly sf10 scale. Plain `vec_id % M` predicate
+# (the embedding families' sample form — embeddings have no twin-id
+# convention).
+# ---------------------------------------------------------------------------
+
+_EMB_HEAVY_CAP = 200_000
+
+
+def _emb_heavy_cap_mod(n_vectors: int) -> int:
+    return max(1, math.ceil(n_vectors / _EMB_HEAVY_CAP))
+
+
+# ---------------------------------------------------------------------------
 # Hyperplane-LSH bucket width (single-table family). Target ~80 rows
 # per bucket, floor 8 bits: bits = max(8, ceil(log2(n/80))). Inactive
 # at every committed fixture (n <= 20480 -> 8 bits); at 100 TB it is

@@ -1690,15 +1690,27 @@ _SEMDEDUP_TAU = 0.35
 def _semantic_dedup_oracle(sf_dir: str) -> str | None:
     """Callable oracle: resolves the corpus-adaptive cell count K for
     THIS corpus (identical to the former static SQL at every committed
-    fixture). None = unreadable corpus (rows-only fallback)."""
+    fixture). None = unreadable corpus (rows-only fallback).
+
+    r12: above the embeddings-side heavy cap (sf100+) both engines
+    restrict to the deterministic ``vec_id % M`` sub-corpus FIRST and
+    resolve K from the capped count — without this, constant-occupancy
+    cells make the assignment stage n x K ~ n² (3.1G-row sort at
+    sf100, disk-exhausting). Centroids are the first K capped ids,
+    i.e. ``vec_id < K*M`` among ``vec_id % M = 0``."""
+    from .dials import _emb_heavy_cap_mod
+
     n = _embeddings_total_count(sf_dir)
     if n is None:
         return None
-    k = _semdedup_k(n)
+    mh = _emb_heavy_cap_mod(n)
+    n_eff = (n + mh - 1) // mh  # capped-corpus size (ids contiguous)
+    k = _semdedup_k(n_eff)
+    pred = f" WHERE vec_id % {mh} = 0" if mh > 1 else ""
     return f"""
-WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings{pred}),
 cent AS MATERIALIZED (
-    SELECT vec_id AS centroid_id, emb AS cemb FROM e WHERE vec_id < {k}
+    SELECT vec_id AS centroid_id, emb AS cemb FROM e WHERE vec_id < {k * mh}
 ),
 assign AS MATERIALIZED (
     SELECT v.vec_id, v.emb, c.centroid_id,
@@ -1753,9 +1765,20 @@ def semantic_dedup(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
+    from .dials import _emb_heavy_cap_mod
+
     e = _emb_n(spark, sf_dir)
-    k = _semdedup_k(e.count())  # corpus-adaptive cell count (16 at
-    cent = e.filter(F.col("vec_id") < k).select(  # committed fixtures)
+    n = _embeddings_total_count(sf_dir)
+    if n is None:
+        n = e.count()
+    mh = _emb_heavy_cap_mod(n)
+    if mh > 1:  # r12 embeddings-side heavy cap (sf100+): restrict the
+        # corpus before assignment — constant-occupancy cells otherwise
+        # make the assignment stage n x K ~ n² (see the oracle)
+        e = e.filter(F.col("vec_id") % mh == 0)
+    n_eff = (n + mh - 1) // mh
+    k = _semdedup_k(n_eff)  # corpus-adaptive cell count (16 at
+    cent = e.filter(F.col("vec_id") < k * mh).select(  # committed fixtures)
         F.col("vec_id").alias("centroid_id"),
         F.col("emb").alias("cemb"),
         F.col("norm").alias("cnorm"),

@@ -19,6 +19,7 @@ from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.p
     _HEAVY_PAIR_CAP,
     _PAIRWISE_CAP,
     _doc_cap_mod,
+    _emb_heavy_cap_mod,
     _fuzzy_block_len,
     _heavy_pair_cap_mod,
     _lsh_bits,
@@ -46,6 +47,7 @@ def test_fixture_pins():
     # heavy-pair cap (r12): no-op at every fixture AND at sf10 (the
     # scale whose hashes r11 froze) - first active corpus is sf100
     assert all(_heavy_pair_cap_mod(n) == 1 for n in FIXTURE_DOCS + [500_000])
+    assert all(_emb_heavy_cap_mod(n) == 1 for n in FIXTURE_EMB + [200_000])
     assert all(_lsh_bits(n) == 8 for n in FIXTURE_EMB)
     assert all(_semdedup_k(n) == 16 for n in FIXTURE_EMB)
     assert all(_fuzzy_block_len(n) == 3 for n in FIXTURE_CUST)
@@ -57,6 +59,7 @@ def test_scale_points():
     assert _doc_cap_mod(500_000) == 10  # sf10 documents
     assert _heavy_pair_cap_mod(500_000) == 1  # sf10: heavy cap still off
     assert _heavy_pair_cap_mod(5_000_000) == 10  # sf100 documents
+    assert _emb_heavy_cap_mod(2_000_000) == 10  # sf100 embeddings
     assert _semdedup_k(200_000) == 160
     assert _fuzzy_block_len(1_500_000) == 4
     assert _lsh_bits(200_000) == 12 and _lsh_bits(2_000_000) == 15
@@ -72,6 +75,7 @@ def test_monotone(a, b):
     assert _pair_cap_mod(lo) <= _pair_cap_mod(hi)
     assert _doc_cap_mod(lo) <= _doc_cap_mod(hi)
     assert _heavy_pair_cap_mod(lo) <= _heavy_pair_cap_mod(hi)
+    assert _emb_heavy_cap_mod(lo) <= _emb_heavy_cap_mod(hi)
     assert _lsh_bits(lo) <= _lsh_bits(hi)
     assert _semdedup_k(lo) <= _semdedup_k(hi)
     assert _fuzzy_block_len(lo) <= _fuzzy_block_len(hi)
@@ -87,6 +91,7 @@ def test_slab_edge_continuity(n):
     assert _pair_cap_mod(n + 1) - _pair_cap_mod(n) in (0, 1)
     assert _doc_cap_mod(n + 1) - _doc_cap_mod(n) in (0, 1)
     assert _heavy_pair_cap_mod(n + 1) - _heavy_pair_cap_mod(n) in (0, 1)
+    assert _emb_heavy_cap_mod(n + 1) - _emb_heavy_cap_mod(n) in (0, 1)
     assert _lsh_bits(n + 1) - _lsh_bits(n) in (0, 1)
     assert _semdedup_k(n + 1) - _semdedup_k(n) in (0, 16)
     assert _fuzzy_block_len(n + 1) - _fuzzy_block_len(n) in (0, 1)
@@ -183,3 +188,37 @@ def test_heavy_cap_mirrors_oracle_when_forced(monkeypatch):
         )
         assert got == exp, f"{name}: capped Spark != capped oracle"
         assert got, f"{name}: forced cap produced an empty result"
+
+
+def test_emb_heavy_cap_mirrors_oracle_when_forced(monkeypatch):
+    """Force the embeddings-side heavy cap active (M=4) at sf0.001 and
+    compare semantic_dedup against its capped oracle — proving the
+    vec_id % M restriction, the capped-count K resolution, and the
+    first-K-capped-ids centroid selection mirror exactly."""
+    import duckdb
+    import pytest
+
+    spark = pytest.importorskip(
+        "real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark"
+    ).get_spark()
+    import real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans.dials as dials
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans import (
+        REGISTRY,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    monkeypatch.setattr(dials, "_emb_heavy_cap_mod", lambda n: 4)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF}/embeddings.parquet')"
+    )
+    q = REGISTRY["semantic_dedup"]
+    got = sorted(
+        tuple(r) for r in q.fn(spark, SF).collect()
+    )
+    sql = q.oracle(SF)
+    exp = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == exp
+    assert got, "forced emb cap produced an empty result"
