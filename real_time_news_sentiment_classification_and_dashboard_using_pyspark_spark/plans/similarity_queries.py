@@ -2515,21 +2515,30 @@ cent{t} AS MATERIALIZED (
             FROM cm{t} GROUP BY s, cid) m USING (s, cid))
 ),""",
         )
+    # codes: STREAMING argmin, not a materialized dist + window. The
+    # old ``dist AS MATERIALIZED`` was candidates x codebook rows (1G
+    # at sf100 — 50-80 GB of DuckDB temp, disk-exhausting); a plain
+    # min over the exact composite key d * 2^31 + cid (d >= 0 exact
+    # integer micro-units <= 1.2e15, cid a vec_id < 2^31; product fits
+    # int128) pipelines the join into a 16M-group hash aggregate with
+    # no sort and no temp. Identical results: min of the composite ==
+    # argmin by (d ASC, cid ASC).
     parts.append(
         f"""
-dist AS MATERIALIZED (
-    SELECT v.vec_id, v.s, c.cid,
+codes AS MATERIALIZED (
+    SELECT v.vec_id AS neighbor_id, v.s,
+           CAST(min(CAST(CAST(v.ipv + c.ipc - 2 * array_inner_product(v.subv, c.carrf) AS BIGINT) AS HUGEINT)
+                    * 2147483648 + c.cid) % 2147483648 AS BIGINT) AS cid
+    FROM subi v JOIN cent{iters} c ON c.s = v.s
+    WHERE v.vec_id >= 3
+    GROUP BY v.vec_id, v.s
+),
+qdist AS MATERIALIZED (
+    SELECT v.vec_id AS query_id, v.s, c.cid,
            CAST(v.ipv + c.ipc - 2 * array_inner_product(v.subv, c.carrf) AS BIGINT) AS d
     FROM subi v JOIN cent{iters} c ON c.s = v.s
-),
-codes AS MATERIALIZED (
-    SELECT vec_id AS neighbor_id, s, cid FROM (
-        SELECT vec_id, s, cid,
-               row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, cid ASC) AS rn
-        FROM dist WHERE vec_id >= 3)
-    WHERE rn = 1
-),
-qdist AS MATERIALIZED (SELECT vec_id AS query_id, s, cid, d FROM dist WHERE vec_id < 3)""",
+    WHERE v.vec_id < 3
+)""",
     )
     return "".join(parts)
 
@@ -3104,17 +3113,17 @@ rcent{t} AS MATERIALIZED (
             FROM rcm{t} GROUP BY s, cid) m USING (s, cid))
 ),""",
         )
+    # rcodes: streaming composite-min argmin (see _pq_lloyd_base_ctes'
+    # codes CTE — same 1G-row materialized-window blowup at sf100,
+    # same exact rewrite)
     parts.append(
         f"""
 rcodes AS MATERIALIZED (
-    SELECT vec_id AS neighbor_id, s, cid FROM (
-        SELECT v.vec_id, v.s, c.cid,
-               row_number() OVER (PARTITION BY v.vec_id, v.s
-                   ORDER BY CAST(v.ipv + c.ipc
-                             - 2 * array_inner_product(v.subv, c.carrf) AS BIGINT) ASC,
-                            c.cid ASC) AS rn
-        FROM rsubi v JOIN rcent{iters} c ON c.s = v.s)
-    WHERE rn = 1
+    SELECT v.vec_id AS neighbor_id, v.s,
+           CAST(min(CAST(CAST(v.ipv + c.ipc - 2 * array_inner_product(v.subv, c.carrf) AS BIGINT) AS HUGEINT)
+                    * 2147483648 + c.cid) % 2147483648 AS BIGINT) AS cid
+    FROM rsubi v JOIN rcent{iters} c ON c.s = v.s
+    GROUP BY v.vec_id, v.s
 ),
 qdistr AS MATERIALIZED (
     SELECT q.vec_id AS query_id, q.cl, q.s, c.cid,
