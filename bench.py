@@ -325,11 +325,11 @@ def main() -> None:
                 "n_queries": len(timings),
                 "runs_per_query": runs_per_query,
                 "calibration_sec": full_payload["calibration_sec"],
-                # Keyed "queries" so a parser expecting the contract
-                # shape still finds per-query numbers; the flag says
-                # it is the top-20-slowest subset, not the registry.
-                "queries": top20,
-                "queries_is_top20_slowest": True,
+                # Deliberately NOT keyed "queries": this is the
+                # top-20-slowest subset, and a contract-shape parser
+                # that sums "queries" values would silently compute a
+                # wrong total. Distinct key = loud failure instead.
+                "queries_top20": top20,
                 **(
                     {
                         "streaming_articles_per_sec": full_payload[

@@ -362,20 +362,44 @@ class _Maintenance:
         it guarantees every snapshot's per-doc file set is a superset
         of the newest base's source listing, so a later graft's file
         diff can never re-link a previous base's compacted files
-        (which would duplicate every pre-base row)."""
-        if self._future is not None and not self._future.done():
-            return False
+        (which would duplicate every pre-base row).
+
+        The hard-link snapshot of ``gen_path`` is taken HERE, on the
+        caller's thread, before submitting: a delayed worker could
+        otherwise race ``gc_generations`` (small keep_last) deleting the
+        generation out from under its copytree. A finished worker's
+        exception is surfaced (logged) on the next schedule attempt —
+        a failed refresh is harmless (the store stays merge-on-read),
+        but it must not fail silently forever."""
+        import logging
+        import shutil
+
+        if self._future is not None:
+            if not self._future.done():
+                return False
+            exc = self._future.exception()
+            if exc is not None:
+                logging.getLogger(__name__).warning(
+                    "dedup-index maintenance refresh failed "
+                    "(store stays merge-on-read): %r",
+                    exc,
+                )
         nb = _newest_maint_base(os.path.dirname(self._root))
         if nb is not None and _absorbed_base(gen_path) != os.path.basename(nb):
             return False
-        self._future = self._pool.submit(self._run, spark, gen_path)
+        n = _gen_number(os.path.basename(gen_path))
+        snap = os.path.join(self._root, f"src{n}")
+        os.makedirs(self._root, exist_ok=True)
+        shutil.rmtree(snap, ignore_errors=True)
+        shutil.copytree(gen_path, snap, copy_function=os.link)
+        self._future = self._pool.submit(self._run, spark, snap, n)
         return True
 
     def wait(self, timeout: float | None = None) -> None:
         if self._future is not None:
             self._future.result(timeout)
 
-    def _run(self, spark: SparkSession, gen_path: str) -> str:
+    def _run(self, spark: SparkSession, snap: str, n: int) -> str:
         import json
         import shutil
 
@@ -390,14 +414,12 @@ class _Maintenance:
         except Exception:
             pass
         os.makedirs(self._root, exist_ok=True)
-        n = _gen_number(os.path.basename(gen_path))
-        snap = os.path.join(self._root, f"src{n}")
         work = os.path.join(self._root, f"base{n}.work")
         final = os.path.join(self._root, f"base{n}")
-        for d in (snap, work):
-            shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(work, ignore_errors=True)
         try:
-            shutil.copytree(gen_path, snap, copy_function=os.link)
+            # snap was hard-linked by maybe_schedule on the caller's
+            # thread (immune to generation GC from later batches)
             listing = _snapshot_listing(snap)
             merge_backlog(spark, snap, work)
             compact_store(spark, work, work)
@@ -517,7 +539,10 @@ def dedup_index_fanout(
                         _graft_base(nb, base, graft_tmp)
                         base = graft_tmp
                         lineage_base = os.path.basename(nb)
-                    except OSError:
+                    except (OSError, ValueError):
+                        # ValueError covers json.JSONDecodeError from a
+                        # corrupt/truncated _SRC_LISTING.json — same
+                        # posture: absorption is an optimization only
                         shutil.rmtree(graft_tmp, ignore_errors=True)
                         graft_tmp = None
             append_to_shingle_artifact(
@@ -535,14 +560,20 @@ def dedup_index_fanout(
                     fh.write(lineage_base)
             if graft_tmp is not None:
                 shutil.rmtree(graft_tmp, ignore_errors=True)
-            if (
-                compact_every
-                and not async_maintenance
-                and batch_id > 0
-                and batch_id % compact_every == 0
-                and not defer
-            ):
-                compact_store(spark, gen_path, gen_path)
+            if compact_every and not async_maintenance and batch_id > 0 and not defer:
+                if merge_every:
+                    # compaction may only run on merged generations, and
+                    # compact_every need not divide by merge_every: fire
+                    # on the FIRST merge batch at/after each
+                    # compact_every boundary (deterministic under
+                    # replay — pure batch_id arithmetic, no counters)
+                    due = (batch_id // compact_every) > (
+                        (batch_id - merge_every) // compact_every
+                    )
+                else:
+                    due = batch_id % compact_every == 0
+                if due:
+                    compact_store(spark, gen_path, gen_path)
         # repoint (also the replayed-batch path: the append committed
         # but the sidecar update was lost with the crash)
         cur = os.path.basename(current_store_path(store_root))

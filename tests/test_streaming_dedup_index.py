@@ -187,10 +187,8 @@ def test_async_maintenance_stream_equals_batch_build(spark, tmp_path):
             fanout.maintenance.wait(600)
 
     assert _newest_maint_base(root) is not None, "no maintenance base published"
-    cur = current_store_path(root)
     finalize_dedup_index(spark, root)
     cur = current_store_path(root)
-    assert _absorbed_base(cur) or True  # marker presence is lineage-dependent
     full = build_shingle_artifact(spark, SF)
     assert _store_logical_rows(spark, cur) == _store_logical_rows(spark, full)
     # absorption actually happened at least once mid-stream: some gen
