@@ -604,3 +604,309 @@ def multimodal_wav_decode(spark, sf_dir):
         F.sum("framerate").cast("bigint").alias("sum_rate"),
         F.sum("pcm_checksum").cast("bigint").alias("pcm_checksum"),
     )
+
+
+# --- PNG (real container, stdlib zlib decode) -------------------------------
+#
+# The image twin of the WAV path (r12 verdict #5): genuine PNG
+# containers — signature, IHDR/IDAT/IEND chunk framing with CRC-32s,
+# zlib-deflated scanlines, per-row filter bytes — written and parsed
+# with NOTHING but stdlib ``zlib``/``struct``. Unlike the stand-in
+# resize kernel above, the decode step here is a real format parser:
+# chunk walk with CRC verification, IHDR field validation, inflate,
+# and per-filter scanline reconstruction (None/Sub/Up on the encode
+# path; the decoder also reconstructs Average/Paeth so arbitrary
+# external grayscale-8 PNGs decode — exercised on fixtures in
+# tests/test_multimodal.py).
+
+PNG_CORRUPT_MOD = 11   # every 11th doc ships a non-PNG payload (must be rejected)
+PNG_SAMPLE_POINTS = 16  # decimated pixel-checksum positions (oracle stays O(docs))
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_width(doc_id: int) -> int:
+    """Deterministic per-image width (8-16 px), so the decoder audit
+    proves IHDR round-trips, not just pixel data."""
+    return 8 + (doc_id % 9)
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_encode_one(doc_id: int, payload: bytes) -> bytes:
+    """Grayscale-8 PNG of the payload bytes laid out row-major at
+    width ``_png_width(doc_id)``, zero-padded to a whole last row
+    (the image twin of the WAV path dropping its odd tail byte).
+    Scanline filters cycle None/Sub/Up by row index — all three are
+    row-vectorizable on decode, so the corpus path never pays a
+    per-pixel Python loop."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    w = _png_width(doc_id)
+    h = max(1, -(-len(payload) // w))
+    pix = np.zeros(w * h, dtype=np.uint8)
+    pix[: len(payload)] = np.frombuffer(payload, dtype=np.uint8)
+    pix = pix.reshape(h, w).astype(np.int64)
+    left = np.concatenate([np.zeros((h, 1), dtype=np.int64), pix[:, :-1]], axis=1)
+    up = np.concatenate([np.zeros((1, w), dtype=np.int64), pix[:-1]], axis=0)
+    raw = bytearray()
+    for r in range(h):
+        f = r % 3
+        if f == 0:
+            row = pix[r]
+        elif f == 1:
+            row = (pix[r] - left[r]) % 256
+        else:
+            row = (pix[r] - up[r]) % 256
+        raw.append(f)
+        raw.extend(row.astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+class PngFormatError(ValueError):
+    """Malformed/unsupported PNG container."""
+
+
+def _png_decode_one(data: bytes):
+    """REAL PNG parse: signature, chunk walk with CRC-32 verification,
+    IHDR validation (grayscale, 8-bit, deflate, adaptive filtering,
+    no interlace), IDAT concatenation, zlib inflate, and scanline
+    reconstruction for all five standard filter types (0-2 vectorized
+    per row; 3 Average and 4 Paeth sequential — correctness twins for
+    external files). Returns (width, height, pixels ndarray)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(data) < len(_PNG_SIG) or data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise PngFormatError("bad signature")
+    pos, ihdr, idat, ended = len(_PNG_SIG), None, [], False
+    while pos < len(data):
+        if pos + 8 > len(data):
+            raise PngFormatError("truncated chunk header")
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        typ = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length or pos + 12 + length > len(data):
+            raise PngFormatError("truncated chunk body")
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if crc != (zlib.crc32(typ + body) & 0xFFFFFFFF):
+            raise PngFormatError(f"CRC mismatch in {typ!r}")
+        if typ == b"IHDR":
+            if ihdr is not None or pos != len(_PNG_SIG):
+                raise PngFormatError("IHDR must be the single first chunk")
+            ihdr = body
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            ended = True
+            break
+        pos += 12 + length
+    if ihdr is None or not idat or not ended:
+        raise PngFormatError("missing IHDR/IDAT/IEND")
+    w, h, depth, color, comp, filt, inter = struct.unpack(">IIBBBBB", ihdr)
+    if (depth, color, comp, filt, inter) != (8, 0, 0, 0, 0) or w == 0 or h == 0:
+        raise PngFormatError("unsupported IHDR")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise PngFormatError(f"inflate failed: {exc}") from exc
+    if len(raw) != h * (w + 1):
+        raise PngFormatError("scanline payload size mismatch")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, w + 1)
+    filters, rows = raw[:, 0], raw[:, 1:].astype(np.int64)
+    out = np.zeros((h, w), dtype=np.int64)
+    prev = np.zeros(w, dtype=np.int64)
+    for r in range(h):
+        f, row = int(filters[r]), rows[r]
+        if f == 0:
+            rec = row
+        elif f == 1:  # Sub: recon[x] = filt[x] + recon[x-1]  == cumsum mod 256
+            rec = np.cumsum(row) % 256
+        elif f == 2:  # Up
+            rec = (row + prev) % 256
+        elif f == 3:  # Average (sequential: left dependency)
+            rec = np.zeros(w, dtype=np.int64)
+            a = 0
+            for x in range(w):
+                a = (row[x] + (a + prev[x]) // 2) % 256
+                rec[x] = a
+        elif f == 4:  # Paeth
+            rec = np.zeros(w, dtype=np.int64)
+            a = 0
+            for x in range(w):
+                b, c = int(prev[x]), int(prev[x - 1]) if x else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                a = (row[x] + pred) % 256
+                rec[x] = a
+        else:
+            raise PngFormatError(f"unknown filter {f}")
+        out[r] = rec
+        prev = rec
+    return w, h, out.reshape(-1)
+
+
+def _png_encode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """payload -> genuine PNG container; every PNG_CORRUPT_MOD-th doc
+    instead ships the raw bytes behind a non-PNG magic — a malformed
+    container the downstream parser must reject."""
+    for pdf in batches:
+        out = []
+        for doc_id, v in zip(pdf["doc_id"], pdf["payload"]):
+            v = v or b""
+            if doc_id % PNG_CORRUPT_MOD == 0:
+                out.append(b"JUNK" + v)
+            else:
+                out.append(_png_encode_one(int(doc_id), v))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "source": pdf["source"], "png": out}
+        )
+
+
+def _png_decode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Decode + audit: malformed containers surface as valid=0 rows
+    instead of poisoning the batch; reconstructed pixels are
+    checksummed at PNG_SAMPLE_POINTS decimated row-major positions
+    (same replay trick as the WAV/envelope kernels)."""
+    import numpy as np
+
+    idx = np.arange(PNG_SAMPLE_POINTS, dtype=np.int64)
+    for pdf in batches:
+        valid, width, height, npx, chk = [], [], [], [], []
+        for v in pdf["png"]:
+            try:
+                w, h, pix = _png_decode_one(v or b"")
+            except PngFormatError:
+                valid.append(0)
+                width.append(0)
+                height.append(0)
+                npx.append(0)
+                chk.append(0)
+                continue
+            n = w * h
+            valid.append(1)
+            width.append(w)
+            height.append(h)
+            npx.append(n)
+            chk.append(int(pix[(idx * n) // PNG_SAMPLE_POINTS].sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "source": pdf["source"],
+                "valid": pd.Series(valid, dtype="int32"),
+                "width": pd.Series(width, dtype="int32"),
+                "height": pd.Series(height, dtype="int32"),
+                "n_pixels": pd.Series(npx, dtype="int64"),
+                "px_checksum": pd.Series(chk, dtype="int64"),
+            }
+        )
+
+
+def png_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """payload -> genuine PNG container -> stdlib-zlib decode, as two
+    chained mapInPandas stages (NO shuffle between them — Arrow batches
+    flow encode->decode within the same task)."""
+    pt = payload_table(spark, sf_dir)
+    target = spark.sparkContext.defaultParallelism
+    if pt.rdd.getNumPartitions() < target:
+        pt = pt.repartition(target)
+    png = pt.mapInPandas(
+        _png_encode_kernel, "doc_id bigint, source string, png binary"
+    )
+    return png.mapInPandas(
+        _png_decode_kernel,
+        "doc_id bigint, source string, valid int, width int, height int, "
+        "n_pixels bigint, px_checksum bigint",
+    )
+
+
+@register(
+    "multimodal_png_decode",
+    oracle=f"""
+WITH p AS (
+    SELECT doc_id, source,
+           octet_length(encode(text)) AS len,
+           hex(encode(text)) AS hx,
+           CASE WHEN doc_id % {PNG_CORRUPT_MOD} = 0 THEN 0 ELSE 1 END AS valid,
+           8 + (doc_id % 9) AS w
+    FROM documents
+),
+g AS (
+    SELECT source, valid, w, len, hx,
+           CASE WHEN valid = 0 THEN 0
+                ELSE greatest(1, (len + w - 1) // w) END AS h
+    FROM p
+),
+s AS (
+    SELECT source, valid,
+           CASE WHEN valid = 0 THEN 0 ELSE w END AS w2,
+           h, w * h AS np_,
+           CASE WHEN valid = 0 THEN 0
+                ELSE (SELECT sum(CASE WHEN ((i * g.w * g.h) // {PNG_SAMPLE_POINTS}) < g.len
+                                      THEN ('0x' || substr(g.hx, ((i * g.w * g.h) // {PNG_SAMPLE_POINTS}) * 2 + 1, 2))::BIGINT
+                                      ELSE 0 END)
+                      FROM unnest(range(0, {PNG_SAMPLE_POINTS})) AS u(i))
+           END AS chk
+    FROM g
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum(valid) AS BIGINT) AS n_valid,
+       CAST(sum(CASE WHEN valid = 1 THEN np_ ELSE 0 END) AS BIGINT) AS total_pixels,
+       CAST(sum(w2) AS BIGINT) AS sum_width,
+       CAST(sum(chk) AS BIGINT) AS px_checksum
+FROM s GROUP BY source
+""",
+    tags=("multimodal", "pandas-udf", "image", "png"),
+)
+def multimodal_png_decode(spark, sf_dir):
+    """END-TO-END REAL IMAGE FORMAT (r12 verdict #5): payloads are laid
+    out as grayscale-8 pixel grids (per-doc width from the doc id,
+    zero-padded last row) and wrapped in genuine PNG containers —
+    signature, IHDR/IDAT/IEND with CRC-32s, zlib-deflated scanlines,
+    None/Sub/Up filters cycling by row — then decoded back by a
+    stdlib-only parser (chunk walk + CRC verify + inflate + filter
+    reconstruction) in a second Arrow stage; every
+    {PNG_CORRUPT_MOD}-th doc ships a corrupted (non-PNG) payload the
+    parser must reject. The per-source audit proves the container
+    round-trips: image/valid counts, IHDR width sums, total decoded
+    pixels, and a decimated reconstructed-pixel checksum the oracle
+    recomputes from hex byte positions of the ORIGINAL payload (the
+    reconstruction must invert the filters exactly for the hashes to
+    agree). Scale: two chained mapInPandas stages, no shuffle between
+    encode and decode, ~20-group agg after.
+
+    Reference anchor: the reference has no media path; this upgrades
+    the engine-extension image surface (SURVEY §2 training-data ops)
+    from deterministic stand-in to a real container format, matching
+    the WAV bar (multimodal_wav_decode)."""
+    dec = png_decoded(spark, sf_dir)
+    return dec.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.sum("valid").cast("bigint").alias("n_valid"),
+        F.sum("n_pixels").cast("bigint").alias("total_pixels"),
+        F.sum("width").cast("bigint").alias("sum_width"),
+        F.sum("px_checksum").cast("bigint").alias("px_checksum"),
+    )

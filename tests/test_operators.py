@@ -1029,6 +1029,136 @@ def test_wav_encoder_emits_canonical_riff():
         assert w.readframes(w.getnframes()) == payload
 
 
+def test_png_container_roundtrip(spark):
+    """The PNG path writes GENUINE containers and decodes them with a
+    real parser: per-doc width/height/validity/pixel-checksum match a
+    pure-Python replay of the original payload bytes, and corrupted
+    docs (doc_id % PNG_CORRUPT_MOD == 0) are rejected not sliced."""
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.operators.multimodal import (
+        PNG_CORRUPT_MOD,
+        PNG_SAMPLE_POINTS,
+        _png_width,
+        png_decoded,
+    )
+
+    src = {
+        r["doc_id"]: (r["text"] or "").encode("utf-8")
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    got = {r["doc_id"]: r for r in png_decoded(spark, SF).collect()}
+    assert set(got) == set(src)
+    saw_corrupt = saw_valid = False
+    for doc_id, payload in src.items():
+        r = got[doc_id]
+        if doc_id % PNG_CORRUPT_MOD == 0:
+            saw_corrupt = True
+            assert (r["valid"], r["width"], r["height"], r["n_pixels"]) == (
+                0, 0, 0, 0,
+            )
+            continue
+        saw_valid = True
+        w = _png_width(doc_id)
+        h = max(1, -(-len(payload) // w))
+        assert (r["valid"], r["width"], r["height"]) == (1, w, h)
+        assert r["n_pixels"] == w * h
+        n = w * h
+        padded = payload + b"\x00" * (n - len(payload))
+        expect = sum(
+            padded[(i * n) // PNG_SAMPLE_POINTS]
+            for i in range(PNG_SAMPLE_POINTS)
+        )
+        assert r["px_checksum"] == expect
+    assert saw_corrupt and saw_valid
+
+
+def test_png_decoder_validates_and_reconstructs():
+    """The stdlib PNG parser is a real format validator: it verifies
+    chunk CRCs, rejects truncation/unknown filters/non-grayscale IHDRs,
+    and reconstructs ALL five standard filter types — including
+    Average and Paeth, which the engine's encoder never emits (proving
+    the decoder is a parser, not an inverse of one encoder)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.operators.multimodal import (
+        PngFormatError,
+        _PNG_SIG,
+        _png_chunk,
+        _png_decode_one,
+        _png_encode_one,
+    )
+
+    payload = bytes(range(200))
+    good = _png_encode_one(3, payload)
+    w, h, pix = _png_decode_one(good)
+
+    # CRC tamper: flip one IDAT byte, keep the stored CRC
+    idat_off = good.index(b"IDAT")
+    tampered = bytearray(good)
+    tampered[idat_off + 10] ^= 0xFF
+    with pytest.raises(PngFormatError, match="CRC"):
+        _png_decode_one(bytes(tampered))
+
+    with pytest.raises(PngFormatError, match="signature"):
+        _png_decode_one(b"JUNK" + good)
+    with pytest.raises(PngFormatError, match="truncated|missing"):
+        _png_decode_one(good[:-8])
+
+    def build(wd, ht, raw, ihdr=None):
+        ihdr = ihdr or struct.pack(">IIBBBBB", wd, ht, 8, 0, 0, 0, 0)
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    # unknown filter type 9
+    with pytest.raises(PngFormatError, match="unknown filter"):
+        _png_decode_one(build(4, 1, b"\x09abcd"))
+    # RGB color type (unsupported by the grayscale-8 contract)
+    with pytest.raises(PngFormatError, match="unsupported IHDR"):
+        _png_decode_one(
+            build(4, 1, b"\x00abcd", ihdr=struct.pack(">IIBBBBB", 4, 1, 8, 2, 0, 0, 0))
+        )
+
+    # hand-filtered Average(3) + Paeth(4) image, 3x4: reference image
+    img = np.array(
+        [[10, 200, 30, 255], [7, 0, 99, 1], [250, 250, 1, 128]], dtype=np.int64
+    )
+    raw = bytearray()
+    # row 0: Average with prev=0 -> filt[x] = pix[x] - recon_left//2
+    raw.append(3)
+    a = 0
+    for x in range(4):
+        raw.append(int((img[0, x] - (a + 0) // 2) % 256))
+        a = int(img[0, x])
+    # row 1: Paeth
+    raw.append(4)
+    a = 0
+    for x in range(4):
+        b, c = int(img[0, x]), int(img[0, x - 1]) if x else 0
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        raw.append(int((img[1, x] - pred) % 256))
+        a = int(img[1, x])
+    # row 2: Average with a real previous row
+    raw.append(3)
+    a = 0
+    for x in range(4):
+        raw.append(int((img[2, x] - (a + int(img[1, x])) // 2) % 256))
+        a = int(img[2, x])
+    wd, ht, out = _png_decode_one(build(4, 3, bytes(raw)))
+    assert (wd, ht) == (4, 3)
+    assert (out.reshape(3, 4) == img).all()
+
+
 def test_countmin_estimates_dominate_exact(spark):
     """CMS point estimates are one-sided: cms_n >= exact_n for every
     reported token (the min-over-rows can only overcount), and the
