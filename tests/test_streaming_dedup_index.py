@@ -303,3 +303,99 @@ def test_gc_and_compaction_preserve_store_and_replay(spark, tmp_path):
     )
     assert os.path.basename(cur) in survivors
     assert all(r not in survivors for r in removed)
+
+
+def test_async_maintenance_crash_recovery(spark, tmp_path, monkeypatch, caplog):
+    """r12 verdict #6: the async worker's two crash windows must never
+    corrupt the store or stall maintenance silently.
+
+    (a) Killed between tmp-build and repoint: the debris is a
+        ``maint/baseN.work`` directory that already CONTAINS ``_DONE``
+        (compact_store writes it before the publish rename) plus a
+        stale snapshot dir. A restarted fanout (fresh _Maintenance,
+        as after process restart) must never select the debris as a
+        published base.
+    (b) Worker dies mid-merge: the exception is held in the future;
+        the next schedule attempt must SURFACE it (log) and proceed
+        with a fresh refresh rather than stalling merge-on-read
+        forever (the r13 maybe_schedule contract).
+
+    After both injections the finalized store equals the one-shot
+    batch build, and a genuinely newer base was published post-crash."""
+    import logging
+    import shutil
+    import time
+
+    import real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.streaming.dedup_index as di
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.streaming import (
+        finalize_dedup_index,
+        init_empty_shingle_store,
+    )
+
+    inp, root = str(tmp_path / "in"), str(tmp_path / "store")
+    _corpus_docs(spark).repartition(7).write.parquet(inp)
+    files = sorted(
+        os.path.join(inp, f) for f in os.listdir(inp) if f.endswith(".parquet")
+    )
+    assert len(files) == 7
+    os.makedirs(root, exist_ok=True)
+    init_empty_shingle_store(spark, os.path.join(root, "gen_init"))
+
+    # --- phase 1: healthy folds until a base is published -------------
+    fanout_a = dedup_index_fanout(root, merge_every=2, async_maintenance=True)
+    for i in (0, 1, 2):
+        fanout_a(spark.read.parquet(files[i]), i)
+        fanout_a.maintenance.wait(600)
+    nb = di._newest_maint_base(root)
+    assert nb is not None, "no maintenance base published in phase 1"
+
+    # --- phase 2: plant the kill debris -------------------------------
+    # (a real kill between compact_store's _DONE write and os.rename)
+    debris_done = os.path.join(root, "maint", "base12.work")
+    shutil.copytree(nb, debris_done, copy_function=os.link)
+    assert os.path.exists(os.path.join(debris_done, "_DONE"))
+    debris_partial = os.path.join(root, "maint", "base14.work")
+    os.makedirs(debris_partial)  # mid-merge kill: no _DONE yet
+    os.makedirs(os.path.join(root, "maint", "src99"))  # orphaned snapshot
+    assert di._newest_maint_base(root) == nb, (
+        ".work debris must never be selected as a published base"
+    )
+
+    # --- phase 3: restart + a worker that dies mid-merge --------------
+    fanout_b = dedup_index_fanout(root, merge_every=2, async_maintenance=True)
+    real_merge = di.merge_backlog
+    calls = {"n": 0}
+
+    def flaky_merge(spark_, src, dst):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("simulated worker death mid-merge")
+        return real_merge(spark_, src, dst)
+
+    monkeypatch.setattr(di, "merge_backlog", flaky_merge)
+    fanout_b(spark.read.parquet(files[3]), 3)
+    fanout_b(spark.read.parquet(files[4]), 4)  # schedules; worker dies
+    fut = fanout_b.maintenance._future
+    deadline = time.time() + 600
+    while not fut.done() and time.time() < deadline:
+        time.sleep(0.1)
+    assert fut.done() and fut.exception() is not None
+    assert di._newest_maint_base(root) == nb  # nothing new published
+
+    fanout_b(spark.read.parquet(files[5]), 5)  # light fold, no schedule
+    with caplog.at_level(logging.WARNING, logger=di.__name__):
+        fanout_b(spark.read.parquet(files[6]), 6)  # surfaces + reschedules
+    assert any(
+        "maintenance refresh failed" in r.message for r in caplog.records
+    ), "the held worker exception must be logged, not swallowed"
+    fanout_b.maintenance.wait(600)
+    nb2 = di._newest_maint_base(root)
+    assert nb2 is not None and nb2 != nb, (
+        "maintenance must resume publishing after the crashed refresh"
+    )
+
+    # --- phase 4: the store is still exactly the batch build ----------
+    finalize_dedup_index(spark, root)
+    cur = current_store_path(root)
+    full = build_shingle_artifact(spark, SF)
+    assert _store_logical_rows(spark, cur) == _store_logical_rows(spark, full)
