@@ -190,14 +190,29 @@ def measure_e2e_latency(
                 extra_land(i)
             cum += rows_per_file
         _wait_committed(cum, time.time() + timeout_seconds)
-        for i in range(warmup_files, warmup_files + n_files):
+        land_t0 = time.time()
+        for m, i in enumerate(range(warmup_files, warmup_files + n_files)):
+            if land_gap_seconds and m:
+                # stratified phase jitter (r12 verdict #7): with
+                # gap == trigger every land falls at the SAME phase of
+                # the trigger cycle, so every sample pays the same
+                # queue wait — an arbitrary constant in [0, trigger)
+                # set by where the first land happened to fall, which
+                # made the reported p50 swing by up to a full trigger
+                # between runs. Scheduling land m at
+                # t0 + m*gap + m*gap/n_files sweeps the phase across
+                # [0, gap) exactly once over the run, so the
+                # percentiles converge to the phase-AVERAGED latency
+                # (~trigger/2 + processing) — a citable number.
+                target = land_t0 + m * land_gap_seconds * (1.0 + 1.0 / n_files)
+                delay = target - time.time()
+                if delay > 0:
+                    time.sleep(delay)
             _land(i)
             if extra_land is not None:
                 extra_land(i)
             cum += rows_per_file
             lands.append((cum, time.time()))
-            if land_gap_seconds:
-                time.sleep(land_gap_seconds)
         # wait until every landed row is committed
         _wait_committed(cum, time.time() + timeout_seconds)
     finally:
