@@ -113,6 +113,28 @@ def _emb_heavy_cap_mod(n_vectors: int) -> int:
 
 
 # ---------------------------------------------------------------------------
+# Event-side sessionization corpus cap (NEW r13). `event_sessions`
+# emits one row per (user, session) — output ∝ events (9.55 M rows at
+# sf10, verified; ~95 M at sf100, where the COLLECTED result alone
+# exceeds any driver/oracle budget: the sf100 probe died on
+# spark.driver.maxResultSize at 2.2 GiB of serialized task results).
+# Sessionization is windowed strictly per user_id, so a user-slab
+# restriction (`user_id % M = 0`) is exact — every kept user's
+# sessions are computed over that user's complete event history; only
+# the set of users shrinks. No-op at every previously-verified scale
+# (sf0.001..sf10 <= 10 M events -> M = 1, all r11/r13 hashes frozen);
+# at sf100 (100 M events) M = 10 restricts both engines to exactly
+# sf10 output scale, where the hash contract is proven.
+# ---------------------------------------------------------------------------
+
+_EVENT_SESSION_CAP = 10_000_000
+
+
+def _event_user_cap_mod(n_events: int) -> int:
+    return max(1, math.ceil(n_events / _EVENT_SESSION_CAP))
+
+
+# ---------------------------------------------------------------------------
 # Hyperplane-LSH bucket width (single-table family). Target ~80 rows
 # per bucket, floor 8 bits: bits = max(8, ceil(log2(n/80))). Inactive
 # at every committed fixture (n <= 20480 -> 8 bits); at 100 TB it is

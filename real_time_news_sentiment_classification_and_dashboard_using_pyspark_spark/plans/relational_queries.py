@@ -781,10 +781,38 @@ def event_props_json(spark, sf_dir):
     )
 
 
-@register(
-    "event_sessions",
-    oracle="""
-WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id FROM events),
+def _event_user_cap_mod_for(spark, sf_dir: str) -> int:
+    """Resolve the r13 sessionization user-slab cap
+    (dials._event_user_cap_mod) from the events parquet footer — the
+    same count source the callable oracle uses, so both engines
+    provably resolve the same M. No-op (M=1) through sf10."""
+    from .dials import _event_user_cap_mod
+    from .similarity_queries import _parquet_total_count
+
+    n = _parquet_total_count(sf_dir, "events")
+    if n is None:
+        n = table(spark, sf_dir, "events").count()
+    return _event_user_cap_mod(n)
+
+
+def _event_sessions_oracle(sf_dir: str) -> str | None:
+    """Callable oracle for event_sessions: same SQL as the historical
+    frozen string, with the user-slab predicate inlined when the r13
+    cap is active (sf100: M=10). Returns the unpredicated SQL verbatim
+    at every committed fixture, keeping all prior hashes frozen."""
+    from .dials import _event_user_cap_mod
+    from .similarity_queries import _parquet_total_count
+
+    n = _parquet_total_count(sf_dir, "events")
+    if n is None:
+        return None
+    m = _event_user_cap_mod(n)
+    pred = f" WHERE user_id % {m} = 0" if m > 1 else ""
+    return _EVENT_SESSIONS_SQL.format(pred=pred)
+
+
+_EVENT_SESSIONS_SQL = """
+WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id FROM events{pred}),
 lagged AS (
     SELECT user_id, ts, event_id,
            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
@@ -809,7 +837,12 @@ SELECT user_id, session_id,
        CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS duration_us
 FROM sess
 GROUP BY user_id, session_id
-""",
+"""
+
+
+@register(
+    "event_sessions",
+    oracle=_event_sessions_oracle,
     tags=("window", "session"),
 )
 def event_sessions(spark, sf_dir):
@@ -817,8 +850,15 @@ def event_sessions(spark, sf_dir):
     lag() flags session starts, a running sum numbers them, then a
     per-session rollup. The batch twin of a session_window streaming
     aggregation. Scale: everything is windowed over user_id — one
-    shuffle, state proportional to one user's events per partition."""
+    shuffle, state proportional to one user's events per partition.
+    Output is ∝ events, so above 10 M events the r13 user-slab dial
+    (dials._event_user_cap_mod, mirrored in the callable oracle)
+    restricts both engines to the same `user_id % M = 0` subset —
+    exact per kept user, no-op at every committed fixture."""
     e = events_with_ts(spark, sf_dir)
+    m = _event_user_cap_mod_for(spark, sf_dir)
+    if m > 1:
+        e = e.filter(F.col("user_id") % m == 0)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))

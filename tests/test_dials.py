@@ -20,6 +20,7 @@ from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.p
     _PAIRWISE_CAP,
     _doc_cap_mod,
     _emb_heavy_cap_mod,
+    _event_user_cap_mod,
     _fuzzy_block_len,
     _heavy_pair_cap_mod,
     _lsh_bits,
@@ -33,6 +34,7 @@ from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.p
 FIXTURE_EMB = [500, 500, 2_000, 20_480]
 FIXTURE_DOCS = [500, 500, 5_000, 50_000]
 FIXTURE_CUST = [150, 1_500, 15_000, 150_000]
+FIXTURE_EVENTS = [1_000, 10_000, 100_000, 1_000_000]
 
 N = st.integers(min_value=1, max_value=10**12)
 
@@ -48,6 +50,9 @@ def test_fixture_pins():
     # scale whose hashes r11 froze) - first active corpus is sf100
     assert all(_heavy_pair_cap_mod(n) == 1 for n in FIXTURE_DOCS + [500_000])
     assert all(_emb_heavy_cap_mod(n) == 1 for n in FIXTURE_EMB + [200_000])
+    # event-session user-slab cap (r13): no-op at every fixture AND at
+    # sf10 (10M events, hashes frozen r11) - first active corpus is sf100
+    assert all(_event_user_cap_mod(n) == 1 for n in FIXTURE_EVENTS + [10_000_000])
     assert all(_lsh_bits(n) == 8 for n in FIXTURE_EMB)
     assert all(_semdedup_k(n) == 16 for n in FIXTURE_EMB)
     assert all(_fuzzy_block_len(n) == 3 for n in FIXTURE_CUST)
@@ -60,6 +65,7 @@ def test_scale_points():
     assert _heavy_pair_cap_mod(500_000) == 1  # sf10: heavy cap still off
     assert _heavy_pair_cap_mod(5_000_000) == 10  # sf100 documents
     assert _emb_heavy_cap_mod(2_000_000) == 10  # sf100 embeddings
+    assert _event_user_cap_mod(100_000_000) == 10  # sf100 events
     assert _semdedup_k(200_000) == 160
     assert _fuzzy_block_len(1_500_000) == 4
     assert _lsh_bits(200_000) == 12 and _lsh_bits(2_000_000) == 15
@@ -76,6 +82,7 @@ def test_monotone(a, b):
     assert _doc_cap_mod(lo) <= _doc_cap_mod(hi)
     assert _heavy_pair_cap_mod(lo) <= _heavy_pair_cap_mod(hi)
     assert _emb_heavy_cap_mod(lo) <= _emb_heavy_cap_mod(hi)
+    assert _event_user_cap_mod(lo) <= _event_user_cap_mod(hi)
     assert _lsh_bits(lo) <= _lsh_bits(hi)
     assert _semdedup_k(lo) <= _semdedup_k(hi)
     assert _fuzzy_block_len(lo) <= _fuzzy_block_len(hi)
@@ -92,6 +99,7 @@ def test_slab_edge_continuity(n):
     assert _doc_cap_mod(n + 1) - _doc_cap_mod(n) in (0, 1)
     assert _heavy_pair_cap_mod(n + 1) - _heavy_pair_cap_mod(n) in (0, 1)
     assert _emb_heavy_cap_mod(n + 1) - _emb_heavy_cap_mod(n) in (0, 1)
+    assert _event_user_cap_mod(n + 1) - _event_user_cap_mod(n) in (0, 1)
     assert _lsh_bits(n + 1) - _lsh_bits(n) in (0, 1)
     assert _semdedup_k(n + 1) - _semdedup_k(n) in (0, 16)
     assert _fuzzy_block_len(n + 1) - _fuzzy_block_len(n) in (0, 1)
@@ -222,3 +230,40 @@ def test_emb_heavy_cap_mirrors_oracle_when_forced(monkeypatch):
     exp = sorted(tuple(r) for r in con.execute(sql).fetchall())
     assert got == exp
     assert got, "forced emb cap produced an empty result"
+
+
+def test_event_user_cap_mirrors_oracle_when_forced(monkeypatch):
+    """Force the r13 sessionization user-slab cap active (M=3) at
+    sf0.001 and compare event_sessions against its capped oracle — the
+    exact mirroring the sf100 run relies on. Also pins the exactness
+    argument: the capped result must equal the UNCAPPED result
+    restricted to kept users (sessionization is windowed per user, so
+    the slab changes which users appear, never their sessions)."""
+    import duckdb
+    import pytest
+
+    spark = pytest.importorskip(
+        "real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark"
+    ).get_spark()
+    import real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans.dials as dials
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans import (
+        REGISTRY,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    q = REGISTRY["event_sessions"]
+    uncapped = {tuple(r) for r in q.fn(spark, SF).collect()}
+
+    monkeypatch.setattr(dials, "_event_user_cap_mod", lambda n: 3)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF}/events.parquet')"
+    )
+    got = sorted(tuple(r) for r in q.fn(spark, SF).collect())
+    sql = q.oracle(SF)
+    assert "user_id % 3 = 0" in sql
+    exp = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == exp, "capped Spark != capped oracle"
+    assert got, "forced event cap produced an empty result"
+    assert set(got) == {r for r in uncapped if r[0] % 3 == 0}
