@@ -113,6 +113,31 @@ def _emb_heavy_cap_mod(n_vectors: int) -> int:
 
 
 # ---------------------------------------------------------------------------
+# Text-family oracle-feasibility corpus cap (NEW r13). The trigram /
+# token LM oracles materialize a per-character or per-token relation
+# of the WHOLE corpus in one DuckDB process (`tri AS MATERIALIZED`):
+# ~5 B rows at sf100 (5 M docs), which exceeded the 55 GB /tmp spill
+# even before memory (r13 probe: lang_id_trigram oracle died on
+# spill-disk-full at 799 s). The Spark side needs no cap — the trigram
+# stream is a map-side explode that never materializes (the same probe
+# completed the Spark leg). Same slab + semantics as
+# `_heavy_pair_cap_mod`: no-op through sf10 (500k docs, every
+# previously hash-verified scale), M=10 at sf100 restricts BOTH
+# engines to exactly sf10 corpus scale via a plain `doc_id % M = 0`
+# predicate (text family reads raw documents — no twin-band id
+# convention to preserve). Capped semantics are self-consistent:
+# train/test split and profiles recompute over the capped corpus on
+# both engines.
+# ---------------------------------------------------------------------------
+
+_TEXT_ORACLE_CAP = 500_000
+
+
+def _text_corpus_cap_mod(n_docs: int) -> int:
+    return max(1, math.ceil(n_docs / _TEXT_ORACLE_CAP))
+
+
+# ---------------------------------------------------------------------------
 # Event-side sessionization corpus cap (NEW r13). `event_sessions`
 # emits one row per (user, session) — output ∝ events (9.55 M rows at
 # sf10, verified; ~95 M at sf100, where the COLLECTED result alone

@@ -1763,14 +1763,43 @@ def weighted_doc_sample(spark, sf_dir):
 
 _LANGID_K = 40
 
-@register(
-    "lang_id_trigram",
-    oracle=f"""
+
+def _text_cap_mod_for(spark, sf_dir: str) -> int:
+    """Resolve the r13 text-family oracle-feasibility cap
+    (dials._text_corpus_cap_mod) from the documents parquet footer —
+    the same count source the callable oracle uses. No-op (M=1)
+    through sf10."""
+    from .dials import _text_corpus_cap_mod
+    from .similarity_queries import _parquet_total_count
+
+    n = _parquet_total_count(sf_dir, "documents")
+    if n is None:
+        n = table(spark, sf_dir, "documents").count()
+    return _text_corpus_cap_mod(n)
+
+
+def _lang_id_oracle(sf_dir: str) -> str | None:
+    """Callable oracle for lang_id_trigram: the historical frozen SQL
+    with the doc-slab predicate inlined when the r13 text cap is
+    active (sf100: M=10). Byte-identical to the former static text at
+    every committed fixture (pred = '')."""
+    from .dials import _text_corpus_cap_mod
+    from .similarity_queries import _parquet_total_count
+
+    n = _parquet_total_count(sf_dir, "documents")
+    if n is None:
+        return None
+    m = _text_corpus_cap_mod(n)
+    pred = f" AND doc_id % {m} = 0" if m > 1 else ""
+    return _LANG_ID_SQL.format(pred=pred)
+
+
+_LANG_ID_SQL = f"""
 WITH base AS (
     SELECT doc_id, lang, lower(text) AS txt,
            (('0x' || substr(md5('langid_' || CAST(doc_id AS VARCHAR)), 25, 8))::BIGINT
               % 10) < 7 AS is_train
-    FROM documents WHERE text IS NOT NULL AND length(text) >= 3
+    FROM documents WHERE text IS NOT NULL AND length(text) >= 3{{pred}}
 ),
 tri AS MATERIALIZED (
     SELECT doc_id, lang, is_train, t AS tri
@@ -1797,7 +1826,12 @@ pred AS (
 )
 SELECT lang AS actual_lang, cand_lang AS pred_lang, count(*) AS n_docs
 FROM pred WHERE rk = 1 GROUP BY 1, 2
-""",
+"""
+
+
+@register(
+    "lang_id_trigram",
+    oracle=_lang_id_oracle,
     tags=("text", "langid", "classify"),
 )
 def lang_id_trigram(spark, sf_dir):
@@ -1815,10 +1849,20 @@ def lang_id_trigram(spark, sf_dir):
     are the per-doc distinct and the per-doc argmax window — both keyed
     on doc_id. At 100 TB the profile stays driver-tiny no matter the
     corpus, and a saved profile turns scoring into a pure
-    broadcast-join map stage."""
+    broadcast-join map stage.
+
+    Above 500k docs the r13 text-family cap (dials._text_corpus_cap_mod,
+    mirrored in the callable oracle) restricts both engines to the same
+    `doc_id % M = 0` slab — an oracle-feasibility dial: DuckDB must
+    MATERIALIZE the full trigram relation (~5 B rows at sf100), while
+    this plan streams it through a map-side explode and completed the
+    uncapped sf100 corpus."""
     d = table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.length("text") >= 3)
     )
+    m = _text_cap_mod_for(spark, sf_dir)
+    if m > 1:
+        d = d.filter(F.col("doc_id") % m == 0)
     bucket = (
         F.conv(
             F.substring(

@@ -23,6 +23,7 @@ from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.p
     _event_user_cap_mod,
     _fuzzy_block_len,
     _heavy_pair_cap_mod,
+    _text_corpus_cap_mod,
     _lsh_bits,
     _pair_cap_mod,
     _semdedup_k,
@@ -53,6 +54,8 @@ def test_fixture_pins():
     # event-session user-slab cap (r13): no-op at every fixture AND at
     # sf10 (10M events, hashes frozen r11) - first active corpus is sf100
     assert all(_event_user_cap_mod(n) == 1 for n in FIXTURE_EVENTS + [10_000_000])
+    # text-family oracle cap (r13): same slab as the heavy-pair cap
+    assert all(_text_corpus_cap_mod(n) == 1 for n in FIXTURE_DOCS + [500_000])
     assert all(_lsh_bits(n) == 8 for n in FIXTURE_EMB)
     assert all(_semdedup_k(n) == 16 for n in FIXTURE_EMB)
     assert all(_fuzzy_block_len(n) == 3 for n in FIXTURE_CUST)
@@ -66,6 +69,7 @@ def test_scale_points():
     assert _heavy_pair_cap_mod(5_000_000) == 10  # sf100 documents
     assert _emb_heavy_cap_mod(2_000_000) == 10  # sf100 embeddings
     assert _event_user_cap_mod(100_000_000) == 10  # sf100 events
+    assert _text_corpus_cap_mod(5_000_000) == 10  # sf100 documents
     assert _semdedup_k(200_000) == 160
     assert _fuzzy_block_len(1_500_000) == 4
     assert _lsh_bits(200_000) == 12 and _lsh_bits(2_000_000) == 15
@@ -83,6 +87,7 @@ def test_monotone(a, b):
     assert _heavy_pair_cap_mod(lo) <= _heavy_pair_cap_mod(hi)
     assert _emb_heavy_cap_mod(lo) <= _emb_heavy_cap_mod(hi)
     assert _event_user_cap_mod(lo) <= _event_user_cap_mod(hi)
+    assert _text_corpus_cap_mod(lo) <= _text_corpus_cap_mod(hi)
     assert _lsh_bits(lo) <= _lsh_bits(hi)
     assert _semdedup_k(lo) <= _semdedup_k(hi)
     assert _fuzzy_block_len(lo) <= _fuzzy_block_len(hi)
@@ -100,6 +105,7 @@ def test_slab_edge_continuity(n):
     assert _heavy_pair_cap_mod(n + 1) - _heavy_pair_cap_mod(n) in (0, 1)
     assert _emb_heavy_cap_mod(n + 1) - _emb_heavy_cap_mod(n) in (0, 1)
     assert _event_user_cap_mod(n + 1) - _event_user_cap_mod(n) in (0, 1)
+    assert _text_corpus_cap_mod(n + 1) - _text_corpus_cap_mod(n) in (0, 1)
     assert _lsh_bits(n + 1) - _lsh_bits(n) in (0, 1)
     assert _semdedup_k(n + 1) - _semdedup_k(n) in (0, 16)
     assert _fuzzy_block_len(n + 1) - _fuzzy_block_len(n) in (0, 1)
@@ -267,3 +273,35 @@ def test_event_user_cap_mirrors_oracle_when_forced(monkeypatch):
     assert got == exp, "capped Spark != capped oracle"
     assert got, "forced event cap produced an empty result"
     assert set(got) == {r for r in uncapped if r[0] % 3 == 0}
+
+
+def test_text_corpus_cap_mirrors_oracle_when_forced(monkeypatch):
+    """Force the r13 text-family oracle-feasibility cap active (M=3)
+    at sf0.001 and compare lang_id_trigram against its capped oracle —
+    capped semantics are self-consistent (train/test split + profiles
+    recompute over the slab on both engines)."""
+    import duckdb
+    import pytest
+
+    spark = pytest.importorskip(
+        "real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark"
+    ).get_spark()
+    import real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans.dials as dials
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans import (
+        REGISTRY,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    monkeypatch.setattr(dials, "_text_corpus_cap_mod", lambda n: 3)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    q = REGISTRY["lang_id_trigram"]
+    got = sorted(tuple(r) for r in q.fn(spark, SF).collect())
+    sql = q.oracle(SF)
+    assert "doc_id % 3 = 0" in sql
+    exp = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == exp, "capped Spark != capped oracle"
+    assert got, "forced text cap produced an empty result"
