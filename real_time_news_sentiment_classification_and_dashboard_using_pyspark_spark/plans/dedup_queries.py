@@ -464,6 +464,81 @@ def _build_artifact_tables(spark, sf_dir: str, tmp: str, raw, width: int) -> Non
         hashes_df.unpersist()
 
 
+def _build_empty_artifact_tables(spark, tmp: str) -> None:
+    """ZERO-ROW store bootstrap fast path (r13). An empty store is fully
+    determined by its table SCHEMAS, and those schemas are derived here
+    from the exact full-build plans over a zero-row corpus — pure
+    driver-side analysis, no jobs — then landed as nine trivial empty
+    writes in one concurrent wave. The old path ran the complete build
+    pipeline (three cache-forcing counts + shuffling aggregates over
+    nothing): ~3 s of fixed job overhead per streaming-store bootstrap,
+    measured at the top of every ``streaming_dedup_index`` bench run.
+    Schema provenance is the SAME shared expressions as the real build
+    (``shingle_arrays_of`` / ``h32_expr`` / signature aggregates), so
+    the schemas cannot drift from what the append path expects; the
+    store-equality tests (tests/test_streaming_dedup_index.py) pin
+    byte-level agreement with the batch build."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    empty_docs = spark.range(0).select(
+        F.col("id").alias("doc_id"), F.lit("").alias("text")
+    )
+    raw = shingle_arrays_of(empty_docs)
+    rows = raw.select("doc_id", F.explode("sh_arr").alias("shingle"))
+    df_table = rows.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    hashes_df = rows.select(
+        "doc_id",
+        h32_expr("shingle").alias("h32"),
+        h32b_expr("shingle").alias("h32b"),
+    )
+    kept_df = (
+        rows.join(df_table.filter(F.col("df") <= STOP_SHINGLE_DF), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("shingle").alias("s")))
+            ).alias("karr")
+        )
+        .select("doc_id", F.col("karr.s").alias("sh_arr"))
+    )
+    stop_df = df_table.filter(F.col("df") > STOP_SHINGLE_DF).select("shingle")
+    schemas = {
+        "arrays": raw.schema,
+        "hashes": hashes_df.schema,
+        "df": df_table.schema,
+        "stop": stop_df.schema,
+        "kept": kept_df.schema,
+        "bands": _minhash_bands_from_hashes(hashes_df).schema,
+        "simsig": _simhash_sig_from_hashes(hashes_df).schema,
+        "simsig64": _simhash_sig64_from_hashes(hashes_df).schema,
+    }
+
+    def _empty_of(schema):
+        # JVM-only empty relation with the plan's column types:
+        # range(0) + lit casts. NOT createDataFrame([], schema) — its
+        # Python-list conversion path costs ~0.7 s per call here
+        # (measured r13), i.e. more than the whole write wave.
+        return spark.range(0).select(
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+
+    def _write(item):
+        name, df = item
+        df.write.mode("overwrite").parquet(os.path.join(tmp, name))
+
+    meta = spark.range(1).select(
+        F.lit(0).cast("bigint").alias("n_docs"),
+        F.lit(0).cast("bigint").alias("n_shingle_rows"),
+        F.lit(0).cast("bigint").alias("n_distinct_shingles"),
+    )
+    items = [(name, _empty_of(schema)) for name, schema in schemas.items()] + [
+        ("meta", meta)
+    ]
+    with ThreadPoolExecutor(max_workers=len(items)) as pool:
+        list(pool.map(_write, items))
+
+
 def _write_artifact_tables(spark, tmp, rows, df_table, hashes_df, width) -> None:
     import os
 
@@ -654,6 +729,7 @@ def append_to_shingle_artifact(
     id_col: str = "doc_id",
     text_col: str = "text",
     defer_merge: bool = False,
+    assume_empty_delta: bool = False,
 ) -> str:
     """Incremental (append-only) shingle-store build: fold a delta of
     NEW documents into an existing artifact, producing a complete store
@@ -719,8 +795,23 @@ def append_to_shingle_artifact(
     one — ``refresh_store``) folds the ACCUMULATED side tables into
     df/stop/kept/meta: the merge work is batched at the maintenance
     cadence instead of being re-paid per micro-batch, exactly like
-    ``kept``'s merge-on-read generations."""
+    ``kept``'s merge-on-read generations.
+
+    ``assume_empty_delta=True`` (r13, the ``merge_backlog`` caller):
+    the caller DECLARES the delta is zero rows, so every per-delta
+    relation (arrays/hashes/signature appends, delta df counts, delta
+    meta advance) is skipped outright instead of running ~7 Spark jobs
+    over empty data — the merge fold then touches only the backlog
+    side tables and the merge-owned df/stop/kept/meta derivation.
+
+    Wall-clock shape (r13 optimization): independent table writes land
+    CONCURRENTLY off serially-forced caches (the `_write_artifact_tables`
+    pattern) — a deferred fold is 3 job waves (arrays; hashes; 5
+    parallel side/signature writes) instead of 7 sequential jobs, and
+    the heavy fold overlaps the df merge with the signature appends and
+    the kept rebuild with the df/stop writes."""
     import shutil
+    from concurrent.futures import ThreadPoolExecutor
 
     width = spark.sparkContext.defaultParallelism
     tmp = f"{out_path}.tmp{os.getpid()}"
@@ -730,38 +821,59 @@ def append_to_shingle_artifact(
     def base(name):
         return spark.read.parquet(os.path.join(base_path, name))
 
-    delta_arr = shingle_arrays_of(delta_docs, id_col, text_col).cache()
-    delta_rows = delta_arr.select(
-        "doc_id", F.explode("sh_arr").alias("shingle")
-    ).cache()
-    delta_df_counts = delta_rows.groupBy("shingle").agg(
-        F.count(F.lit(1)).alias("df")
+    def _run_all(thunks):
+        if not thunks:
+            return
+        with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+            list(pool.map(lambda f: f(), thunks))
+
+    empty_delta = assume_empty_delta
+    delta_arr = (
+        None if empty_delta else shingle_arrays_of(delta_docs, id_col, text_col).cache()
+    )
+    delta_rows = (
+        None
+        if empty_delta
+        else delta_arr.select("doc_id", F.explode("sh_arr").alias("shingle")).cache()
+    )
+    delta_df_counts = (
+        None
+        if empty_delta
+        else delta_rows.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     )
     # deferred-merge backlog carried by the base (empty lists on a
     # fully-merged base: the heavy path below then reduces exactly to
     # the original single-delta fold)
     df_delta_gens = _side_gen_numbers(base_path, "df_delta")
     pending_gens = _side_gen_numbers(base_path, "pending")
+    delta_hashes = None
     try:
         # reuse the per-doc tables' existing files, then append the delta
         for name in ("arrays", "hashes", "bands", "simsig", "simsig64"):
             _link_tree(os.path.join(base_path, name), os.path.join(tmp, name))
-        delta_arr.write.mode("append").parquet(os.path.join(tmp, "arrays"))
-        delta_hashes = delta_rows.select(
-            "doc_id",
-            h32_expr("shingle").alias("h32"),
-            h32b_expr("shingle").alias("h32b"),
-        ).cache()
-        delta_hashes.write.mode("append").parquet(os.path.join(tmp, "hashes"))
-        _minhash_bands_from_hashes(delta_hashes).write.mode("append").parquet(
-            os.path.join(tmp, "bands")
-        )
-        _simhash_sig_from_hashes(delta_hashes).write.mode("append").parquet(
-            os.path.join(tmp, "simsig")
-        )
-        _simhash_sig64_from_hashes(delta_hashes).write.mode("append").parquet(
-            os.path.join(tmp, "simsig64")
-        )
+        sig_items = []
+        if not empty_delta:
+            # ONE cache-forcing job (the delta_hashes count computes the
+            # whole delta_arr -> delta_rows -> delta_hashes chain, so a
+            # single pass populates all three caches); every per-doc
+            # append is then an independent read of a forced cache and
+            # lands concurrently below
+            delta_hashes = delta_rows.select(
+                "doc_id",
+                h32_expr("shingle").alias("h32"),
+                h32b_expr("shingle").alias("h32b"),
+            ).cache()
+            delta_hashes.count()
+            sig_items = [
+                ("arrays", delta_arr),
+                ("hashes", delta_hashes),
+                ("bands", _minhash_bands_from_hashes(delta_hashes)),
+                ("simsig", _simhash_sig_from_hashes(delta_hashes)),
+                ("simsig64", _simhash_sig64_from_hashes(delta_hashes)),
+            ]
+
+        def _sig_thunk(name, df):
+            return lambda: df.write.mode("append").parquet(os.path.join(tmp, name))
 
         if defer_merge:
             # LIGHT fold: link the merge-owned tables unchanged, then
@@ -774,22 +886,30 @@ def append_to_shingle_artifact(
                 if os.path.isdir(src):
                     _link_tree(src, os.path.join(tmp, name))
             next_gen = max(df_delta_gens + pending_gens, default=0) + 1
-            (
-                delta_df_counts.withColumn("gen", F.lit(next_gen))
-                .coalesce(4)
-                .write.mode("append")
-                .partitionBy("gen")
-                .parquet(os.path.join(tmp, "df_delta"))
-            )
-            (
-                delta_arr.select("doc_id")
-                .withColumn("gen", F.lit(next_gen))
-                .coalesce(4)
-                .write.mode("append")
-                .partitionBy("gen")
-                .parquet(os.path.join(tmp, "pending"))
-            )
-            delta_hashes.unpersist()
+            writes = [_sig_thunk(name, df) for name, df in sig_items]
+            if not empty_delta:
+                writes.append(
+                    lambda: (
+                        delta_df_counts.withColumn("gen", F.lit(next_gen))
+                        .coalesce(4)
+                        .write.mode("append")
+                        .partitionBy("gen")
+                        .parquet(os.path.join(tmp, "df_delta"))
+                    )
+                )
+                writes.append(
+                    lambda: (
+                        delta_arr.select("doc_id")
+                        .withColumn("gen", F.lit(next_gen))
+                        .coalesce(4)
+                        .write.mode("append")
+                        .partitionBy("gen")
+                        .parquet(os.path.join(tmp, "pending"))
+                    )
+                )
+            _run_all(writes)
+            if delta_hashes is not None:
+                delta_hashes.unpersist()
             open(os.path.join(tmp, "_DONE"), "w").close()
             shutil.rmtree(out_path, ignore_errors=True)
             os.rename(tmp, out_path)
@@ -813,7 +933,9 @@ def append_to_shingle_artifact(
             if pending_gens
             else None
         )
-        merged_df = base("df").unionByName(delta_df_counts)
+        merged_df = base("df")
+        if delta_df_counts is not None:
+            merged_df = merged_df.unionByName(delta_df_counts)
         if backlog_df is not None:
             merged_df = merged_df.unionByName(backlog_df)
         merged_df = (
@@ -821,14 +943,16 @@ def append_to_shingle_artifact(
             .agg(F.sum("df").cast("bigint").alias("df"))
             .cache()
         )
-        merged_df.repartition(width).write.mode("overwrite").parquet(
-            os.path.join(tmp, "df")
+        # force merged_df ONCE (the count doubles as the meta
+        # n_distinct below), overlapped with the independent signature
+        # appends; the df/stop writes then read the forced cache and
+        # overlap with the kept rebuild
+        n_distinct_box = []
+        _run_all(
+            [lambda: n_distinct_box.append(merged_df.count())]
+            + [_sig_thunk(name, df) for name, df in sig_items]
         )
-        merged_df.filter(F.col("df") > STOP_SHINGLE_DF).select(
-            "shingle"
-        ).repartition(width).write.mode("overwrite").parquet(
-            os.path.join(tmp, "stop")
-        )
+        n_distinct = n_distinct_box[0]
 
         # kept: MERGE-ON-READ append (r6 verdict #3). Base files AND
         # prior override generations are reused byte-for-byte
@@ -843,9 +967,14 @@ def append_to_shingle_artifact(
         # PERF.md round 7). Detection and rebuild both read the
         # logical stop-free kept — dfs only grow on append, so a doc's
         # new kept set ⊆ old kept set; arrays never need re-exploding.
-        changed = delta_df_counts.select("shingle")
+        changed = None
+        if delta_df_counts is not None:
+            changed = delta_df_counts.select("shingle")
         if backlog_df is not None:
-            changed = changed.unionByName(backlog_df.select("shingle"))
+            bsh = backlog_df.select("shingle")
+            changed = bsh if changed is None else changed.unionByName(bsh)
+        if changed is None:  # empty delta onto a backlog-free base
+            changed = base("df").filter(F.lit(False)).select("shingle")
         old_kept = resolve_kept(spark, base_path)
         old_kept_rows = old_kept.select(
             "doc_id", F.explode("sh_arr").alias("shingle")
@@ -861,17 +990,20 @@ def append_to_shingle_artifact(
             if not os.path.isdir(src):
                 continue
             _link_tree(src, os.path.join(tmp, name))
-        rebuild_rows = old_kept_rows.join(
-            affected, "doc_id", "left_semi"
-        ).unionByName(delta_rows)
+        rebuild_rows = old_kept_rows.join(affected, "doc_id", "left_semi")
+        if delta_rows is not None:
+            rebuild_rows = rebuild_rows.unionByName(delta_rows)
+        pending_rows = None
         if pending_ids is not None:
             # backlog docs: their kept rows were never derived (light
             # folds skip it), so they join the rebuild exactly like
-            # delta docs — rows re-exploded from their appended arrays
+            # delta docs — rows re-exploded from their appended arrays.
+            # Cached: the meta n_rows advance below re-counts it.
             pending_rows = (
                 base("arrays")
                 .join(pending_ids, "doc_id", "left_semi")
                 .select("doc_id", F.explode("sh_arr").alias("shingle"))
+                .cache()
             )
             rebuild_rows = rebuild_rows.unionByName(pending_rows)
         kept_nonstop = (
@@ -911,14 +1043,32 @@ def append_to_shingle_artifact(
             if os.path.isdir(over_dir)
             else []
         )
-        (
-            kept_rebuilt.withColumn(
-                "gen", F.lit(max(prior_gens, default=0) + 1)
-            )
-            .repartition(width)
-            .write.mode("append")
-            .partitionBy("gen")
-            .parquet(over_dir)
+        # the df/stop writes read only the forced merged_df cache, so
+        # they overlap the (heavier) kept-override rebuild
+        _run_all(
+            [
+                lambda: (
+                    kept_rebuilt.withColumn(
+                        "gen", F.lit(max(prior_gens, default=0) + 1)
+                    )
+                    .repartition(width)
+                    .write.mode("append")
+                    .partitionBy("gen")
+                    .parquet(over_dir)
+                ),
+                lambda: (
+                    merged_df.repartition(width)
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(tmp, "df"))
+                ),
+                lambda: (
+                    merged_df.filter(F.col("df") > STOP_SHINGLE_DF)
+                    .select("shingle")
+                    .repartition(width)
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(tmp, "stop"))
+                ),
+            ]
         )
         # LSM compaction: once DISTINCT overridden docs exceed half
         # the base, fold the logical kept back into a fresh flat base
@@ -936,12 +1086,40 @@ def append_to_shingle_artifact(
             for _, _, files in os.walk(over_dir)
             for f in files
         )
-        n_over = (
-            spark.read.parquet(over_dir).select("doc_id").distinct().count()
-            if has_over_files
-            else 0
-        )
-        n_base = spark.read.parquet(os.path.join(tmp, "kept")).count()
+        # the compaction-trigger counts, the meta head and the delta /
+        # backlog advance counts are all independent reads of already-
+        # materialized state — one concurrent wave instead of six
+        # sequential jobs
+        counts: dict = {}
+
+        def _count(key, fn):
+            return lambda: counts.__setitem__(key, fn())
+
+        count_thunks = [
+            _count(
+                "n_over",
+                lambda: (
+                    spark.read.parquet(over_dir).select("doc_id").distinct().count()
+                    if has_over_files
+                    else 0
+                ),
+            ),
+            _count(
+                "n_base",
+                lambda: spark.read.parquet(os.path.join(tmp, "kept")).count(),
+            ),
+            _count("old_meta", lambda: base("meta").head()),
+        ]
+        if not empty_delta:
+            count_thunks.append(_count("n_delta_docs", lambda: delta_arr.count()))
+            count_thunks.append(_count("n_delta_rows", lambda: delta_rows.count()))
+        if pending_ids is not None:
+            count_thunks.append(_count("n_pending", lambda: pending_ids.count()))
+            count_thunks.append(
+                _count("n_pending_rows", lambda: pending_rows.count())
+            )
+        _run_all(count_thunks)
+        n_over, n_base = counts["n_over"], counts["n_base"]
         if n_over > 0.5 * n_base:
             compacted = os.path.join(tmp, "kept.compact")
             (
@@ -954,16 +1132,15 @@ def append_to_shingle_artifact(
             shutil.rmtree(over_dir)
             os.rename(compacted, os.path.join(tmp, "kept"))
 
-        # manifest: counts advance by the delta's (already-forced) sizes
-        old_meta = base("meta").head()
-        # base meta may be stale by the deferred backlog (light folds
-        # link it unchanged); advance by backlog + this delta
-        n_docs = old_meta["n_docs"] + delta_arr.count()
-        n_rows = old_meta["n_shingle_rows"] + delta_rows.count()
-        if pending_ids is not None:
-            n_docs += pending_ids.count()
-            n_rows += pending_rows.count()
-        n_distinct = merged_df.count()
+        # manifest: counts advance by the delta's (already-forced)
+        # sizes — all gathered in the concurrent wave above. Base meta
+        # may be stale by the deferred backlog (light folds link it
+        # unchanged); advance by backlog + this delta.
+        old_meta = counts["old_meta"]
+        n_docs = old_meta["n_docs"] + counts.get("n_delta_docs", 0)
+        n_rows = old_meta["n_shingle_rows"] + counts.get("n_delta_rows", 0)
+        n_docs += counts.get("n_pending", 0)
+        n_rows += counts.get("n_pending_rows", 0)
         (
             spark.range(1)
             .select(
@@ -977,15 +1154,20 @@ def append_to_shingle_artifact(
         )
         # the backlog is folded in: the merged store carries no side
         # tables (they were never linked into tmp on this path)
-        delta_hashes.unpersist()
+        if delta_hashes is not None:
+            delta_hashes.unpersist()
+        if pending_rows is not None:
+            pending_rows.unpersist()
         affected.unpersist()
         merged_df.unpersist()
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
     finally:
-        delta_arr.unpersist()
-        delta_rows.unpersist()
+        if delta_arr is not None:
+            delta_arr.unpersist()
+        if delta_rows is not None:
+            delta_rows.unpersist()
     open(os.path.join(tmp, "_DONE"), "w").close()
     shutil.rmtree(out_path, ignore_errors=True)
     os.rename(tmp, out_path)

@@ -51,20 +51,18 @@ def init_empty_shingle_store(spark: SparkSession, path: str) -> str:
     an ordinary append, not a special case."""
     import shutil
 
-    from ..plans.dedup_queries import _build_artifact_tables, shingle_arrays_of
+    from ..plans.dedup_queries import _build_empty_artifact_tables
 
     if os.path.exists(os.path.join(path, "_DONE")):
         return path
     tmp = f"{path}.tmp{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
-    empty = spark.range(0).select(
-        F.col("id").alias("doc_id"), F.lit("").alias("text")
-    )
-    raw = shingle_arrays_of(empty)
     try:
-        _build_artifact_tables(
-            spark, None, tmp, raw, spark.sparkContext.defaultParallelism
-        )
+        # r13: schema-derived empty tables in one concurrent write wave
+        # (the full build pipeline over zero rows cost ~3 s of fixed
+        # job overhead per bootstrap; see _build_empty_artifact_tables)
+        os.makedirs(tmp)
+        _build_empty_artifact_tables(spark, tmp)
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
@@ -220,7 +218,14 @@ def merge_backlog(spark: SparkSession, src_path: str, dst_path: str) -> str:
     from ..plans.dedup_queries import append_to_shingle_artifact
 
     return append_to_shingle_artifact(
-        spark, src_path, _empty_docs(spark), dst_path, defer_merge=False
+        spark,
+        src_path,
+        _empty_docs(spark),
+        dst_path,
+        defer_merge=False,
+        # declared-empty delta (r13): skips the ~7 per-delta Spark jobs
+        # the old path ran over zero rows on every backlog merge
+        assume_empty_delta=True,
     )
 
 
