@@ -1252,6 +1252,41 @@ def test_pq_lloyd_codebook_is_integer_exact_and_stable(spark):
     assert all(isinstance(x, int) and abs(x) < 10_000_000 for v in a.values() for x in v)
 
 
+def test_lloyd_kernel_codebook_matches_relational_rendering(spark):
+    """r13 optimization pin (the lsh_near_dup precedent): the streaming
+    numpy Lloyd kernel must reproduce the original DataFrame loop's
+    codebook BIT-FOR-BIT — same seeds, same exact int64 argmin with
+    lowest-cid ties, same round(CAST(sum AS DOUBLE)/count) means — on
+    both the raw-subvector and the residual training inputs."""
+    from pyspark.sql import functions as F
+
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans.similarity_queries import (
+        _IVFPQ_NPROBE,
+        _PQ_LLOYD_ITERS,
+        _PQ_LLOYD_K,
+        _lloyd_codebook_on,
+        _lloyd_codebook_on_relational,
+        _residual_subs,
+        _sub_e6,
+    )
+
+    def rows_of(df):
+        return {(r["s"], r["cid"]): tuple(r["carr"]) for r in df.collect()}
+
+    raw = _sub_e6(spark, SF).filter(F.col("vec_id") >= 3)
+    assert rows_of(
+        _lloyd_codebook_on(raw, _PQ_LLOYD_K, _PQ_LLOYD_ITERS)
+    ) == rows_of(
+        _lloyd_codebook_on_relational(raw, _PQ_LLOYD_K, _PQ_LLOYD_ITERS)
+    )
+    _, _, csub, _ = _residual_subs(spark, SF, _IVFPQ_NPROBE)
+    assert rows_of(
+        _lloyd_codebook_on(csub, _PQ_LLOYD_K, _PQ_LLOYD_ITERS)
+    ) == rows_of(
+        _lloyd_codebook_on_relational(csub, _PQ_LLOYD_K, _PQ_LLOYD_ITERS)
+    )
+
+
 def test_lsh_near_dup_kernel_matches_join_rendering(spark):
     """r8 verdict #4: the bucket-grouped Arrow-kernel rendering of
     lsh_near_dup_pairs must return EXACTLY the pair set of the
