@@ -1897,6 +1897,13 @@ def winnowing_fingerprint_pairs(spark, sf_dir):
     sh = (
         c.select(
             "doc_id",
+            # r13: the per-doc positional-shingle COUNT is a pure
+            # function of the token-array size — carrying it as a map
+            # expression replaces the old unbounded count-over-window
+            # pass (one whole WindowExec removed; same rows)
+            (F.greatest(F.size("toks") - 2, F.lit(0)))
+            .cast("bigint")
+            .alias("n_sh"),
             F.posexplode(
                 F.expr(
                     "if(size(toks) < 3, array(), "
@@ -1906,20 +1913,22 @@ def winnowing_fingerprint_pairs(spark, sf_dir):
             ).alias("pos", "shingle"),
         )
         .withColumn("h32", h32_expr("shingle"))
-        .select("doc_id", "pos", "h32")
+        .select("doc_id", "n_sh", "pos", "h32")
     )
-    wdoc = Window.partitionBy("doc_id")
     wwin = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
         .rowsBetween(0, _WINNOW_W - 1)
     )
     fps = (
-        sh.withColumn("n_sh", F.count(F.lit(1)).over(wdoc))
-        .withColumn("fp", F.min("h32").over(wwin))
+        sh.withColumn("fp", F.min("h32").over(wwin))
         .filter(F.col("pos") <= F.col("n_sh") - _WINNOW_W)
         .select("doc_id", "fp")
         .distinct()
+        # r13: cached — fps feeds both the hot-fingerprint cut and the
+        # kept anti-join side; uncached, the whole shingle/window
+        # subtree ran twice
+        .cache()
     )
     hot = (
         fps.groupBy("fp")
@@ -2642,9 +2651,14 @@ def exact_span_dedup(spark, sf_dir):
         f"transform(sequence(1, size(toks) - {SPAN_K - 1}), "
         f"i -> array_join(slice(toks, i, {SPAN_K}), ' '))))"
     )
-    spans = c.select(
-        "doc_id", F.explode(F.expr(span_expr)).alias("span")
-    ).select("doc_id", h32_expr("span").alias("h"))
+    spans = (
+        c.select("doc_id", F.explode(F.expr(span_expr)).alias("span"))
+        .select("doc_id", h32_expr("span").alias("h"))
+        # r13: cached (narrow doc_id+bigint rows) — feeds the hot cut
+        # and both self-join sides; uncached, the tokenize/span/md5
+        # pass ran three times
+        .cache()
+    )
     # broadcast the HOT side (winnowing's shape): the boilerplate list
     # is bounded by construction (few spans exceed df=20), while the
     # keepable complement is nearly every distinct span — the wrong
@@ -3072,6 +3086,9 @@ def lang_vocab_minhash_sim(spark, sf_dir):
     toks = (
         d.select("lang", F.explode(F.expr(SPARK_TOKS)).alias("token"))
         .distinct()
+        # r13: cached — feeds the signature aggregate, the sizes
+        # aggregate and both sides of the exact-intersection join
+        .cache()
     )
     h = toks.withColumn(
         "h32", h32_expr("token")
@@ -3284,6 +3301,9 @@ def source_overlap_minhash(spark, sf_dir):
         .select("source", F.explode(F.expr(_SHINGLE_SET_EXPR)).alias("shingle"))
         .select("source", h32_expr(F.col("shingle")).alias("h32"))
         .distinct()
+        # r13: cached — the relation feeds 3 subtrees (see below), and
+        # uncached each one re-paid the tokenize/shingle/md5 pass
+        .cache()
     )
     # ONE aggregate carries both the 16 signature mins AND the set size,
     # and the sizes ride THROUGH the pairwise join — so the corpus-sized

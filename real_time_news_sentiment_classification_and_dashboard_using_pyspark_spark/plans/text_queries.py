@@ -2223,33 +2223,94 @@ def bpe_merge_train(spark, sf_dir):
     the merge application is two word-keyed window passes; the symbol
     table is localCheckpoint-ed per round (flat lineage,
     ContextCleaner-freed) exactly like the PageRank edge relation."""
-    wv, bests, _seqs = _bpe_train(spark, sf_dir)
-    rules = [
-        best.select(
-            F.lit(t).cast("int").alias("it"),
-            F.col("l").alias("left_sym"),
-            F.col("r").alias("right_sym"),
-            F.concat("l", "r").alias("merged"),
-            F.col("cnt").alias("n_occurrences"),
+    _wv, bests, _seqs = _bpe_train(spark, sf_dir)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ", ".join(
+        f"({t}, {q(l)}, {q(r)}, {q(l + r)}, {cnt})"
+        for t, (l, r, cnt) in enumerate(bests, start=1)
+    )
+    return spark.sql(
+        "SELECT CAST(it AS INT) AS it, left_sym, right_sym, merged, "
+        "CAST(n_occurrences AS BIGINT) AS n_occurrences "
+        f"FROM (VALUES {vals}) AS t(it, left_sym, right_sym, merged, n_occurrences)"
+    )
+
+
+def _bpe_merge_fold(l: str, r: str):
+    """Greedy left-to-right application of merge rule (l, r) to a
+    ``syms`` array column, as ONE pure array fold with the rule inlined
+    as literals — no windows, no joins, no row expansion (r13; the old
+    rendering ran three word-keyed window passes per round).
+
+    Equivalence to the window rendering: a one-symbol carry implements
+    exactly greedy non-overlapping left-to-right matching. For l != r,
+    matches cannot overlap (a match at i and i+1 would force
+    s[i+1] = r = l), so every adjacency merges — same as the old
+    unconditional ``ms`` mark. For l = r, the carry is cleared after a
+    merge, so within a maximal run of l's the 1st, 3rd, 5th... starts
+    merge — exactly the old odd-parity (pir % 2 = 1) rule."""
+    L, R = F.lit(l), F.lit(r)
+
+    def step(acc, x):
+        carried = acc.getField("carry")
+        is_merge = carried.isNotNull() & (carried == L) & (x == R)
+        new_out = (
+            F.when(
+                is_merge,
+                F.concat(acc.getField("out"), F.array(F.concat(carried, x))),
+            )
+            .when(carried.isNotNull(), F.concat(acc.getField("out"), F.array(carried)))
+            .otherwise(acc.getField("out"))
         )
-        for t, best in enumerate(bests, start=1)
-    ]
-    out = rules[0]
-    for r in rules[1:]:
-        out = out.unionByName(r)
-    return out
+        new_carry = F.when(is_merge, F.lit(None).cast("string")).otherwise(x)
+        return F.struct(new_out.alias("out"), new_carry.alias("carry"))
+
+    def finish(acc):
+        return F.when(
+            acc.getField("carry").isNotNull(),
+            F.concat(acc.getField("out"), F.array(acc.getField("carry"))),
+        ).otherwise(acc.getField("out"))
+
+    init = F.struct(
+        F.expr("CAST(array() AS array<string>)").alias("out"),
+        F.lit(None).cast("string").alias("carry"),
+    )
+    return F.aggregate(F.col("syms"), init, step, finish)
+
+
+# adjacent (l, r) symbol pairs of a syms array — guarded for len-1
+# words (sequence(1, 0) is DESCENDING, the bpe_pair_counts gotcha)
+_BPE_PAIRS_EXPR = (
+    "if(size(syms) < 2, array(), transform(sequence(1, size(syms) - 1),"
+    " i -> struct(syms[i - 1] AS l, syms[i] AS r)))"
+)
 
 
 def _bpe_train(spark, sf_dir, iters: int = _BPE_MERGE_ITERS):
     """Run the merge-training loop once and hand back every round's
     materialized state: the word vocabulary ``wv`` (word, freq), the
-    chosen rule per round ``bests`` (1-indexed), and the symbol table
-    after each round ``seqs`` (seqs[t] = table after t merges, seqs[0]
-    = the character split). Everything is eagerly localCheckpoint-ed,
-    so consumers (`bpe_merge_train`, `bpe_compression_curve`) read flat
-    materialized relations instead of replaying window chains."""
+    chosen rules ``bests`` as DRIVER-SIDE tuples [(l, r, cnt)]
+    (1-indexed by position), and the symbol table after each round
+    ``seqs`` (seqs[t] = (word, freq, syms) after t merges, seqs[0] =
+    the character split), eagerly localCheckpoint-ed.
+
+    r13 shape: state is ONE ROW PER WORD with the symbol sequence as
+    an array (freq rides on the row — no join), so each round is (a)
+    one bounded-key pair-count aggregate whose argmax is a 1-row
+    TakeOrdered collect, and (b) one MAP-ONLY fold applying the rule as
+    literals (``_bpe_merge_fold``) into the next checkpoint — two jobs,
+    zero window sorts. The old rendering paid per round an eager best
+    checkpoint plus a three-window (word / word,isl / word,isl,grp)
+    sort cascade over the exploded symbol table. Values are identical:
+    same adjacency counts, same (cnt DESC, l, r) tie-break, and the
+    fold is provably the same greedy/odd-parity application (docstring
+    of ``_bpe_merge_fold``); tests/test_functions.py pins the whole
+    loop against an independent pure-Python BPE."""
     d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    wv = (
+    seq = (
         d.select(
             F.explode(
                 F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")
@@ -2257,62 +2318,27 @@ def _bpe_train(spark, sf_dir, iters: int = _BPE_MERGE_ITERS):
         )
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .select("word", "freq", F.expr("split(word, '')").alias("syms"))
         .localCheckpoint(eager=True)
     )
-    seq = wv.select(
-        "word",
-        F.posexplode(F.expr("split(word, '')")).alias("i", "sym"),
-    ).select("word", (F.col("i") + 1).cast("bigint").alias("rn"), "sym")
-    seq = seq.localCheckpoint(eager=True)
+    wv = seq.select("word", "freq")
 
-    w_word = Window.partitionBy("word").orderBy("rn")
-    bests = []
+    bests: list[tuple[str, str, int]] = []
     seqs = [seq]
-    for t in range(1, iters + 1):
-        pc = (
-            seq.withColumn("r", F.lead("sym").over(w_word))
-            .filter(F.col("r").isNotNull())
-            .join(wv, "word")
-            .groupBy(F.col("sym").alias("l"), "r")
+    for _t in range(1, iters + 1):
+        top = (
+            seq.select(F.explode(F.expr(_BPE_PAIRS_EXPR)).alias("p"), "freq")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("freq").cast("bigint").alias("cnt"))
-        )
-        best = (
-            pc.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
             .limit(1)
-            .localCheckpoint(eager=True)
+            .collect()
         )
-        bests.append(best)
-        isl = F.col("sym") == F.col("l")
-        w_isl = Window.partitionBy("word", isl).orderBy("rn")
-        base = (
-            seq.crossJoin(F.broadcast(best))
-            .withColumn("nxt", F.lead("sym").over(w_word))
-            .withColumn("isl", isl)
-            .withColumn("grp", F.col("rn") - F.row_number().over(w_isl))
-        )
-        w_run = Window.partitionBy("word", "isl", "grp").orderBy("rn")
-        marked = base.withColumn("pir", F.row_number().over(w_run)).withColumn(
-            "ms",
-            F.col("nxt").isNotNull()
-            & (F.col("sym") == F.col("l"))
-            & (F.col("nxt") == F.col("r"))
-            & ((F.col("l") != F.col("r")) | (F.col("pir") % 2 == 1)),
-        )
-        seq = (
-            marked.withColumn(
-                "consumed",
-                F.coalesce(F.lag("ms").over(w_word), F.lit(False)),
-            )
-            .filter(~F.col("consumed"))
-            .select(
-                "word",
-                F.row_number().over(w_word).cast("bigint").alias("rn"),
-                F.when(F.col("ms"), F.concat("sym", "r"))
-                .otherwise(F.col("sym"))
-                .alias("sym"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        bests.append((l, r, cnt))
+        seq = seq.select(
+            "word", "freq", _bpe_merge_fold(l, r).alias("syms")
+        ).localCheckpoint(eager=True)
         seqs.append(seq)
     return wv, bests, seqs
 
@@ -2845,8 +2871,11 @@ def bpe_compression_curve(spark, sf_dir):
     tw = wv.agg(F.sum("freq").cast("double").alias("tw"))
     rows = []
     for t, seq in enumerate(seqs):
+        # freq rides on the per-word array row (r13), so each
+        # measurement is a map-side explode + one aggregate over the
+        # checkpointed table — the old per-round wv join is gone
         rows.append(
-            seq.join(wv, "word")
+            seq.select(F.explode("syms").alias("sym"), "freq")
             .crossJoin(F.broadcast(tw))
             .agg(
                 F.lit(t).cast("int").alias("it"),
