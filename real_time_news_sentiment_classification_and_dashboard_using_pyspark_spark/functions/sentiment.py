@@ -108,9 +108,27 @@ def polarity_expr(text_col: Column | str) -> Column:
         F.transform(tokens(text_col), lambda t: F.element_at(lexicon_map(), t)),
         lambda v: v.isNotNull(),
     )
-    n = F.size(matched)
-    total = F.aggregate(matched, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long"))
-    return F.when(n > 0, total.cast("double") / (n * 100)).otherwise(F.lit(0.0))
+    # ONE fold carrying (sum, count) — the old size()+aggregate() pair
+    # inlined the whole tokenize/lookup chain 2-3x per row (HOFs are
+    # CodegenFallback: no codegen subexpression elimination), measured
+    # as the streaming pipeline's dominant per-row cost (r13). Same
+    # arithmetic: exact long sum, int count, one double/int division;
+    # null text -> null fold -> coalesce keeps the 0.0 contract.
+    folded = F.aggregate(
+        matched,
+        F.struct(
+            F.lit(0).cast("long").alias("s"), F.lit(0).cast("int").alias("n")
+        ),
+        lambda acc, x: F.struct(
+            (acc.getField("s") + x.cast("long")).alias("s"),
+            (acc.getField("n") + F.lit(1)).alias("n"),
+        ),
+        lambda acc: F.when(
+            acc.getField("n") > 0,
+            acc.getField("s").cast("double") / (acc.getField("n") * 100),
+        ).otherwise(F.lit(0.0)),
+    )
+    return F.coalesce(folded, F.lit(0.0))
 
 
 def score_text_expr(df: DataFrame, text_col: str) -> DataFrame:

@@ -3202,15 +3202,37 @@ def _residual_subs(spark, sf_dir, nprobe: int):
     the residual subvector relations — candidates relative to their OWN
     cell's centroid, queries relative to EACH routed cell's centroid
     (nprobe residuals per query; the ADC table is per (query, cell))."""
-    cells, routes = _coarse_cells_and_routes(spark, sf_dir, nprobe)
     # localCheckpoint (same caveat as operators/skew.py: non-reliable
     # blocks, single-node harness): cells/routes carry the corpus-wide
     # routing window and csub feeds EVERY Lloyd iteration plus the
     # final encode — without truncation the residual family recomputes
     # that lineage 2*iters+2 times (measured 6x slower than the
-    # raw-vector composition at sf1 before this pin).
-    cells = cells.localCheckpoint(eager=True)
-    routes = routes.localCheckpoint(eager=True)
+    # raw-vector composition at sf1 before this pin). r13: ONE
+    # checkpoint of the union-filtered ranking instead of two separate
+    # jobs; cells/routes are filters over the materialized rows.
+    e = _emb_n(spark, sf_dir)
+    cent0 = _coarse_cent(spark, sf_dir)
+    scored = e.crossJoin(F.broadcast(cent0)).select(
+        "vec_id",
+        "cl",
+        _sim(F.col("emb"), F.col("norm"), F.col("cemb"), F.col("cnorm")).alias("cs"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cl"))
+    ranked = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(
+            ((F.col("rn") == 1) & (F.col("vec_id") >= 3))
+            | ((F.col("rn") <= nprobe) & (F.col("vec_id") < 3))
+        )
+        .select("vec_id", "cl", "rn")
+        .localCheckpoint(eager=True)
+    )
+    cells = ranked.filter(F.col("vec_id") >= 3).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("cl").alias("cell")
+    )
+    routes = ranked.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("cl").alias("cell")
+    )
     cent = _coarse_cent(spark, sf_dir).select("cl", "cemb")
     e = _emb(spark, sf_dir)
     csub = (

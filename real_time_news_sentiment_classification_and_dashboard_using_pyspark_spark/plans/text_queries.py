@@ -1972,10 +1972,19 @@ def ccnet_perplexity_buckets(spark, sf_dir):
         ).cast("bigint")
         % 10
     )
+    # r13: tok feeds the LM aggregate AND the scoring join side, and lm
+    # feeds the denominators AND the join — cached, each is computed
+    # once (the tokenize explode formerly ran twice, the LM aggregate
+    # twice)
     tok = d.select(
         "doc_id", "lang", (bucket < 7).alias("is_train"), F.explode(tokens("text")).alias("word")
+    ).cache()
+    lm = (
+        tok.filter("is_train")
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
     )
-    lm = tok.filter("is_train").groupBy("lang", "word").agg(F.count(F.lit(1)).alias("c"))
     stats = lm.groupBy("lang").agg(
         (F.sum("c") + F.count(F.lit(1))).cast("double").alias("denom")
     )
@@ -2646,19 +2655,26 @@ def _qc_weights(spark, sf_dir, db, n_docs: int):
         .localCheckpoint(eager=True)
     )
     for _ in range(_QC_ITERS):
+        # r13: the z aggregation CARRIES each doc's (b, cnt) pairs
+        # (bounded by _QC_BUCKETS per doc), so the gradient reads them
+        # from an explode instead of re-joining the histogram on
+        # doc_id — one corpus-keyed shuffle per round instead of two.
+        # zsum / residual / gradient values are unchanged.
         z = (
             db.join(F.broadcast(w), "b")
             .groupBy("doc_id")
             .agg(
                 F.sum(F.col("cnt") * F.col("w")).alias("zsum"),
                 F.any_value("y6").alias("y6"),
+                F.collect_list(F.struct("b", "cnt")).alias("bc"),
             )
         )
-        r = z.select("doc_id", (_qc_p6(F.col("zsum")) - F.col("y6")).alias("r6"))
-        g = (
-            db.join(r, "doc_id")
-            .groupBy("b")
-            .agg(F.sum(F.col("cnt") * F.col("r6")).alias("g"))
+        r = z.select(
+            (_qc_p6(F.col("zsum")) - F.col("y6")).alias("r6"),
+            F.explode("bc").alias("p"),
+        )
+        g = r.groupBy(F.col("p.b").alias("b")).agg(
+            F.sum(F.col("p.cnt") * F.col("r6")).alias("g")
         )
         w = (
             w.join(g, "b", "left")
