@@ -293,25 +293,35 @@ def main() -> None:
     print(json.dumps(full_payload))
     # The driver records only a bounded tail of stdout, so a 175-entry
     # "queries" map can be cut mid-JSON (BENCH_r11.json: parsed=null,
-    # 59/175 entries survived). Two mitigations (VERDICT r11 #2):
-    #  1. Persist the complete payload to a file next to bench.py —
-    #     nothing is ever lost locally.
-    #  2. Emit a second, compact JSON line AFTER the full line — small
-    #     enough (<2 KB) that any tail capture contains it whole —
-    #     carrying the headline signal: total, calibration, n, the
-    #     top-20 slowest queries, and streaming throughput.
-    try:
-        with open(
-            os.path.join(
-                os.path.dirname(os.path.abspath(__file__)),
-                "BENCH_last_full.json",
-            ),
-            "w",
-        ) as fh:
-            json.dump(full_payload, fh)
-            fh.write("\n")
-    except OSError as exc:  # read-only checkout: keep stdout contract
-        print(f"bench: could not persist full payload: {exc}", file=sys.stderr)
+    # 59/175 entries survived). Two mitigations (VERDICT r11 #2,
+    # revised per VERDICT r13 #1):
+    #  1. Persist the complete payload to a PER-RUN file next to
+    #     bench.py (keyed on core count so an 8-core scaling run no
+    #     longer clobbers the 32-core record — r13 lost its only full
+    #     32-core payload that way). BENCH_last_full.json is still
+    #     written for tooling that reads the fixed name.
+    #  2. Emit a second, compact JSON line AFTER the full line —
+    #     carrying the FULL per-query medians map under "queries"
+    #     (VERDICT r13 #1: the driver's round-over-round comparator
+    #     reads "queries" from the compact line; it now spans the whole
+    #     registry, so summing it IS the total) plus "queries_top20"
+    #     for display.
+    per_run_name = f"BENCH_full_c{width}.json"
+    for fname in (per_run_name, "BENCH_last_full.json"):
+        try:
+            with open(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), fname
+                ),
+                "w",
+            ) as fh:
+                json.dump(full_payload, fh)
+                fh.write("\n")
+        except OSError as exc:  # read-only checkout: keep stdout contract
+            print(
+                f"bench: could not persist full payload to {fname}: {exc}",
+                file=sys.stderr,
+            )
     top20 = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:20]
     )
@@ -325,10 +335,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "runs_per_query": runs_per_query,
                 "calibration_sec": full_payload["calibration_sec"],
-                # Deliberately NOT keyed "queries": this is the
-                # top-20-slowest subset, and a contract-shape parser
-                # that sums "queries" values would silently compute a
-                # wrong total. Distinct key = loud failure instead.
+                "queries": timings,
                 "queries_top20": top20,
                 **(
                     {
@@ -339,7 +346,7 @@ def main() -> None:
                     if stream_sec is not None
                     else {}
                 ),
-                "full_payload_file": "BENCH_last_full.json",
+                "full_payload_file": per_run_name,
             }
         )
     )
