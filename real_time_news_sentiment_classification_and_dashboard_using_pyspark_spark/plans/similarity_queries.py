@@ -534,7 +534,8 @@ def ivf_topk_probe(spark, sf_dir):
     # checkpoint blocks are ContextCleaner-freed with the plan.
     cells = e.join(cell_of, "vec_id").select(
         "vec_id", "emb", "norm", "cell"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # lazy (r14): materialized by the
+    # consuming action's first touch — one dedicated job fewer
     q = cells.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qemb"),
@@ -1479,7 +1480,8 @@ def ivf_recall_eval(spark, sf_dir):
     # checkpoint blocks are ContextCleaner-freed with the plan.
     cells = e.join(cell_of, "vec_id").select(
         "vec_id", "emb", "norm", "cell"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # lazy (r14): materialized by the
+    # consuming action's first touch — one dedicated job fewer
     # queries DISJOINT from the centroid set (r7 verdict #4): with
     # queries ⊂ centroids, a query IS its own cell's center, its true
     # neighbors align with its own cell on ANY geometry, and the
@@ -1676,7 +1678,8 @@ def ivf_build_probe(spark, sf_dir):
     # checkpoint blocks are ContextCleaner-freed with the plan.
     cells = e.join(cell_of, "vec_id").select(
         "vec_id", "emb", "norm", "cell"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # lazy (r14): materialized by the
+    # consuming action's first touch — one dedicated job fewer
     q = cells.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qemb"),
@@ -2336,12 +2339,14 @@ def _sub_e6(spark, sf_dir) -> DataFrame:
     to int64 micro-units — the single float->int boundary of the
     Lloyd-PQ pipeline.
 
-    Cached (r13): every Lloyd round re-probes this relation (argmin
-    join) and the encode pass reads it again — without the cache each
-    of the 2*iters+2 actions re-paid the parquet scan + quantize
-    explode. Spark's plan-keyed cache manager makes every _sub_e6
-    caller in the same query share one materialization; bench.py's
-    clear_caches keeps timings cold per query."""
+    NOT cached here (the r13 docstring claimed a cache that never
+    existed — ADVICE r13): each call builds a fresh plan. Callers that
+    issue several actions over it (the driver-paced Lloyd rounds +
+    encode + query collect) share ONE materialization by lazily
+    localCheckpoint-ing the result once per query composition
+    (`_pq_lloyd_shortlist_df` / `_ivfpq_shortlist_df`, r14) — a
+    row-block checkpoint, not the columnar array<long> cache that
+    measured WORSE in the r13 kmeans attempts."""
     e = _emb(spark, sf_dir)
     return (
         e.select(
@@ -2368,7 +2373,7 @@ def _l2_int(a: Column, b: Column) -> Column:
 
 
 def _pq_lloyd_codebook(
-    spark, sf_dir, k: int = _PQ_LLOYD_K, iters: int = _PQ_LLOYD_ITERS
+    spark, sf_dir, k: int = _PQ_LLOYD_K, iters: int = _PQ_LLOYD_ITERS, sub=None
 ) -> DataFrame:
     """Train the (s, cid, carr) codebook: seed from the k lowest
     candidate vec_ids (cid IS the seed vec_id — any deterministic total
@@ -2382,8 +2387,13 @@ def _pq_lloyd_codebook(
     Scale: per round ONE broadcast join (n*8 x k rows, map-side) + one
     (vec_id, s)-keyed partial-agg argmin + one (s, cid, j)-keyed mean —
     nothing larger than the corpus ever shuffles, and the codebook
-    itself is k x 8 rows."""
-    sub = _sub_e6(spark, sf_dir)
+    itself is k x 8 rows.
+
+    ``sub``: optionally a pre-built (possibly checkpoint-shared)
+    ``_sub_e6`` relation, so a composition that also encodes pays the
+    quantize explode once (r14)."""
+    if sub is None:
+        sub = _sub_e6(spark, sf_dir)
     cent = _lloyd_codebook_on(sub.filter(F.col("vec_id") >= 3), k, iters)
     if k == _PQ_LLOYD_K and iters == _PQ_LLOYD_ITERS:
         # persist the registry-parameter codebook for the pinned
@@ -2451,13 +2461,15 @@ def _round_half_up_like_spark(total: int, count: int) -> int:
     return int(Decimal(repr(d)).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
 
 
-def _lloyd_partials_kernel(cent_by_s: dict, cids_by_s: dict):
+def _lloyd_partials_kernel(cent_by_s: dict, cids_by_s: dict, width: int = 8):
     """mapInPandas kernel: assign each (vec_id, s, subv) row to its
     nearest centroid of subspace s (exact int64 d = ipv + ipc - 2<v,c>,
     ties to the LOWEST cid — cids are passed ascending and argmin takes
     the first minimum) and emit per-batch per-cluster partial sums.
-    Streaming and bounded: one Arrow batch in flight, k x 8 int64 state
-    — safe at any corpus size."""
+    Streaming and bounded: one Arrow batch in flight, k x width int64
+    state — safe at any corpus size. ``width`` is the subvector
+    dimensionality (8 for the PQ families, 64 for full-vector
+    k-means)."""
 
     def fn(batches):
         import numpy as np
@@ -2465,7 +2477,7 @@ def _lloyd_partials_kernel(cent_by_s: dict, cids_by_s: dict):
 
         cent = {s: np.asarray(m, dtype=np.int64) for s, m in cent_by_s.items()}
         cids = {s: np.asarray(v, dtype=np.int64) for s, v in cids_by_s.items()}
-        cols = ["s", "cid", "n"] + [f"x{j}" for j in range(8)]
+        cols = ["s", "cid", "n"] + [f"x{j}" for j in range(width)]
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -2479,7 +2491,7 @@ def _lloyd_partials_kernel(cent_by_s: dict, cids_by_s: dict):
                 ipc = np.einsum("ij,ij->i", C, C)
                 d = ipv[:, None] + ipc[None, :] - 2 * (Xs @ C.T)
                 a = np.argmin(d, axis=1)
-                sums = np.zeros((C.shape[0], 8), dtype=np.int64)
+                sums = np.zeros((C.shape[0], width), dtype=np.int64)
                 np.add.at(sums, a, Xs)
                 cnts = np.bincount(a, minlength=C.shape[0])
                 for i in np.nonzero(cnts)[0]:
@@ -2492,9 +2504,13 @@ def _lloyd_partials_kernel(cent_by_s: dict, cids_by_s: dict):
     return fn
 
 
-_LLOYD_PARTIALS_SCHEMA = "s long, cid long, n long, " + ", ".join(
-    f"x{j} long" for j in range(8)
-)
+def _lloyd_partials_schema(width: int = 8) -> str:
+    return "s long, cid long, n long, " + ", ".join(
+        f"x{j} long" for j in range(width)
+    )
+
+
+_LLOYD_PARTIALS_SCHEMA = _lloyd_partials_schema(8)
 
 
 def _cent_df_from_rows(spark, rows) -> DataFrame:
@@ -2512,7 +2528,9 @@ def _cent_df_from_rows(spark, rows) -> DataFrame:
     )
 
 
-def _lloyd_codebook_rows(cand: DataFrame, k: int, iters: int):
+def _lloyd_codebook_rows(
+    cand: DataFrame, k: int, iters: int, width: int = 8, nsub: int = 8
+):
     """Driver-paced Lloyd: seeds from one bounded TakeOrdered (the k
     lowest vec_ids' 8 subvectors = k*8 rows), then per round ONE
     streaming mapInPandas pass emitting per-batch cluster partials,
@@ -2534,7 +2552,22 @@ def _lloyd_codebook_rows(cand: DataFrame, k: int, iters: int):
     round one map-side-reduced pass (partials are k x 8 rows per
     batch), driver state k x 8 ints, no corpus-sized shuffle at all."""
     spark = cand.sparkSession
-    seed_rows = cand.orderBy("vec_id", "s").limit(k * 8).collect()
+    seed_rows = cand.orderBy("vec_id", "s").limit(k * nsub).collect()
+    # The bounded TakeOrdered seeding assumes every vec_id contributes
+    # exactly one row per subspace (``nsub``) — true for every current
+    # caller (_sub_e6 / _residual_subs emit dense s=0..7 per vec_id;
+    # the k-means adapter emits a single s=0 row). A future source with
+    # missing subspaces would silently seed from >k vec_ids and diverge
+    # from the relational arm's distinct-vec_id seeding, so fail loudly
+    # instead (ADVICE r13).
+    seed_ids = {int(r["vec_id"]) for r in seed_rows}
+    if seed_rows and not (
+        len(seed_ids) <= k and len(seed_rows) == nsub * len(seed_ids)
+    ):
+        raise AssertionError(
+            f"Lloyd seeding expected {k} vec_ids x {nsub} subspaces, got "
+            f"{len(seed_rows)} rows over {len(seed_ids)} vec_ids"
+        )
     cent: dict[int, list] = {}
     cids: dict[int, list] = {}
     for r in sorted(seed_rows, key=lambda r: (int(r["s"]), int(r["vec_id"]))):
@@ -2544,19 +2577,20 @@ def _lloyd_codebook_rows(cand: DataFrame, k: int, iters: int):
     for _ in range(iters):
         part = (
             cand.mapInPandas(
-                _lloyd_partials_kernel(cent, cids), _LLOYD_PARTIALS_SCHEMA
+                _lloyd_partials_kernel(cent, cids, width),
+                _lloyd_partials_schema(width),
             )
             .groupBy("s", "cid")
             .agg(
                 F.sum("n").alias("n"),
-                *[F.sum(f"x{j}").alias(f"x{j}") for j in range(8)],
+                *[F.sum(f"x{j}").alias(f"x{j}") for j in range(width)],
             )
             .collect()
         )
         new = {
             (int(r["s"]), int(r["cid"])): [
                 _round_half_up_like_spark(int(r[f"x{j}"]), int(r["n"]))
-                for j in range(8)
+                for j in range(width)
             ]
             for r in part
         }
@@ -2642,7 +2676,9 @@ def _cent_maps(rows):
     return cent_by_s, cids_by_s
 
 
-def _pq_lloyd_codes_qdist(spark, sf_dir, cent) -> tuple[DataFrame, DataFrame]:
+def _pq_lloyd_codes_qdist(
+    spark, sf_dir, cent, sub=None
+) -> tuple[DataFrame, DataFrame]:
     """Encode candidates against the final codebook and build the
     per-query ADC lookup table.
 
@@ -2659,7 +2695,8 @@ def _pq_lloyd_codes_qdist(spark, sf_dir, cent) -> tuple[DataFrame, DataFrame]:
         for r in cent.collect()
     ]
     cent_by_s, cids_by_s = _cent_maps(cent_rows)
-    sub = _sub_e6(spark, sf_dir)
+    if sub is None:
+        sub = _sub_e6(spark, sf_dir)
     codes = sub.filter(F.col("vec_id") >= 3).mapInPandas(
         _lloyd_encode_kernel(cent_by_s, cids_by_s, "neighbor_id"),
         "neighbor_id long, s long, cid long",
@@ -2694,8 +2731,14 @@ def _pq_lloyd_shortlist_df(spark, sf_dir) -> DataFrame:
     candidate set — the Lloyd-PQ twin of ``_pq_adc_shortlist``."""
     n_cand = _emb_cand_n(spark, sf_dir)
     sl = _pq_lloyd_shortlist_depth(n_cand)
-    cent = _pq_lloyd_codebook(spark, sf_dir)
-    codes, qdist = _pq_lloyd_codes_qdist(spark, sf_dir, cent)
+    # ONE lazily-checkpointed quantize pass shared by training (3
+    # partials collects), encode and the query collect — the first
+    # consumer materializes the row blocks, the other 2*iters-ish
+    # actions read them instead of re-paying the parquet scan + the
+    # interpreted quantize explode (r14, ADVICE r13 #1)
+    sub = _sub_e6(spark, sf_dir).localCheckpoint(eager=False)
+    cent = _pq_lloyd_codebook(spark, sf_dir, sub=sub)
+    codes, qdist = _pq_lloyd_codes_qdist(spark, sf_dir, cent, sub=sub)
     adc = (
         codes.join(F.broadcast(qdist), ["s", "cid"])
         .groupBy("query_id", "neighbor_id")
@@ -2962,8 +3005,10 @@ def _ivfpq_shortlist_df(spark, sf_dir, sl: int) -> DataFrame:
     routed cells' members — the IVF-PQ composition core."""
     cells, routes = _coarse_cells_and_routes(spark, sf_dir, _IVFPQ_NPROBE)
     pairs = routes.join(cells, "cell").select("query_id", "neighbor_id")
-    cent = _pq_lloyd_codebook(spark, sf_dir)
-    codes, qdist = _pq_lloyd_codes_qdist(spark, sf_dir, cent)
+    # shared quantize checkpoint — see _pq_lloyd_shortlist_df (r14)
+    sub = _sub_e6(spark, sf_dir).localCheckpoint(eager=False)
+    cent = _pq_lloyd_codebook(spark, sf_dir, sub=sub)
+    codes, qdist = _pq_lloyd_codes_qdist(spark, sf_dir, cent, sub=sub)
     adcr = (
         codes.join(F.broadcast(pairs), "neighbor_id")
         .join(F.broadcast(qdist), ["query_id", "s", "cid"])
@@ -3225,7 +3270,10 @@ def _residual_subs(spark, sf_dir, nprobe: int):
             | ((F.col("rn") <= nprobe) & (F.col("vec_id") < 3))
         )
         .select("vec_id", "cl", "rn")
-        .localCheckpoint(eager=True)
+        # lazy (r14): materialized by the first consumer's job (the
+        # csub checkpoint / seeding collect) instead of paying a
+        # dedicated eager job; later consumers read the blocks
+        .localCheckpoint(eager=False)
     )
     cells = ranked.filter(F.col("vec_id") >= 3).select(
         F.col("vec_id").alias("neighbor_id"), F.col("cl").alias("cell")
@@ -3246,7 +3294,9 @@ def _residual_subs(spark, sf_dir, nprobe: int):
         # or the whole training loop runs on a single core (measured
         # 34 s vs 14 s for the same-shape raw-vector loop at sf1).
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
-        .localCheckpoint(eager=True)
+        # lazy (r14): the seeding collect materializes it — one job
+        # fewer per residual query
+        .localCheckpoint(eager=False)
     )
     qsub = (
         e.join(F.broadcast(routes), e.vec_id == routes.query_id)
@@ -3282,19 +3332,34 @@ def _ivfpq_residual_shortlist_df(spark, sf_dir, sl: int) -> DataFrame:
         "neighbor_id long, s long, cid long",
     )
     qrows = qsub.collect()
+    # cell is the int32 embedding label: emit it as an UNQUOTED integer
+    # literal cast to INT so the 4-key adcr join below matches types
+    # exactly instead of leaning on implicit string/int coercion
+    # (ADVICE r13), and give the empty-qsub degenerate the same guarded
+    # branch as the raw-PQ twin (`FROM (VALUES )` is a parse error).
     qvals = ", ".join(
-        f"({int(q['query_id'])}, '{str(q['cell']).replace(chr(39), chr(39) * 2)}', {s}, {cid}, "
+        f"({int(q['query_id'])}, {int(q['cell'])}, {s}, {cid}, "
         f"{sum((int(x) - int(c)) ** 2 for x, c in zip(q['subv'], carr))})"
         for q in qrows
         for s, cid, carr in cent_rows
         if int(q["s"]) == s
     )
-    qdist = spark.sql(
-        "SELECT CAST(query_id AS BIGINT) AS query_id, cell, "
-        "CAST(s AS BIGINT) AS s, CAST(cid AS BIGINT) AS cid, "
-        "CAST(d AS BIGINT) AS d "
-        f"FROM (VALUES {qvals}) AS t(query_id, cell, s, cid, d)"
-    )
+    if not qvals:  # degenerate: no query vectors in the corpus
+        qdist = spark.range(0).select(
+            F.col("id").alias("query_id"),
+            F.col("id").cast("int").alias("cell"),
+            F.col("id").alias("s"),
+            F.col("id").alias("cid"),
+            F.col("id").alias("d"),
+        )
+    else:
+        qdist = spark.sql(
+            "SELECT CAST(query_id AS BIGINT) AS query_id, "
+            "CAST(cell AS INT) AS cell, "
+            "CAST(s AS BIGINT) AS s, CAST(cid AS BIGINT) AS cid, "
+            "CAST(d AS BIGINT) AS d "
+            f"FROM (VALUES {qvals}) AS t(query_id, cell, s, cid, d)"
+        )
     pairs = routes.join(cells, "cell").select("query_id", "neighbor_id", "cell")
     adcr = (
         codes.join(F.broadcast(pairs), "neighbor_id")
@@ -3622,17 +3687,17 @@ def _emb_e6(spark, sf_dir) -> DataFrame:
     )
 
 
-def _kmeans_centroids(
+def _kmeans_centroids_relational(
     spark, sf_dir, k: int = _KMEANS_K, iters: int = _KMEANS_ITERS
 ) -> DataFrame:
-    """Train (cid, carr): seed from the k lowest vec_ids, then `iters`
-    Lloyd rounds of exact-integer argmin assignment + round(sum/count)
-    coordinate means. Per round: ONE broadcast join (n x k rows,
-    map-side), one vec_id-keyed partial-agg argmin, one (cid, j)-keyed
-    mean — nothing wider than the corpus shuffles and the centroid
-    relation is k rows. Each round's centroids are localCheckpoint-ed
-    (eager): re-probed next round, ContextCleaner-freed, flat lineage —
-    the nation_trade_pagerank / Lloyd-PQ iterative-loop pattern."""
+    """The original DataFrame rendering of the k-means Lloyd loop —
+    kept as the reference arm for the kernel-equality pin
+    (tests/test_operators.py, the Lloyd-PQ precedent): seed from the k
+    lowest vec_ids, then `iters` Lloyd rounds of exact-integer argmin
+    assignment + round(sum/count) coordinate means. Per round: ONE
+    broadcast join (n x k rows, map-side), one vec_id-keyed partial-agg
+    argmin, one (cid, j)-keyed mean. Each round's centroids are
+    localCheckpoint-ed (eager)."""
     ev = _emb_e6(spark, sf_dir)
     seeds = ev.select("vec_id").orderBy("vec_id").limit(k)
     cent = (
@@ -3667,6 +3732,87 @@ def _kmeans_centroids(
             .localCheckpoint(eager=True)
         )
     return cent
+
+
+def _kmeans_cand(spark, sf_dir) -> DataFrame:
+    """(vec_id, s=0, subv) adapter: the full 64-d int64 vector as ONE
+    Lloyd subspace, so the streaming numpy training kernel
+    (`_lloyd_codebook_rows`) applies unchanged with width=64."""
+    return _emb_e6(spark, sf_dir).select(
+        "vec_id",
+        F.lit(0).cast("long").alias("s"),
+        F.col("v").alias("subv"),
+    )
+
+
+def _kmeans_model(
+    spark, sf_dir, k: int = _KMEANS_K, iters: int = _KMEANS_ITERS
+):
+    """Driver-side ([carr...], [cid...]) centroid maps trained by the
+    streaming Lloyd kernel over the full vectors as a single width-64
+    subspace — the r14 port of the Lloyd-PQ mapInPandas optimization
+    (guide §4.2): per round ONE map-side-reduced partials pass instead
+    of the k-fold broadcast crossJoin through the interpreted
+    zip_with/aggregate L2 (the r13 attempts showed the crossJoin copies
+    the 64-long payload k times before partial agg — the kernel never
+    expands it). Values are bit-identical to
+    `_kmeans_centroids_relational` (same k-lowest-vec_id seeding, same
+    exact int64 argmin with lowest-cid ties, same
+    round(CAST(sum AS DOUBLE)/count) means — pinned by test)."""
+    rows = _lloyd_codebook_rows(
+        _kmeans_cand(spark, sf_dir), k, iters, width=64, nsub=1
+    )
+    return _cent_maps(rows)
+
+
+def _kmeans_centroids(
+    spark, sf_dir, k: int = _KMEANS_K, iters: int = _KMEANS_ITERS
+) -> DataFrame:
+    """(cid, carr) centroid DataFrame from the kernel-trained model —
+    the equality-pin surface mirroring `_lloyd_codebook_on`."""
+    cent_by_s, cids_by_s = _kmeans_model(spark, sf_dir, k, iters)
+    rows = [
+        (0, cids_by_s[0][i], cent_by_s[0][i])
+        for i in range(len(cids_by_s.get(0, [])))
+    ]
+    if not rows:  # degenerate zero-vector corpus
+        return spark.range(0).select(
+            F.col("id").alias("cid"),
+            F.array(F.lit(0).cast("bigint")).alias("carr"),
+        )
+    return _cent_df_from_rows(spark, rows).select("cid", "carr")
+
+
+def _kmeans_assign_kernel(cent_arr, cids_arr):
+    """mapInPandas kernel: final assignment (vec_id, label, cid, d) of
+    every vector to its nearest centroid — same exact int64 distance
+    (d = ipv + ipc - 2<v,c>) and lowest-cid tie-break as the training
+    kernel, one streaming pass, no k-fold crossJoin expansion."""
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cent_arr, dtype=np.int64)
+        cids = np.asarray(cids_arr, dtype=np.int64)
+        ipc = np.einsum("ij,ij->i", C, C)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["v"].to_numpy()).astype(np.int64, copy=False)
+            ipv = np.einsum("ij,ij->i", X, X)
+            d = ipv[:, None] + ipc[None, :] - 2 * (X @ C.T)
+            a = np.argmin(d, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "label": pdf["label"].to_numpy(),
+                    "cid": cids[a],
+                    "d": d[np.arange(len(a)), a],
+                }
+            )
+
+    return fn
 
 
 def _kmeans_ctes(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
@@ -3771,23 +3917,27 @@ def kmeans_doc_clusters(spark, sf_dir):
 
     Exactness: vectors are quantized ONCE to int64 micro-units; every
     distance, argmin and round(sum/count) mean is then integer-exact on
-    both engines, so Spark's zip_with fold and DuckDB's inner-product
-    expansion cannot diverge (the Lloyd-PQ convention). Scale shape:
-    per iteration one broadcast of k=8 centroids against the corpus
-    (map-side), one vec_id-keyed argmin agg and one (cid, j)-keyed
-    mean whose key space is k x 64 — the corpus never shuffles, and at
-    100 TB with a bigger k the centroid relation is still tiny."""
+    both engines, so the numpy kernel's matmul expansion and DuckDB's
+    inner-product expansion cannot diverge (the Lloyd-PQ convention).
+    Scale shape (r14, guide §4.2): training is the driver-paced
+    streaming Lloyd kernel — per round ONE map-side-reduced
+    mapInPandas partials pass, k x 64 driver ints, no corpus-sized
+    shuffle; the final assignment is one streaming argmin kernel pass
+    (no k-fold crossJoin payload expansion). Bit-equality with the
+    retained relational arm (`_kmeans_centroids_relational`) is pinned
+    by tests/test_operators.py."""
     ev = _emb_e6(spark, sf_dir)
-    cent = _kmeans_centroids(spark, sf_dir)
-    fasg = (
-        ev.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id", "label", "cid", _l2_int(F.col("v"), F.col("carr")).alias("d")
-        )
-        .groupBy("vec_id", "label")
-        .agg(F.min(F.struct("d", "cid")).alias("m"))
-        .select("vec_id", "label", F.col("m.cid").alias("cid"), F.col("m.d").alias("d"))
-    )
+    cent_by_s, cids_by_s = _kmeans_model(spark, sf_dir)
+    # cached: narrow (4 ints/doc) and consumed by BOTH the majority-
+    # label subtree and the per-cluster aggregate — uncached, the
+    # assign kernel's corpus pass runs twice (bench clear_caches owns
+    # the lifecycle, the r13 quartet convention)
+    fasg = ev.select("vec_id", "label", "v").mapInPandas(
+        _kmeans_assign_kernel(
+            cent_by_s.get(0, [[0] * 64]), cids_by_s.get(0, [0])
+        ),
+        "vec_id long, label int, cid long, d long",
+    ).cache()
     lw = Window.partitionBy("cid").orderBy(F.desc("n"), F.asc("label"))
     lab = (
         fasg.groupBy("cid", "label")

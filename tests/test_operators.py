@@ -1339,6 +1339,82 @@ def test_lsh_near_dup_kernel_matches_join_rendering(spark):
     assert _lsh_bits(200_000) == 12 and _lsh_bits(2_000_000) == 15
 
 
+def test_kmeans_kernel_centroids_match_relational_rendering(spark):
+    """r14 optimization pin (the Lloyd-PQ precedent): the streaming
+    numpy k-means training kernel (full vector as one width-64
+    subspace) must reproduce the original DataFrame loop's centroids
+    BIT-FOR-BIT — same k-lowest-vec_id seeding, same exact int64 argmin
+    with lowest-cid ties, same round(CAST(sum AS DOUBLE)/count) means —
+    and the streaming assignment kernel must reproduce the broadcast
+    crossJoin argmin's (vec_id, cid, d) rows exactly."""
+    from pyspark.sql import functions as F
+
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans.similarity_queries import (
+        _emb_e6,
+        _kmeans_assign_kernel,
+        _kmeans_centroids,
+        _kmeans_centroids_relational,
+        _kmeans_model,
+        _l2_int,
+    )
+
+    a = {
+        int(r["cid"]): tuple(int(x) for x in r["carr"])
+        for r in _kmeans_centroids(spark, SF).collect()
+    }
+    b = {
+        int(r["cid"]): tuple(int(x) for x in r["carr"])
+        for r in _kmeans_centroids_relational(spark, SF).collect()
+    }
+    assert a == b
+
+    ev = _emb_e6(spark, SF)
+    cent_by_s, cids_by_s = _kmeans_model(spark, SF)
+    got = {
+        (int(r["vec_id"])): (int(r["cid"]), int(r["d"]))
+        for r in ev.select("vec_id", "label", "v")
+        .mapInPandas(
+            _kmeans_assign_kernel(cent_by_s[0], cids_by_s[0]),
+            "vec_id long, label int, cid long, d long",
+        )
+        .collect()
+    }
+    cent = _kmeans_centroids_relational(spark, SF)
+    ref = {
+        int(r["vec_id"]): (int(r["m"]["cid"]), int(r["m"]["d"]))
+        for r in ev.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "cid", _l2_int(F.col("v"), F.col("carr")).alias("d")
+        )
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cid")).alias("m"))
+        .collect()
+    }
+    assert got == ref
+
+
+def test_langid_kernel_matches_relational_rendering(spark):
+    """r14 optimization pin: the numpy trigram kernels (UTF-32
+    code-point windows, packed-uint64 counting, in-kernel argmax) must
+    reproduce the relational explode/join/window rendering's confusion
+    matrix EXACTLY — same trigram unit (code points), same top-40
+    tie-break, same inner-join row-dropping for zero-hit docs."""
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.plans.text_queries import (
+        _lang_id_trigram_relational,
+        lang_id_trigram,
+    )
+
+    got = {
+        (r["actual_lang"], r["pred_lang"]): int(r["n_docs"])
+        for r in lang_id_trigram(spark, SF).collect()
+    }
+    ref = {
+        (r["actual_lang"], r["pred_lang"]): int(r["n_docs"])
+        for r in _lang_id_trigram_relational(spark, SF).collect()
+    }
+    assert got == ref and got
+
+
 def test_kmeans_doc_clusters_partitions_corpus(spark):
     """k-means invariants: exactly k clusters, cluster sizes partition
     the corpus (every vector assigned exactly once), majority-label
