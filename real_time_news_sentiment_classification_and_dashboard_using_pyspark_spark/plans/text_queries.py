@@ -360,33 +360,86 @@ def keyword_search_bm25(spark, sf_dir):
 def _bm25_scores(spark, sf_dir):
     """(doc_id, bm25_score 6dp) for the fixed query terms — the scoring
     body of ``keyword_search_bm25``, shared with ``hybrid_search_rrf``
-    so fusion ranks exactly what the keyword query ranks."""
+    so fusion ranks exactly what the keyword query ranks.
+
+    r14 shape (guide §2.3/§2.4): the old rendering exploded the token
+    stream into TWO corpus-sized keyed shuffles (doclen and tf
+    aggregates, each re-running the tokenize) plus a third pass for
+    avg_dl. Per-doc token length and per-term counts are pure functions
+    of the token ARRAY, so ONE map-side fold now carries
+    (dl, tf_term0, tf_term1) per doc — zero corpus shuffle; the cached
+    fold output (doc_id + 3 longs, bench-owned lifecycle via
+    clear_caches) feeds both the corpus-stats aggregate and the score
+    projection, so tokenize runs ONCE (the cache also defeats
+    CollapseProject re-inlining the interpreted fold per consumer — the
+    r13 polarity lesson). df/avg_dl/n_docs ride in as single-row
+    broadcasts. Values identical: same long counts, same double
+    formula; a doc's score sums the SAME <=2 doubles (IEEE addition is
+    commutative, and both contributions are > 0 so the absent-term
+    +0.0 is exact)."""
     d = table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(tokens("text")).alias("word"))
-    doclen = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    init = F.struct(
+        F.lit(0).cast("long").alias("dl"),
+        *[
+            F.lit(0).cast("long").alias(f"tf{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+
+    def step(acc, w):
+        return F.struct(
+            (acc.getField("dl") + 1).alias("dl"),
+            *[
+                (
+                    acc.getField(f"tf{i}")
+                    + F.when(w == t, F.lit(1).cast("long")).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                ).alias(f"tf{i}")
+                for i, t in enumerate(_BM25_TERMS)
+            ],
+        )
+
+    per_doc = d.select(
+        "doc_id", F.aggregate(tokens("text"), init, step).alias("c")
+    ).cache()
+    stats = per_doc.filter(F.col("c.dl") > 0).agg(
+        F.avg("c.dl").alias("avg_dl"),
+        *[
+            F.sum((F.col(f"c.tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
     # corpus stats stay IN the plan as single-row aggregates broadcast
     # into the score (no eager d.count() driver action)
     n_docs_df = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    avg_dl_df = doclen.agg(F.avg("dl").alias("avg_dl"))
-    tf = (
-        tok.filter(F.col("word").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df_t = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     k1, b = _BM25_K1, _BM25_B
-    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
-    tf_norm = (
-        F.col("tf") * (k1 + 1)
-        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avg_dl")))
-    )
+
+    def contrib(i: int):
+        tf = F.col(f"c.tf{i}")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df{i}") + 0.5)
+            / (F.col(f"df{i}") + 0.5)
+            + 1
+        )
+        tf_norm = (
+            tf * (k1 + 1)
+            / (tf + k1 * (1 - b + b * F.col("c.dl") / F.col("avg_dl")))
+        )
+        return F.when(tf > 0, idf * tf_norm).otherwise(F.lit(0.0))
+
+    hit = None
+    for i in range(len(_BM25_TERMS)):
+        c = F.col(f"c.tf{i}") > 0
+        hit = c if hit is None else (hit | c)
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        score = contrib(i) if score is None else (score + contrib(i))
     scored = (
-        tf.join(F.broadcast(df_t), "word")
-        .join(doclen, "doc_id")
-        .crossJoin(F.broadcast(avg_dl_df))
+        per_doc.filter(hit)
+        .crossJoin(F.broadcast(stats))
         .crossJoin(F.broadcast(n_docs_df))
-        .groupBy("doc_id")
-        .agg(F.sum(idf * tf_norm).alias("score"))
+        .select("doc_id", score.alias("score"))
     )
     return scored.select("doc_id", F.round("score", 6).alias("bm25_score"))
 
@@ -1843,20 +1896,59 @@ def lang_id_trigram(spark, sf_dir):
     trigrams with (ties broken lexically), and returns the confusion
     matrix (actual_lang, pred_lang, n_docs).
 
-    Plan shape: the trigram stream is one map-side explode (linear in
-    characters, no Python); the profile is ~langs x 40 rows and is
-    BROADCAST into the scoring join, so the only corpus-sized shuffles
-    are the per-doc distinct and the per-doc argmax window — both keyed
-    on doc_id. At 100 TB the profile stays driver-tiny no matter the
-    corpus, and a saved profile turns scoring into a pure
-    broadcast-join map stage.
+    r14 rendering (guide §4.2): the per-char trigram stream — formerly
+    an INTERPRETED transform+substring HOF explode feeding corpus-sized
+    aggregates — is produced by two streaming numpy kernels over UTF-32
+    views (code-point windows == Spark ``substring`` semantics):
+    TRAIN emits per-batch (lang, tri, n) partials (map-side-reduced,
+    the Lloyd-partials shape), the top-40/tie-break selection stays
+    relational over the tiny aggregate, and the collected profile
+    (langs x 40 strings, driver-tiny) turns PREDICTION into one
+    streaming pass that argmaxes per doc in the kernel (np.isin against
+    the encoded profile, ties to the lexicographically first language
+    — byte order == code-point order in UTF-8/UTF-32, matching Spark's
+    binary string ordering). Docs sharing no profile trigram emit no
+    row, exactly like the old inner join. Lowercasing stays IN SPARK
+    (Python str.lower's full Unicode case mapping can diverge from
+    Spark's simple mapping). Bit-equality with the retained relational
+    rendering is pinned by tests/test_operators.py.
 
     Above 500k docs the r13 text-family cap (dials._text_corpus_cap_mod,
     mirrored in the callable oracle) restricts both engines to the same
     `doc_id % M = 0` slab — an oracle-feasibility dial: DuckDB must
     MATERIALIZE the full trigram relation (~5 B rows at sf100), while
-    this plan streams it through a map-side explode and completed the
+    this plan streams it through the train kernel and completed the
     uncapped sf100 corpus."""
+    base = _langid_base(spark, sf_dir)
+    prof_w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tri"))
+    prof_rows = (
+        base.filter("is_train")
+        .select("lang", "txt")
+        .mapInPandas(_langid_train_kernel(), "lang string, tri string, n long")
+        .groupBy("lang", "tri")
+        .agg(F.sum("n").alias("n"))
+        .withColumn("rk", F.row_number().over(prof_w))
+        .filter(F.col("rk") <= _LANGID_K)
+        .select(F.col("lang").alias("cand_lang"), "tri")
+        .collect()
+    )
+    prof: dict[str, list[str]] = {}
+    for r in prof_rows:
+        prof.setdefault(r["cand_lang"], []).append(r["tri"])
+    pred = base.filter(~F.col("is_train")).select(
+        "doc_id", "lang", "txt"
+    ).mapInPandas(
+        _langid_predict_kernel(prof), "lang string, pred_lang string"
+    )
+    return pred.groupBy(
+        F.col("lang").alias("actual_lang"), F.col("pred_lang").alias("pred_lang")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _langid_base(spark, sf_dir):
+    """(doc_id, lang, txt=lower(text), is_train) — shared by the kernel
+    and relational renderings (lowercase stays a Spark expression; see
+    lang_id_trigram's docstring)."""
     d = table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.length("text") >= 3)
     )
@@ -1873,9 +1965,129 @@ def lang_id_trigram(spark, sf_dir):
         ).cast("bigint")
         % 10
     )
-    base = d.select(
+    return d.select(
         "doc_id", "lang", F.lower(F.col("text")).alias("txt"), (bucket < 7).alias("is_train")
     )
+
+
+# sentinel separating docs in the concatenated UTF-32 view: above the
+# Unicode ceiling (0x10FFFF), so it can never collide with a real char
+_LANGID_SENT = 0x110000
+
+
+def _langid_tri_packed(texts):
+    """uint64 array of PACKED code-point trigrams over every text in
+    ``texts`` (an iterable of str): each window's 3 code points
+    (<= 0x10FFFF, 21 bits each) pack into one 63-bit integer — exact,
+    collision-free, and cheap to unique/isin. Windows are taken over a
+    UTF-32 view, i.e. code points — the same unit Spark's ``substring``
+    counts. Doc-boundary windows are excluded via a sentinel above the
+    Unicode ceiling. Returns None when no text yields a window."""
+    import numpy as np
+
+    arrs = []
+    sent = np.array([_LANGID_SENT], dtype=np.uint32)
+    for s in texts:
+        a = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+        if len(a) >= 3:
+            arrs.append(a)
+            arrs.append(sent)
+    if not arrs:
+        return None
+    cat = np.concatenate(arrs)
+    w = np.lib.stride_tricks.sliding_window_view(cat, 3)
+    w = w[~(w == _LANGID_SENT).any(axis=1)]
+    if not len(w):
+        return None
+    w64 = w.astype(np.uint64)
+    return (w64[:, 0] << np.uint64(42)) | (w64[:, 1] << np.uint64(21)) | w64[:, 2]
+
+
+def _langid_unpack(u: int) -> str:
+    return (
+        chr((u >> 42) & 0x1FFFFF) + chr((u >> 21) & 0x1FFFFF) + chr(u & 0x1FFFFF)
+    )
+
+
+def _langid_pack_str(t: str) -> int:
+    return (ord(t[0]) << 42) | (ord(t[1]) << 21) | ord(t[2])
+
+
+def _langid_train_kernel():
+    """mapInPandas kernel: (lang, txt) -> per-batch (lang, tri, n)
+    trigram-count partials — every trigram occurrence counted, exactly
+    the explode+groupBy stream it replaces, but pre-aggregated per
+    Arrow batch so the shuffle carries the bounded trigram vocabulary
+    (the Lloyd-partials shape)."""
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_l, out_t, out_n = [], [], []
+            for lang, grp in pdf.groupby("lang", sort=False):
+                packed = _langid_tri_packed(grp["txt"])
+                if packed is None:
+                    continue
+                uniq, cnt = np.unique(packed, return_counts=True)
+                for u, c in zip(uniq, cnt):
+                    out_l.append(lang)
+                    out_t.append(_langid_unpack(int(u)))
+                    out_n.append(int(c))
+            yield pd.DataFrame({"lang": out_l, "tri": out_t, "n": out_n})
+
+    return fn
+
+
+def _langid_predict_kernel(prof: dict):
+    """mapInPandas kernel: (doc_id, lang, txt) -> (lang, pred_lang) for
+    every held-out doc sharing >=1 DISTINCT trigram with >=1 profile;
+    argmax over candidate languages with ties to the lexicographically
+    first (the relational row_number(desc n_hit, asc cand_lang)
+    contract — Python's str order and Spark's binary order agree
+    because UTF-8 byte order is code-point order)."""
+    import numpy as np
+
+    langs = sorted(prof)
+    prof_packed = [
+        np.array(sorted(_langid_pack_str(t) for t in prof[lg]), dtype=np.uint64)
+        for lg in langs
+    ]
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_l, out_p = [], []
+            for lang, txt in zip(pdf["lang"], pdf["txt"]):
+                packed = _langid_tri_packed([txt])
+                if packed is None:
+                    continue
+                v = np.unique(packed)
+                best_lang, best_n = None, 0
+                for lg, pv in zip(langs, prof_packed):
+                    n = int(np.isin(v, pv, assume_unique=True).sum())
+                    if n > best_n:  # ties keep the FIRST (asc) lang
+                        best_lang, best_n = lg, n
+                if best_lang is not None:
+                    out_l.append(lang)
+                    out_p.append(best_lang)
+            yield pd.DataFrame({"lang": out_l, "pred_lang": out_p})
+
+    return fn
+
+
+def _lang_id_trigram_relational(spark, sf_dir):
+    """The original expression rendering — kept as the reference arm
+    for the kernel-equality pin (tests/test_operators.py, the Lloyd
+    precedent): interpreted transform+substring trigram explode,
+    broadcast profile join, per-doc argmax window."""
+    base = _langid_base(spark, sf_dir)
     tri_arr = (
         "if(length(txt) < 3, array(), "
         "transform(sequence(1, length(txt) - 2), i -> substring(txt, i, 3)))"
@@ -2233,6 +2445,16 @@ def bpe_merge_train(spark, sf_dir):
     table is localCheckpoint-ed per round (flat lineage,
     ContextCleaner-freed) exactly like the PageRank edge relation."""
     _wv, bests, _seqs = _bpe_train(spark, sf_dir)
+    if not bests:  # empty corpus: no rules (ADVICE r13 — `VALUES ()`
+        # would be a parse error; mirror the old rendering's graceful
+        # empty result)
+        return spark.range(0).select(
+            F.col("id").cast("int").alias("it"),
+            F.col("id").cast("string").alias("left_sym"),
+            F.col("id").cast("string").alias("right_sym"),
+            F.col("id").cast("string").alias("merged"),
+            F.col("id").alias("n_occurrences"),
+        )
 
     def q(s: str) -> str:
         return "'" + s.replace("'", "''") + "'"
@@ -2319,6 +2541,15 @@ def _bpe_train(spark, sf_dir, iters: int = _BPE_MERGE_ITERS):
     of ``_bpe_merge_fold``); tests/test_functions.py pins the whole
     loop against an independent pure-Python BPE."""
     d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # LAZY localCheckpoints (r14, guide §1.2): each round's symbol table
+    # is materialized BY the job that first consumes it — round t's
+    # pair-count aggregate materializes seq_{t-1}'s checkpoint blocks in
+    # the same job — so a round costs ONE job instead of two (eager
+    # checkpoint + aggregate), and the final round's fold (which
+    # bpe_merge_train never reads — it only needs the collected rules)
+    # is never materialized at all. Lineage stays flat: the checkpoint
+    # truncates on first materialization, before the next round's fold
+    # plans on top of it.
     seq = (
         d.select(
             F.explode(
@@ -2328,7 +2559,7 @@ def _bpe_train(spark, sf_dir, iters: int = _BPE_MERGE_ITERS):
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
         .select("word", "freq", F.expr("split(word, '')").alias("syms"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     wv = seq.select("word", "freq")
 
@@ -2343,11 +2574,16 @@ def _bpe_train(spark, sf_dir, iters: int = _BPE_MERGE_ITERS):
             .limit(1)
             .collect()
         )
+        if not top:  # corpus with no (multi-symbol) words: no pair to
+            # merge this round or any later one — stop training
+            # gracefully (ADVICE r13; the old DataFrame rendering
+            # returned empty results instead of raising IndexError)
+            break
         l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
         bests.append((l, r, cnt))
         seq = seq.select(
             "word", "freq", _bpe_merge_fold(l, r).alias("syms")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         seqs.append(seq)
     return wv, bests, seqs
 
@@ -2464,7 +2700,9 @@ def dsir_importance_weights(spark, sf_dir):
     db = (
         feats.groupBy("doc_id", "b")
         .agg(F.any_value("lang").alias("lang"), F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
+        # lazy (r14): the single consuming action materializes it once;
+        # all four consumer subtrees read the blocks
+        .localCheckpoint(eager=False)
     )
     alln = db.groupBy("b").agg(F.sum("cnt").alias("cnt_a"))
     tgt = (
@@ -2620,7 +2858,8 @@ def _qc_db(spark, sf_dir):
         )
         .groupBy("doc_id", "b")
         .agg(F.any_value("y6").alias("y6"), F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
+        # lazy (r14): the caller's n_docs count materializes it
+        .localCheckpoint(eager=False)
     )
 
 
@@ -2652,7 +2891,12 @@ def _qc_weights(spark, sf_dir, db, n_docs: int):
         db.select("b")
         .distinct()
         .withColumn("w", F.lit(0).cast("bigint"))
-        .localCheckpoint(eager=True)
+        # lazy (r14): each round's weight table is materialized by the
+        # next consumer's job (ultimately the scoring action) instead
+        # of one dedicated eager job per round — 4 jobs fewer per
+        # training; values and lineage truncation are unchanged
+        # (LogicalRDD leaf either way)
+        .localCheckpoint(eager=False)
     )
     for _ in range(_QC_ITERS):
         # r13: the z aggregation CARRIES each doc's (b, cnt) pairs
@@ -2688,7 +2932,7 @@ def _qc_weights(spark, sf_dir, db, n_docs: int):
                     ).cast("bigint")
                 ).alias("w"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return w
 
