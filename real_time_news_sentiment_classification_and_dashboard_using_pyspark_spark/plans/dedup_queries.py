@@ -295,6 +295,61 @@ def _minhash_bands_from_hashes(hashes: DataFrame) -> DataFrame:
     )
 
 
+def _signature_tables_single_pass(hashes_df: DataFrame):
+    """(bands, simsig, simsig64, combined_cache) — the three persisted
+    signature indexes derived from ONE doc_id-keyed aggregation pass
+    over a (doc_id, h32, h32b) relation (r14, guide §2.3/§2.4).
+
+    The old shape aggregated the hashes relation THREE times with the
+    same key (16 minhash mins; 32 simhash votes; 64 simhash64 votes).
+    The 32-bit simhash votes over h32 are bit-identical to the 64-bit
+    pass's ``va`` half, so one combined 80-aggregate pass (16 mins +
+    64 votes) feeds all three tables as cheap n_docs-row projections —
+    values unchanged by construction (same aggregate expressions over
+    the same rows; the store-equality tests and family oracles pin it).
+    The returned ``combined_cache`` is FORCED (count) so concurrent
+    projection writes don't race to materialize it; the caller owns the
+    unpersist."""
+    min_aggs = [
+        F.min((F.lit(a) * F.col("h32") + F.lit(b)) % _P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    combined = (
+        hashes_df.groupBy("doc_id").agg(*min_aggs, *_sig64_vote_aggs()).cache()
+    )
+    combined.count()
+    stack_args = ", ".join(
+        f"{b}, concat_ws('_', mh{4 * b}, mh{4 * b + 1}, mh{4 * b + 2}, mh{4 * b + 3})"
+        for b in range(N_BANDS)
+    )
+    bands = combined.select(
+        "doc_id", F.expr(f"stack({N_BANDS}, {stack_args}) AS (band, sig)")
+    )
+    simsig64 = combined.select(
+        "doc_id",
+        F.expr(_sig_sum_sql("a")).cast("bigint").alias("sim_a"),
+        F.expr(_sig_sum_sql("b")).cast("bigint").alias("sim_b"),
+    ).withColumns(
+        {
+            "a_hi": F.expr("sim_a div 65536"),
+            "a_lo": F.col("sim_a") % 65536,
+            "b_hi": F.expr("sim_b div 65536"),
+            "b_lo": F.col("sim_b") % 65536,
+        }
+    )
+    # simhash == sim_a (identical vote aggregates over the same h32)
+    simsig = combined.select(
+        "doc_id",
+        F.expr(_sig_sum_sql("a")).cast("bigint").alias("simhash"),
+    ).withColumns(
+        {
+            "hi16": F.expr("simhash div 65536"),
+            "lo16": F.col("simhash") % 65536,
+        }
+    )
+    return bands, simsig, simsig64, combined
+
+
 # bump when the shingle/tokenize semantics change: the version is part
 # of the artifact key, so stale artifacts from older code never resolve
 # (v6: adds the persisted ``df`` document-frequency table that makes
@@ -468,18 +523,17 @@ def _build_empty_artifact_tables(spark, tmp: str) -> None:
     """ZERO-ROW store bootstrap fast path (r13). An empty store is fully
     determined by its table SCHEMAS, and those schemas are derived here
     from the exact full-build plans over a zero-row corpus — pure
-    driver-side analysis, no jobs — then landed as nine trivial empty
-    writes in one concurrent wave. The old path ran the complete build
-    pipeline (three cache-forcing counts + shuffling aggregates over
-    nothing): ~3 s of fixed job overhead per streaming-store bootstrap,
-    measured at the top of every ``streaming_dedup_index`` bench run.
-    Schema provenance is the SAME shared expressions as the real build
-    (``shingle_arrays_of`` / ``h32_expr`` / signature aggregates), so
-    the schemas cannot drift from what the append path expects; the
-    store-equality tests (tests/test_streaming_dedup_index.py) pin
-    byte-level agreement with the batch build."""
+    driver-side analysis, no jobs — then landed driver-side as Arrow
+    parquet footers (r14): ZERO Spark jobs. The r13 shape still paid
+    one Spark write job per table (~1.9 s of fixed job overhead per
+    streaming-store bootstrap); the original path ran the complete
+    build pipeline over nothing (~3 s). Schema provenance is the SAME
+    shared expressions as the real build (``shingle_arrays_of`` /
+    ``h32_expr`` / signature aggregates), so the schemas cannot drift
+    from what the append path expects; the store-equality tests
+    (tests/test_streaming_dedup_index.py) pin byte-level agreement
+    with the batch build."""
     import os
-    from concurrent.futures import ThreadPoolExecutor
 
     empty_docs = spark.range(0).select(
         F.col("id").alias("doc_id"), F.lit("").alias("text")
@@ -514,29 +568,47 @@ def _build_empty_artifact_tables(spark, tmp: str) -> None:
         "simsig64": _simhash_sig64_from_hashes(hashes_df).schema,
     }
 
-    def _empty_of(schema):
-        # JVM-only empty relation with the plan's column types:
-        # range(0) + lit casts. NOT createDataFrame([], schema) — its
-        # Python-list conversion path costs ~0.7 s per call here
-        # (measured r13), i.e. more than the whole write wave.
-        return spark.range(0).select(
-            *[F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields]
+    # r14: the empty tables are written DRIVER-SIDE as single-file
+    # parquet via Arrow — zero Spark jobs (the r13 shape still paid one
+    # write job per table, ~1.9 s of fixed job overhead per streaming
+    # bootstrap; now the whole bootstrap is file-footer writes). Schema
+    # provenance is unchanged: the exact build-pipeline plans above.
+    # Spark reads the Arrow-written footers identically (int64/string/
+    # list<string> map 1:1); the store-equality tests pin it.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    def _write_empty(item):
+        name, schema = item
+        d = os.path.join(tmp, name)
+        os.makedirs(d, exist_ok=True)
+        aschema = to_arrow_schema(schema)
+        pq.write_table(
+            pa.Table.from_pylist([], schema=aschema),
+            os.path.join(d, "part-00000.parquet"),
         )
 
-    def _write(item):
-        name, df = item
-        df.write.mode("overwrite").parquet(os.path.join(tmp, name))
+    from pyspark.sql.types import LongType, StructField, StructType
 
-    meta = spark.range(1).select(
-        F.lit(0).cast("bigint").alias("n_docs"),
-        F.lit(0).cast("bigint").alias("n_shingle_rows"),
-        F.lit(0).cast("bigint").alias("n_distinct_shingles"),
+    meta_schema = StructType(
+        [
+            StructField("n_docs", LongType()),
+            StructField("n_shingle_rows", LongType()),
+            StructField("n_distinct_shingles", LongType()),
+        ]
     )
-    items = [(name, _empty_of(schema)) for name, schema in schemas.items()] + [
-        ("meta", meta)
-    ]
-    with ThreadPoolExecutor(max_workers=len(items)) as pool:
-        list(pool.map(_write, items))
+    for item in schemas.items():
+        _write_empty(item)
+    meta_dir = os.path.join(tmp, "meta")
+    os.makedirs(meta_dir, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"n_docs": 0, "n_shingle_rows": 0, "n_distinct_shingles": 0}],
+            schema=to_arrow_schema(meta_schema),
+        ),
+        os.path.join(meta_dir, "part-00000.parquet"),
+    )
 
 
 def _write_artifact_tables(spark, tmp, rows, df_table, hashes_df, width) -> None:
@@ -592,10 +664,14 @@ def _write_artifact_tables(spark, tmp, rows, df_table, hashes_df, width) -> None
         .select("shingle")
         .repartition(width)
     )
-    # the three signature indexes, aggregated from the cached integer table
-    bands_df = _minhash_bands_from_hashes(hashes_df).repartition(width)
-    simsig_df = _simhash_sig_from_hashes(hashes_df).repartition(width)
-    simsig64_df = _simhash_sig64_from_hashes(hashes_df).repartition(width)
+    # the three signature indexes from ONE doc_id-keyed aggregation pass
+    # (r14, guide §2.3/§2.4): see _signature_tables_single_pass
+    bands_df, simsig_df, simsig64_df, combined = _signature_tables_single_pass(
+        hashes_df
+    )
+    bands_df = bands_df.repartition(width)
+    simsig_df = simsig_df.repartition(width)
+    simsig64_df = simsig64_df.repartition(width)
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -603,25 +679,28 @@ def _write_artifact_tables(spark, tmp, rows, df_table, hashes_df, width) -> None
         name, df = item
         df.write.mode("overwrite").parquet(os.path.join(tmp, name))
 
-    with ThreadPoolExecutor(max_workers=6) as pool:
-        list(
-            pool.map(
-                _write,
-                [
-                    ("kept", kept_df),
-                    ("hashes", hashes_df),
-                    ("stop", stop_df),
-                    # full df table (not just the stop tail): the sum-
-                    # mergeable state that makes the store APPENDABLE —
-                    # an incremental build merges delta counts into this
-                    # instead of recounting the corpus
-                    ("df", df_table.repartition(width)),
-                    ("bands", bands_df),
-                    ("simsig", simsig_df),
-                    ("simsig64", simsig64_df),
-                ],
+    try:
+        with ThreadPoolExecutor(max_workers=6) as pool:
+            list(
+                pool.map(
+                    _write,
+                    [
+                        ("kept", kept_df),
+                        ("hashes", hashes_df),
+                        ("stop", stop_df),
+                        # full df table (not just the stop tail): the sum-
+                        # mergeable state that makes the store APPENDABLE —
+                        # an incremental build merges delta counts into this
+                        # instead of recounting the corpus
+                        ("df", df_table.repartition(width)),
+                        ("bands", bands_df),
+                        ("simsig", simsig_df),
+                        ("simsig64", simsig64_df),
+                    ],
+                )
             )
-        )
+    finally:
+        combined.unpersist()
 
 
 def resolve_kept(spark, path: str) -> DataFrame:
@@ -852,24 +931,36 @@ def append_to_shingle_artifact(
         for name in ("arrays", "hashes", "bands", "simsig", "simsig64"):
             _link_tree(os.path.join(base_path, name), os.path.join(tmp, name))
         sig_items = []
+        delta_combined = None
         if not empty_delta:
             # ONE cache-forcing job (the delta_hashes count computes the
             # whole delta_arr -> delta_rows -> delta_hashes chain, so a
             # single pass populates all three caches); every per-doc
             # append is then an independent read of a forced cache and
-            # lands concurrently below
+            # lands concurrently below. The three signature tables come
+            # from ONE combined aggregation pass over the forced hashes
+            # cache (r14, _signature_tables_single_pass) instead of
+            # three separate doc_id-keyed aggregates.
             delta_hashes = delta_rows.select(
                 "doc_id",
                 h32_expr("shingle").alias("h32"),
                 h32b_expr("shingle").alias("h32b"),
             ).cache()
-            delta_hashes.count()
+            # the combined-signature count inside
+            # _signature_tables_single_pass is the ONE cache-forcing
+            # job: it computes through (and populates) the delta_arr ->
+            # delta_rows -> delta_hashes cache chain on its way to the
+            # 80-aggregate pass (r14; the separate delta_hashes.count()
+            # forcing job is gone)
+            d_bands, d_simsig, d_simsig64, delta_combined = (
+                _signature_tables_single_pass(delta_hashes)
+            )
             sig_items = [
                 ("arrays", delta_arr),
                 ("hashes", delta_hashes),
-                ("bands", _minhash_bands_from_hashes(delta_hashes)),
-                ("simsig", _simhash_sig_from_hashes(delta_hashes)),
-                ("simsig64", _simhash_sig64_from_hashes(delta_hashes)),
+                ("bands", d_bands),
+                ("simsig", d_simsig),
+                ("simsig64", d_simsig64),
             ]
 
         def _sig_thunk(name, df):
@@ -910,6 +1001,8 @@ def append_to_shingle_artifact(
             _run_all(writes)
             if delta_hashes is not None:
                 delta_hashes.unpersist()
+            if delta_combined is not None:
+                delta_combined.unpersist()
             open(os.path.join(tmp, "_DONE"), "w").close()
             shutil.rmtree(out_path, ignore_errors=True)
             os.rename(tmp, out_path)
@@ -1156,6 +1249,8 @@ def append_to_shingle_artifact(
         # tables (they were never linked into tmp on this path)
         if delta_hashes is not None:
             delta_hashes.unpersist()
+        if delta_combined is not None:
+            delta_combined.unpersist()
         if pending_rows is not None:
             pending_rows.unpersist()
         affected.unpersist()
@@ -1926,6 +2021,8 @@ def winnowing_fingerprint_pairs(spark, sf_dir):
         .select("doc_id", "fp")
         .distinct()
         # r13: cached — fps feeds both the hot-fingerprint cut and the
+        # (lifecycle: bench clear_caches / session clearCache owns the
+        # release — ADVICE r13 #5)
         # kept anti-join side; uncached, the whole shingle/window
         # subtree ran twice
         .cache()
@@ -2030,21 +2127,20 @@ def _simhash_sig_from_hashes(sh: DataFrame) -> DataFrame:
     )
 
 
-# One-slot holder for the doc_pred signature cache: each new restricted
-# pair set evicts the previous one, so repeated calls in one session
-# (simhash_pairs + simhash_recall_eval + ad-hoc corpora) hold at most
-# ONE cached signature DataFrame instead of accumulating until an
-# external clear_caches. Unpersisting a still-referenced frame is safe —
-# Spark just recomputes it.
-_SIMHASH_SIG_CACHE_SLOT: list = []
+# r14: the module-level one-slot signature cache is GONE — the
+# restricted pair sets now FILTER the persisted simsig/simsig64 index
+# (a pure doc_id predicate selects exactly the restricted corpus's
+# signatures), so there is no recomputed relation to hold across
+# queries and the timed region of every bench entry is self-contained
+# (VERDICT r13 #4).
 
 
-def _simhash_sig64_from_hashes(sh: DataFrame) -> DataFrame:
-    """(doc_id, sim_a, sim_b, a_hi, a_lo, b_hi, b_lo) 64-bit SimHash
-    signatures from a (doc_id, h32, h32b) relation: ONE groupBy(doc_id)
-    with 64 conditional-sum vote aggregates (32 per independent hash),
-    the two 32-bit halves assembled from vote signs, plus the four
-    16-bit block keys. Persisted by the store build as ``simsig64``."""
+def _sig64_vote_aggs() -> list:
+    """The 64 conditional-sum vote aggregates of the 64-bit SimHash
+    signature (32 per independent hash; the ``a`` half over h32 is
+    bit-identical to the 32-bit family's votes). Shared by
+    ``_simhash_sig64_from_hashes`` and the store build's combined
+    single-pass signature aggregation."""
     aggs = []
     for col, tag in (("h32", "a"), ("h32b", "b")):
         aggs += [
@@ -2053,19 +2149,31 @@ def _simhash_sig64_from_hashes(sh: DataFrame) -> DataFrame:
             ).alias(f"v{tag}{b}")
             for b in range(32)
         ]
-    votes = sh.groupBy("doc_id").agg(*aggs)
+    return aggs
 
-    def sig(tag):
-        return " + ".join(
-            f"(CASE WHEN v{tag}{b} > 0 THEN CAST({2 ** b} AS BIGINT) "
-            "ELSE CAST(0 AS BIGINT) END)"
-            for b in range(32)
-        )
+
+def _sig_sum_sql(tag: str) -> str:
+    """Signature assembly from vote signs (SQL fragment over the
+    ``v{tag}{b}`` vote columns)."""
+    return " + ".join(
+        f"(CASE WHEN v{tag}{b} > 0 THEN CAST({2 ** b} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for b in range(32)
+    )
+
+
+def _simhash_sig64_from_hashes(sh: DataFrame) -> DataFrame:
+    """(doc_id, sim_a, sim_b, a_hi, a_lo, b_hi, b_lo) 64-bit SimHash
+    signatures from a (doc_id, h32, h32b) relation: ONE groupBy(doc_id)
+    with 64 conditional-sum vote aggregates (32 per independent hash),
+    the two 32-bit halves assembled from vote signs, plus the four
+    16-bit block keys. Persisted by the store build as ``simsig64``."""
+    votes = sh.groupBy("doc_id").agg(*_sig64_vote_aggs())
 
     return votes.select(
         "doc_id",
-        F.expr(sig("a")).cast("bigint").alias("sim_a"),
-        F.expr(sig("b")).cast("bigint").alias("sim_b"),
+        F.expr(_sig_sum_sql("a")).cast("bigint").alias("sim_a"),
+        F.expr(_sig_sum_sql("b")).cast("bigint").alias("sim_b"),
     ).withColumns(
         {
             "a_hi": F.expr("sim_a div 65536"),
@@ -2180,15 +2288,16 @@ def _simhash64_pair_set(spark, sf_dir, doc_pred=None) -> DataFrame:
             # shingles); no-op (m=1) at every committed fixture
             sig = sig.filter(_doc_cap_pred(m))
     else:
-        while _SIMHASH_SIG_CACHE_SLOT:
-            try:
-                _SIMHASH_SIG_CACHE_SLOT.pop().unpersist()
-            except Exception:  # noqa: BLE001 - stale-session handle
-                pass
-        sig = _simhash_sig64_from_hashes(
-            store["hashes"].filter(doc_pred)
-        ).cache()
-        _SIMHASH_SIG_CACHE_SLOT.append(sig)
+        # r14 (guide §2.4): every doc_pred is a pure doc_id predicate
+        # (eval sample / corpus cap), so the restricted signatures are
+        # a FILTER of the persisted per-doc index — the same soundness
+        # argument as the cap branch above. The old path re-ran the
+        # 64-aggregate vote pass over the filtered hashes table
+        # (measured 4.6 s vs 2.2 s for the unrestricted persisted-index
+        # path at sf0.1) and held the result in a module-level cache
+        # slot; now the narrow filtered scans are cheap columnar
+        # re-reads, no session cache entry needed.
+        sig = store["simsig64"].filter(doc_pred)
 
     def block_join(key):
         x, y = sig.alias("x"), sig.alias("y")
@@ -2233,21 +2342,12 @@ def _simhash_pair_set(spark, sf_dir, doc_pred=None) -> DataFrame:
         if m > 1:  # doc-side corpus cap (see _simhash64_pair_set)
             sig = sig.filter(_doc_cap_pred(m))
     else:
-        # One narrow row per doc; cached because the two-block union
-        # self-join reads it FOUR times (x/y sides x hi/lo blocks) —
-        # uncached, the 32-aggregate signature pass runs 4x. Evict the
-        # previous restricted cache so calls don't accumulate entries.
-        while _SIMHASH_SIG_CACHE_SLOT:
-            # best-effort eviction (ADVICE r6): the slot is module-global
-            # and can outlive the SparkSession that cached it in a
-            # long-lived process; unpersist on a dead session raises and
-            # must not abort the NEW query
-            try:
-                _SIMHASH_SIG_CACHE_SLOT.pop().unpersist()
-            except Exception:  # noqa: BLE001 - stale-session handle
-                pass
-        sig = _simhash_sig_from_hashes(store["hashes"].filter(doc_pred)).cache()
-        _SIMHASH_SIG_CACHE_SLOT.append(sig)
+        # r14 (guide §2.4): doc_pred is a pure doc_id predicate, so the
+        # restricted signatures are a FILTER of the persisted per-doc
+        # index (see _simhash64_pair_set) — the old 32-aggregate vote
+        # re-pass over filtered hashes and its module-level cache slot
+        # are gone.
+        sig = store["simsig"].filter(doc_pred)
 
     def block_join(key):
         x, y = sig.alias("x"), sig.alias("y")
@@ -3427,10 +3527,44 @@ def streaming_dedup_index(spark, sf_dir):
     q.awaitTermination()
     finalize_dedup_index(spark, store_root)
     cur = current_store_path(os.path.join(root, "store"))
-    meta = spark.read.parquet(os.path.join(cur, "meta")).head()
-    n_stop = spark.read.parquet(os.path.join(cur, "stop")).count()
-    n_kept = resolve_kept(spark, cur).count()
-    n_bands = spark.read.parquet(os.path.join(cur, "bands")).count()
+    # audit reads: four independent jobs over the final store — one
+    # concurrent wave instead of four sequential jobs (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    audits: dict = {}
+
+    def _audit(key, fn):
+        return lambda: audits.__setitem__(key, fn())
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        list(
+            pool.map(
+                lambda f: f(),
+                [
+                    _audit(
+                        "meta",
+                        lambda: spark.read.parquet(
+                            os.path.join(cur, "meta")
+                        ).head(),
+                    ),
+                    _audit(
+                        "n_stop",
+                        lambda: spark.read.parquet(
+                            os.path.join(cur, "stop")
+                        ).count(),
+                    ),
+                    _audit("n_kept", lambda: resolve_kept(spark, cur).count()),
+                    _audit(
+                        "n_bands",
+                        lambda: spark.read.parquet(
+                            os.path.join(cur, "bands")
+                        ).count(),
+                    ),
+                ],
+            )
+        )
+    meta, n_stop = audits["meta"], audits["n_stop"]
+    n_kept, n_bands = audits["n_kept"], audits["n_bands"]
     return spark.range(1).select(
         F.lit(meta["n_docs"]).cast("bigint").alias("n_docs"),
         F.lit(meta["n_shingle_rows"]).cast("bigint").alias("n_shingle_rows"),

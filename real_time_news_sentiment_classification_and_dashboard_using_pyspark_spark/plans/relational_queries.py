@@ -3430,7 +3430,8 @@ def nation_trade_pagerank(spark, sf_dir):
         "src",
         "dst",
         (F.col("w").cast("double") / F.col("outw").cast("double")).alias("p"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # lazy (r14): the final action's
+    # first PR round materializes the edge blocks; rounds 2-5 read them
 
     nodes = n.select(F.col("n_nationkey").alias("node"), "n_name")
     n_nodes = nodes.count()
