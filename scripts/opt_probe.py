@@ -1,6 +1,6 @@
 """Per-query optimization probe (r13): time one or more registered
 queries with the noop sink (guide §1.4) and optionally dump their
-``explain("formatted")`` to plans/r13/<query>_<tag>.txt.
+``explain("formatted")`` to plans/r14/<query>_<tag>.txt.
 
 Usage:
     python scripts/opt_probe.py q1,q2 [--runs 3] [--plan before|after]
@@ -33,7 +33,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", help="comma-separated registry names")
     ap.add_argument("--runs", type=int, default=3)
-    ap.add_argument("--plan", default=None, help="tag: write plans/r13/<q>_<tag>.txt")
+    ap.add_argument("--plan", default=None, help="tag: write plans/r14/<q>_<tag>.txt")
     ap.add_argument(
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
@@ -67,7 +67,7 @@ def main() -> None:
     )
 
     plans_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"
     )
     for name in args.queries.split(","):
         name = name.strip()
