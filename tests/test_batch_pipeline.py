@@ -85,6 +85,82 @@ def test_end_to_end(spark, tmp_path, article_file):
     assert json_back.count() == 4
 
 
+def test_kernel_scorer_matches_expression_path(spark):
+    """r14 optimization pin: the Arrow scoring kernel (default
+    transform_articles path) must reproduce the expression path's rows
+    BIT-FOR-BIT — same clean/filter/combine semantics, same exact
+    integer lexicon sum and single IEEE division — over the whole
+    sf0.001 corpus rendered as articles (incl. nulls/empties/
+    whitespace edge docs below)."""
+    from pyspark.sql import functions as F
+
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.functions.sentiment import (
+        classify_expr,
+        confidence_expr,
+        polarity_expr,
+    )
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.functions.text import (
+        clean_text,
+    )
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.pipeline import (
+        FINAL_COLUMNS,
+    )
+    from real_time_news_sentiment_classification_and_dashboard_using_pyspark_spark.sources.tables import (
+        table,
+    )
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.col("text").alias("title"),
+        F.col("text").alias("description"),
+        F.lit(None).cast("string").alias("url"),
+        F.lit("p").alias("publishedAt"),
+        F.lit("f").alias("fetched_at"),
+    )
+    edge = spark.createDataFrame(
+        [
+            (None, None),
+            ("", ""),
+            ("   ", " \t\n\x0b\f\r "),
+            ("fast", "slow FAST f4st!"),
+            ("a\x0bb", "big\nsmall big  big"),
+            ("café", "naïve café FAST2slow"),
+        ],
+        "title string, description string",
+    ).select(
+        F.lit("e").alias("id"),
+        "title",
+        "description",
+        F.lit(None).cast("string").alias("url"),
+        F.lit("p").alias("publishedAt"),
+        F.lit("f").alias("fetched_at"),
+    )
+    src = docs.unionByName(edge)
+
+    got = sorted(
+        tuple(r)
+        for r in transform_articles(src).drop("processing_time").collect()
+    )
+    # reference arm: the pre-r14 expression pipeline, inline
+    cleaned = src.withColumns(
+        {"title_clean": clean_text("title"), "text_clean": clean_text("description")}
+    )
+    filtered = cleaned.filter(
+        F.col("text_clean").isNotNull() & (F.trim(F.col("text_clean")) != "")
+    )
+    ref_df = (
+        filtered.withColumn(
+            "combined_text", F.concat_ws(" ", "title_clean", "text_clean")
+        )
+        .withColumn("polarity", polarity_expr(F.col("combined_text")))
+        .withColumn("sentiment", classify_expr("polarity"))
+        .withColumn("sentiment_confidence", confidence_expr("polarity"))
+        .select(*FINAL_COLUMNS)
+    )
+    ref = sorted(tuple(r) for r in ref_df.collect())
+    assert got == ref and got
+
+
 def test_summary_percentages(spark, article_file):
     scored = transform_articles(read_articles(spark, article_file))
     summary = {r["sentiment"]: (r["cnt"], r["pct"]) for r in sentiment_summary(scored).collect()}
