@@ -2731,12 +2731,14 @@ def _pq_lloyd_shortlist_df(spark, sf_dir) -> DataFrame:
     candidate set — the Lloyd-PQ twin of ``_pq_adc_shortlist``."""
     n_cand = _emb_cand_n(spark, sf_dir)
     sl = _pq_lloyd_shortlist_depth(n_cand)
-    # ONE lazily-checkpointed quantize pass shared by training (3
-    # partials collects), encode and the query collect — the first
-    # consumer materializes the row blocks, the other 2*iters-ish
-    # actions read them instead of re-paying the parquet scan + the
-    # interpreted quantize explode (r14, ADVICE r13 #1)
-    sub = _sub_e6(spark, sf_dir).localCheckpoint(eager=False)
+    # NOT checkpoint-shared (r14, measured): a lazily-checkpointed
+    # shared quantize pass REGRESSED the family (ivfpq_topk 3.6->5.8,
+    # pq_knn_rerank +28% in the mid-round bench on a faster host) —
+    # serializing/rereading the array<long> rows costs more than
+    # re-running the columnar scan + quantize per action, the same
+    # array-payload lesson as the r13 kmeans cache attempts. Each
+    # consumer recomputes the cheap scan+quantize instead.
+    sub = _sub_e6(spark, sf_dir)
     cent = _pq_lloyd_codebook(spark, sf_dir, sub=sub)
     codes, qdist = _pq_lloyd_codes_qdist(spark, sf_dir, cent, sub=sub)
     adc = (
@@ -3005,8 +3007,8 @@ def _ivfpq_shortlist_df(spark, sf_dir, sl: int) -> DataFrame:
     routed cells' members — the IVF-PQ composition core."""
     cells, routes = _coarse_cells_and_routes(spark, sf_dir, _IVFPQ_NPROBE)
     pairs = routes.join(cells, "cell").select("query_id", "neighbor_id")
-    # shared quantize checkpoint — see _pq_lloyd_shortlist_df (r14)
-    sub = _sub_e6(spark, sf_dir).localCheckpoint(eager=False)
+    # not checkpoint-shared — measured worse; see _pq_lloyd_shortlist_df
+    sub = _sub_e6(spark, sf_dir)
     cent = _pq_lloyd_codebook(spark, sf_dir, sub=sub)
     codes, qdist = _pq_lloyd_codes_qdist(spark, sf_dir, cent, sub=sub)
     adcr = (
@@ -3270,10 +3272,11 @@ def _residual_subs(spark, sf_dir, nprobe: int):
             | ((F.col("rn") <= nprobe) & (F.col("vec_id") < 3))
         )
         .select("vec_id", "cl", "rn")
-        # lazy (r14): materialized by the first consumer's job (the
-        # csub checkpoint / seeding collect) instead of paying a
-        # dedicated eager job; later consumers read the blocks
-        .localCheckpoint(eager=False)
+        # eager (r14: a lazy variant was measured WORSE in the
+        # mid-round bench — ivfpq_residual_topk +17% on a faster host;
+        # the dedicated materialization job keeps the routing window's
+        # layout warm for the four consumers)
+        .localCheckpoint(eager=True)
     )
     cells = ranked.filter(F.col("vec_id") >= 3).select(
         F.col("vec_id").alias("neighbor_id"), F.col("cl").alias("cell")
@@ -3294,9 +3297,8 @@ def _residual_subs(spark, sf_dir, nprobe: int):
         # or the whole training loop runs on a single core (measured
         # 34 s vs 14 s for the same-shape raw-vector loop at sf1).
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
-        # lazy (r14): the seeding collect materializes it — one job
-        # fewer per residual query
-        .localCheckpoint(eager=False)
+        # eager (see `ranked` above — the lazy variant measured worse)
+        .localCheckpoint(eager=True)
     )
     qsub = (
         e.join(F.broadcast(routes), e.vec_id == routes.query_id)
