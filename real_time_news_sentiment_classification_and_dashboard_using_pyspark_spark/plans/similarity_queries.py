@@ -2339,14 +2339,13 @@ def _sub_e6(spark, sf_dir) -> DataFrame:
     to int64 micro-units — the single float->int boundary of the
     Lloyd-PQ pipeline.
 
-    NOT cached here (the r13 docstring claimed a cache that never
-    existed — ADVICE r13): each call builds a fresh plan. Callers that
-    issue several actions over it (the driver-paced Lloyd rounds +
-    encode + query collect) share ONE materialization by lazily
-    localCheckpoint-ing the result once per query composition
-    (`_pq_lloyd_shortlist_df` / `_ivfpq_shortlist_df`, r14) — a
-    row-block checkpoint, not the columnar array<long> cache that
-    measured WORSE in the r13 kmeans attempts."""
+    NOT cached or checkpointed here (the r13 docstring claimed a cache
+    that never existed — ADVICE r13): each call builds a fresh plan and
+    every consumer action re-runs the columnar scan + quantize. A
+    shared lazy localCheckpoint of this relation was tried in r14 and
+    REVERTED — serializing/rereading the array<long> row blocks
+    measured slower than recomputing (ivfpq_topk 3.6->5.8 s), the same
+    array-payload lesson as the r13 kmeans cache attempts."""
     e = _emb(spark, sf_dir)
     return (
         e.select(

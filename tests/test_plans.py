@@ -423,11 +423,16 @@ def test_weighted_doc_sample_is_take_ordered(spark):
 
 
 def test_lang_id_profile_is_broadcast(spark):
-    """The trigram-profile scoring join must broadcast the ~langs x 40
-    profile, never shuffle the corpus-sized trigram stream on tri."""
+    """The ~langs x 40 trigram profile must ride to executors as a
+    closure/broadcast of the streaming argmax kernel (r14) — never as a
+    corpus-sized shuffle of the trigram stream on tri. The r13 shape
+    was a BroadcastHashJoin; the r14 kernel removed the join entirely,
+    so the guard is now: kernel present, no join of any kind, and no
+    Exchange keyed on tri."""
     plan = plan_of(spark, "lang_id_trigram")
-    assert "BroadcastHashJoin" in plan
+    assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
+    assert not re.search(r"Exchange hashpartitioning\(tri", plan)
 
 
 def test_source_overlap_sketch_join_is_tiny(spark):
