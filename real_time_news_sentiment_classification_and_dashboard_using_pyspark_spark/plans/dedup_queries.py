@@ -360,6 +360,14 @@ def _signature_tables_single_pass(hashes_df: DataFrame):
 # layout existed briefly and was retired by measurement)
 _ARTIFACT_VERSION = 9
 
+# Target docs per task when widening a streaming delta before its
+# tokenize/shingle/hash pass (append_to_shingle_artifact). At ~1-4 KB of
+# clean text per doc this is ~0.5-2 MB of regex CPU per task — big
+# enough that task/scheduling overhead stays amortized, small enough
+# that a one-file micro-batch parallelizes. Large deltas hit the
+# session-width cap and behave exactly as before.
+_FOLD_DOCS_PER_TASK = 512
+
 
 def _params_fingerprint() -> str:
     """8-hex fingerprint of every constant the artifact BAKES IN — the
@@ -889,10 +897,29 @@ def append_to_shingle_artifact(
     parallel side/signature writes) instead of 7 sequential jobs, and
     the heavy fold overlaps the df merge with the signature appends and
     the kept rebuild with the df/stop writes."""
+    import math
     import shutil
     from concurrent.futures import ThreadPoolExecutor
 
     width = spark.sparkContext.defaultParallelism
+    if not assume_empty_delta:
+        # Widen the delta BEFORE the tokenize/shingle/hash chain (r14,
+        # guide §2 — the streaming twin of ``widen_scan``): a micro-batch
+        # is typically ONE small parquet file = one input split, so the
+        # whole fold's regex/array CPU ran on a single core (measured
+        # 5.4 s -> 4.0 s per sf0.1 light fold at 32 cores). Width is
+        # SCALE-ADAPTIVE, never a local constant: ~_FOLD_DOCS_PER_TASK
+        # docs per task (below that, per-task/job fixed overhead
+        # dominates — repartition(32) of the same 5k-doc delta measured
+        # WORSE than repartition(8)), capped at the session width, and
+        # only ever widening (an already-parallel large delta is left
+        # alone — no extra exchange at real scale). Hash-partitioned on
+        # the unique id column: deterministic under task retry (guide
+        # §2.5), no sort-before-repartition pass.
+        n_delta = delta_docs.count()
+        target = max(1, min(width, math.ceil(n_delta / _FOLD_DOCS_PER_TASK)))
+        if target > delta_docs.rdd.getNumPartitions():
+            delta_docs = delta_docs.repartition(target, id_col)
     tmp = f"{out_path}.tmp{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
